@@ -1,0 +1,105 @@
+package graft
+
+import graft.fixtures.QuerySet
+
+/** Shared ANSI-SQL (DuckDB-dialect-compatible) fragments for the driver's
+  * oracle. Every fragment mirrors, 1:1, a Spark plan in [[SparkEntry]] —
+  * same tokenization (`\w+` on lowercased text, min length 3; ASCII corpus
+  * so Unicode vs ASCII `\w` is immaterial — SURVEY §2 P2), same BM25
+  * formula (k1=1.2, b=0.75 — reference src/bm25_search.py:52-53), same
+  * canonical tie order (round(score,6) DESC, doc_id ASC).
+  *
+  * Floating-point policy: every surfaced double is `CAST(round(x, d) AS
+  * DOUBLE)` on BOTH sides so summation-order noise (≈1e-15 rel.) can never
+  * produce a hash mismatch, and ranks are assigned over round(score, 6).
+  */
+object OracleSql {
+
+  /** Tokenized-array CTE over `documents`: (doc_id, ts list<varchar>). */
+  val tokArrays: String =
+    """tok_arrays AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_extract_all(lower(text), '\w+'),
+      |                x -> length(x) >= 3) AS ts
+      |  FROM documents)""".stripMargin
+
+  /** Exploded tokens CTE: (doc_id, term, pos). */
+  val toks: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(ts) AS term,
+      |         generate_subscripts(ts, 1) - 1 AS pos
+      |  FROM tok_arrays)""".stripMargin
+
+  val doclen: String =
+    "doclen AS (SELECT doc_id, len(ts) AS doc_len FROM tok_arrays)"
+
+  val postings: String =
+    """postings AS (
+      |  SELECT term, doc_id, count(*) AS tf,
+      |         min(pos) AS first_pos, max(pos) AS last_pos
+      |  FROM toks GROUP BY term, doc_id)""".stripMargin
+
+  val stats: String =
+    "stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doclen)"
+
+  val termstats: String =
+    """termstats AS (
+      |  SELECT p.term, count(*) AS df,
+      |         ln((s.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+      |  FROM postings p CROSS JOIN stats s
+      |  GROUP BY p.term, s.n)""".stripMargin
+
+  /** Fixture query set as a VALUES CTE (single source: QuerySet.queries). */
+  val queriesCte: String =
+    s"queries(query_id, question, gold_term) AS (VALUES ${QuerySet.sqlValues})"
+
+  val qtoks: String =
+    """qtoks AS (
+      |  SELECT query_id, unnest(
+      |    list_filter(regexp_extract_all(lower(question), '\w+'),
+      |                x -> length(x) >= 3)) AS term
+      |  FROM queries)""".stripMargin
+
+  val qterms: String =
+    "qterms AS (SELECT query_id, term, count(*) AS qtf FROM qtoks GROUP BY 1, 2)"
+
+  /** Per-(query, doc) BM25 scores (raw, unrounded). */
+  val scored: String =
+    """scored AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    sum(q.qtf * t.idf * p.tf * 2.2 /
+      |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl))) AS score
+      |  FROM qterms q
+      |  JOIN postings p USING (term)
+      |  JOIN termstats t USING (term)
+      |  JOIN doclen d ON p.doc_id = d.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY q.query_id, p.doc_id
+      |  HAVING sum(q.qtf * t.idf * p.tf * 2.2 /
+      |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl))) > 0)""".stripMargin
+
+  /** Ranked top-k CTE (canonical order). */
+  def ranked(k: Int): String =
+    s"""ranked AS (
+       |  SELECT query_id, doc_id, score, rank FROM (
+       |    SELECT query_id, doc_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** Deterministic gold sets (FIXTURES.md §4 rule). */
+  val gold: String =
+    """gold AS (
+      |  SELECT q.query_id, d.doc_id
+      |  FROM queries q JOIN tok_arrays d
+      |    ON list_contains(d.ts, q.gold_term) AND d.doc_id % 5 = 0
+      |  WHERE q.gold_term <> '')""".stripMargin
+
+  /** Assembles a WITH query from the needed fragments (order matters). */
+  def withCtes(ctes: Seq[String], body: String): String =
+    "WITH " + ctes.mkString(",\n") + "\n" + body
+
+  val coreCtes: Seq[String] = Seq(tokArrays, toks, doclen, postings, stats,
+    termstats, queriesCte, qtoks, qterms)
+}

@@ -1,13 +1,173 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.eval.Ndcg
+import graft.fixtures.QuerySet
+import graft.index.IndexBuilder
+import graft.query.Bm25
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-runnable `oracleSql` equivalent where
+  * ANSI SQL can express it. Column names and integer/double typing match
+  * between both sides (driver hashes values after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val cfg = TokenizerConfig.default
+  private val TopK = 100
+  private val NdcgK = 10
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Shared sub-plans (mirrors OracleSql fragments). */
+  private object plans {
+    def tokenRows(s: SparkSession, dir: String): DataFrame =
+      IndexBuilder.tokenRows(docs(s, dir), cfg)
+
+    def index(s: SparkSession, dir: String) =
+      IndexBuilder.build(docs(s, dir), cfg)
+
+    def ranked(s: SparkSession, dir: String, k: Int = TopK): DataFrame =
+      Bm25.search(index(s, dir), QuerySet.df(s), cfg, k)
+
+    def gold(s: SparkSession, dir: String): DataFrame =
+      QuerySet.gold(s, docs(s, dir), cfg)
+  }
+
+  /** Flagship: batch BM25 top-k over the sf0.001 corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_bm25_topk")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / projections / tokenization (SURVEY §2 A1, P1-P4, W1) ----
+    "q_tokenize" -> ((s, dir) =>
+      plans.tokenRows(s, dir)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))),
+
+    // ---- G2: document length (narrow, no shuffle) ----
+    "q_doclen" -> ((s, dir) =>
+      IndexBuilder.docStats(docs(s, dir), cfg)
+        .select(col("doc_id"), col("doc_len").cast("long").as("doc_len"))),
+
+    // ---- G1: positional posting lists ----
+    "q_postings" -> ((s, dir) =>
+      IndexBuilder.postings(plans.tokenRows(s, dir))
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
+          element_at(col("positions"), 1).cast("long").as("first_pos"),
+          element_at(col("positions"), -1).cast("long").as("last_pos"))),
+
+    // ---- G4/G5: df + idf table (computed once; fixes reference O11) ----
+    "q_termstats" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      idx.termStats.select(col("term"), col("df"),
+        round(col("idf"), 6).cast("double").as("idf"))
+    }),
+
+    // ---- G6: corpus stats ----
+    "q_corpus_stats" -> ((s, dir) => {
+      val ds = IndexBuilder.docStats(docs(s, dir), cfg)
+      ds.agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_len")), 6).cast("double").as("avgdl"))
+    }),
+
+    // ---- G7 qtf: query-term multiplicity ----
+    "q_query_terms" -> ((s, dir) =>
+      Bm25.queryTerms(QuerySet.df(s), cfg)
+        .select(col("query_id"), col("term"), col("qtf").cast("long").as("qtf"))),
+
+    // ---- J1/S1: candidate generation (existential semi-join) ----
+    "q_candidates" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val qt = Bm25.queryTerms(QuerySet.df(s), cfg)
+      idx.postings.join(broadcast(qt), Seq("term"))
+        .select(col("query_id"), col("doc_id")).distinct()
+    }),
+
+    // ---- G7/J2/J3/E2: full batch BM25 top-k ----
+    "q_bm25_topk" -> ((s, dir) =>
+      plans.ranked(s, dir)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).cast("double").as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- W3: per-partition ranking window ----
+    "q_rank_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir).select(col("lang"), col("doc_id"),
+        row_number().over(w).cast("long").as("rn"))
+    }),
+
+    // ---- W2/G9/J7: nDCG@10 ----
+    "q_ndcg" -> ((s, dir) =>
+      Ndcg.perQuery(plans.ranked(s, dir, NdcgK), plans.gold(s, dir), NdcgK)
+        .select(col("query_id"),
+          round(col("ndcg"), 4).cast("double").as("ndcg")))
+  )
+
+  def oracleSql: Map[String, String] = {
+    import OracleSql._
+    Map(
+      "q_tokenize" -> withCtes(Seq(tokArrays, toks),
+        "SELECT doc_id, pos, term FROM toks"),
+
+      "q_doclen" -> withCtes(Seq(tokArrays, doclen),
+        "SELECT doc_id, doc_len FROM doclen"),
+
+      "q_postings" -> withCtes(Seq(tokArrays, toks, postings),
+        "SELECT term, doc_id, tf, first_pos, last_pos FROM postings"),
+
+      "q_termstats" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats),
+        "SELECT term, df, CAST(round(idf, 6) AS DOUBLE) AS idf FROM termstats"),
+
+      "q_corpus_stats" -> withCtes(Seq(tokArrays, doclen),
+        "SELECT count(*) AS n_docs, CAST(round(avg(doc_len), 6) AS DOUBLE)" +
+          " AS avgdl FROM doclen"),
+
+      "q_query_terms" -> withCtes(Seq(queriesCte, qtoks, qterms),
+        "SELECT query_id, term, qtf FROM qterms"),
+
+      "q_candidates" -> withCtes(Seq(tokArrays, toks, postings, queriesCte,
+        qtoks, qterms),
+        "SELECT DISTINCT q.query_id, p.doc_id FROM qterms q" +
+          " JOIN postings p USING (term)"),
+
+      "q_bm25_topk" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
+        "SELECT query_id, doc_id, CAST(round(score, 4) AS DOUBLE) AS score," +
+          " rank FROM ranked"),
+
+      "q_rank_window" -> ("SELECT lang, doc_id, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn " +
+        "FROM documents"),
+
+      "q_ndcg" -> withCtes(coreCtes ++ Seq(scored, ranked(NdcgK), gold,
+        """rels AS (
+          |  SELECT r.query_id, r.rank,
+          |    CASE WHEN g.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+          |  FROM ranked r LEFT JOIN gold g USING (query_id, doc_id))""".stripMargin,
+        """dcg AS (
+          |  SELECT query_id,
+          |    sum(CASE WHEN rank = 1 THEN rel ELSE rel / log2(rank) END) AS dcg
+          |  FROM rels GROUP BY query_id)""".stripMargin,
+        "gsize AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY 1)",
+        s"""idcg AS (
+           |  SELECT query_id, list_sum([CASE WHEN i = 1 THEN 1.0
+           |    ELSE 1.0 / log2(i) END FOR i IN
+           |    range(1, least(n_gold, $NdcgK) + 1)]) AS idcg
+           |  FROM gsize)""".stripMargin),
+        """SELECT i.query_id, CAST(round(CASE WHEN i.idcg > 0
+          |  THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
+          |  AS ndcg
+          |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin)
+    )
+  }
 }

@@ -1,0 +1,212 @@
+package graft.analysis
+
+/** From-scratch Scala implementation of the Porter2 (Snowball "English")
+  * stemming algorithm, as published at snowballstem.org/algorithms/english.
+  *
+  * The reference uses NLTK's `SnowballStemmer("english")`
+  * (src/tokenizer.py:26-27, :48-53), which implements the same algorithm
+  * and lowercases its input; so do we. Pure function — safe to call from
+  * executors; memoization lives in [[Tokenizer]], mirroring the reference's
+  * per-instance stem cache (src/tokenizer.py:27,48-51).
+  */
+object PorterStemmer extends Serializable {
+
+  private val vowels = "aeiouy".toSet
+  private val doubles =
+    Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+  private val liEnding = "cdeghkmnrt".toSet
+
+  private val exceptions1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
+    "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
+
+  private val exceptions2: Set[String] = Set(
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed")
+
+  private def isVowel(c: Char): Boolean = vowels.contains(c)
+
+  /** Mark y as consonant ('Y') when word-initial or after a vowel. */
+  private def markYs(w: String): String = {
+    val sb = new StringBuilder(w)
+    var i = 0
+    while (i < sb.length) {
+      if (sb.charAt(i) == 'y' && (i == 0 || isVowel(sb.charAt(i - 1))))
+        sb.setCharAt(i, 'Y')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** First position after the first non-vowel following a vowel, or len. */
+  private def regionAfter(w: String, from: Int): Int = {
+    var i = from
+    while (i < w.length && !isVowel(w.charAt(i))) i += 1 // find vowel
+    while (i < w.length && isVowel(w.charAt(i))) i += 1  // find non-vowel
+    if (i < w.length) i + 1 else w.length
+  }
+
+  private def r1of(w: String): Int =
+    if (w.startsWith("gener")) 5
+    else if (w.startsWith("commun")) 6
+    else if (w.startsWith("arsen")) 5
+    else regionAfter(w, 0)
+
+  /** Short syllable ending at position `end` (exclusive). */
+  private def endsInShortSyllable(w: String): Boolean = {
+    val n = w.length
+    if (n >= 3) {
+      val c = w.charAt(n - 1); val v = w.charAt(n - 2); val p = w.charAt(n - 3)
+      if (!isVowel(c) && c != 'w' && c != 'x' && c != 'Y' &&
+          isVowel(v) && !isVowel(p)) return true
+    }
+    if (n == 2 && isVowel(w.charAt(0)) && !isVowel(w.charAt(1))) return true
+    false
+  }
+
+  private def isShortWord(w: String, r1: Int): Boolean =
+    r1 >= w.length && endsInShortSyllable(w)
+
+  private def containsVowel(w: String, until: Int): Boolean = {
+    var i = 0
+    while (i < until) { if (isVowel(w.charAt(i))) return true; i += 1 }
+    false
+  }
+
+  def stem(input: String): String = {
+    var w = input.toLowerCase
+    if (w.length <= 2) return w
+    if (w.startsWith("'")) w = w.substring(1)
+    exceptions1.get(w) match {
+      case Some(s) => return s
+      case None =>
+    }
+    if (w.length <= 2) return w
+    w = markYs(w)
+    val r1 = r1of(w)
+    val r2 = regionAfter(w, r1)
+
+    def inR1(suffixLen: Int): Boolean = w.length - suffixLen >= r1
+    def inR2(suffixLen: Int): Boolean = w.length - suffixLen >= r2
+
+    // Step 0: longest of ' 's 's'
+    if (w.endsWith("'s'")) w = w.dropRight(3)
+    else if (w.endsWith("'s")) w = w.dropRight(2)
+    else if (w.endsWith("'")) w = w.dropRight(1)
+
+    // Step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ied") || w.endsWith("ies"))
+      w = if (w.length > 4) w.dropRight(2) else w.dropRight(1)
+    else if (w.endsWith("us") || w.endsWith("ss")) { /* keep */ }
+    else if (w.endsWith("s") && containsVowel(w, w.length - 2))
+      w = w.dropRight(1)
+
+    if (exceptions2.contains(w)) return w.replace('Y', 'y')
+
+    // Step 1b
+    val eedSuffix =
+      if (w.endsWith("eedly")) 5 else if (w.endsWith("eed")) 3 else 0
+    if (eedSuffix > 0) {
+      if (inR1(eedSuffix)) w = w.dropRight(eedSuffix) + "ee"
+    } else {
+      val s =
+        if (w.endsWith("ingly")) 5
+        else if (w.endsWith("edly")) 4
+        else if (w.endsWith("ing")) 3
+        else if (w.endsWith("ed")) 2
+        else 0
+      if (s > 0 && containsVowel(w, w.length - s)) {
+        w = w.dropRight(s)
+        if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+        else if (w.length >= 2 && doubles.contains(w.takeRight(2)))
+          w = w.dropRight(1)
+        else if (isShortWord(w, r1)) w += "e"
+      }
+    }
+
+    // Step 1c: y/Y -> i if preceded by a non-vowel that is not word-initial
+    if (w.length > 2) {
+      val last = w.charAt(w.length - 1)
+      if ((last == 'y' || last == 'Y') && !isVowel(w.charAt(w.length - 2)))
+        w = w.dropRight(1) + "i"
+    }
+
+    // Step 2 (longest suffix, checked in R1)
+    val step2: Seq[(String, String)] = Seq(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
+      "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
+      "alli" -> "al", "bli" -> "ble")
+    var done2 = false
+    for ((suf, rep) <- step2 if !done2) {
+      if (w.endsWith(suf)) {
+        done2 = true
+        if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+      }
+    }
+    if (!done2) {
+      if (w.endsWith("ogi")) {
+        done2 = true
+        if (inR1(3) && w.length > 3 && w.charAt(w.length - 4) == 'l')
+          w = w.dropRight(1)
+      } else if (w.endsWith("li")) {
+        done2 = true
+        if (inR1(2) && w.length > 2 && liEnding.contains(w.charAt(w.length - 3)))
+          w = w.dropRight(2)
+      }
+    }
+
+    // Step 3 (in R1; ative needs R2)
+    var done3 = false
+    val step3: Seq[(String, String)] = Seq(
+      "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+      "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic",
+      "ful" -> "", "ness" -> "")
+    if (w.endsWith("ative")) {
+      done3 = true
+      if (inR2(5)) w = w.dropRight(5)
+    }
+    for ((suf, rep) <- step3 if !done3) {
+      if (w.endsWith(suf)) {
+        done3 = true
+        if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+      }
+    }
+
+    // Step 4 (in R2)
+    val step4: Seq[String] = Seq(
+      "ement", "ance", "ence", "able", "ible", "ment",
+      "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+      "al", "er", "ic")
+    var done4 = false
+    if (w.endsWith("ion")) {
+      done4 = true
+      if (inR2(3) && w.length > 3 &&
+          (w.charAt(w.length - 4) == 's' || w.charAt(w.length - 4) == 't'))
+        w = w.dropRight(3)
+    }
+    for (suf <- step4 if !done4) {
+      if (w.endsWith(suf)) {
+        done4 = true
+        if (inR2(suf.length)) w = w.dropRight(suf.length)
+      }
+    }
+
+    // Step 5
+    if (w.endsWith("e") &&
+        (inR2(1) || (inR1(1) && !endsInShortSyllable(w.dropRight(1)))))
+      w = w.dropRight(1)
+    else if (w.endsWith("l") && inR2(1) && w.length > 1 &&
+             w.charAt(w.length - 2) == 'l')
+      w = w.dropRight(1)
+
+    w.replace('Y', 'y')
+  }
+}

@@ -1,0 +1,66 @@
+package graft.analysis
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.regex.Pattern
+
+/** From-scratch tokenizer with the reference's exact pipeline order
+  * (reference: src/tokenizer.py:34-55):
+  *
+  *   1. lowercase the whole text (when `lowercase`)        — :35-36
+  *   2. extract `\w+` word runs (Python `\w` is Unicode)   — :38-39
+  *   3. drop tokens shorter than `minTokenLength`          — :43-44
+  *   4. drop stopwords (checked BEFORE stemming)           — :45-46
+  *   5. Porter2/Snowball-English stem, memoized            — :48-53
+  *
+  * Python's `\w` is Unicode-aware by default, so the compiled pattern uses
+  * `UNICODE_CHARACTER_CLASS`; on ASCII corpora (all driver testdata and the
+  * DuckDB oracle) this is byte-identical to ASCII `\w` — asserted in tests.
+  *
+  * The instance is Serializable and executor-safe: the regex is compiled
+  * lazily per JVM and the stem memo (the reference's per-instance dict cache,
+  * src/tokenizer.py:27,48-51) is a per-executor ConcurrentHashMap shared by
+  * all tasks, capped to keep a pathological vocabulary from pinning memory.
+  */
+final class Tokenizer(val cfg: TokenizerConfig) extends Serializable {
+
+  @transient private lazy val wordPattern: Pattern =
+    Pattern.compile("\\w+", Pattern.UNICODE_CHARACTER_CLASS)
+
+  private def stemMemo(tok: String): String = {
+    val memo = Tokenizer.stemCache
+    val cached = memo.get(tok)
+    if (cached != null) cached
+    else {
+      val s = PorterStemmer.stem(tok)
+      if (memo.size < Tokenizer.MaxMemoEntries) memo.put(tok, s)
+      s
+    }
+  }
+
+  /** Tokenize one text. Duplicates preserved; order preserved; position in
+    * the returned array IS the posting position (the reference enumerates
+    * the post-filter token list, src/data_processing.py:30). */
+  def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val t = if (cfg.lowercase) text.toLowerCase else text
+    val m = wordPattern.matcher(t)
+    val out = Array.newBuilder[String]
+    val stop = cfg.effectiveStopwords
+    while (m.find()) {
+      val tok = m.group()
+      if (tok.length >= cfg.minTokenLength && !stop.contains(tok)) {
+        out += (if (cfg.stem) stemMemo(tok) else tok)
+      }
+    }
+    out.result()
+  }
+}
+
+object Tokenizer {
+  private val MaxMemoEntries = 1 << 20
+  /** Per-JVM (= per-executor) stem memo; stems are config-independent. */
+  private lazy val stemCache = new ConcurrentHashMap[String, String]()
+
+  def apply(cfg: TokenizerConfig = TokenizerConfig.default): Tokenizer =
+    new Tokenizer(cfg)
+}

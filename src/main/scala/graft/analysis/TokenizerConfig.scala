@@ -1,0 +1,43 @@
+package graft.analysis
+
+/** Tokenizer configuration, mirroring the reference's `Tokenizer.__init__`
+  * knobs (reference: src/tokenizer.py:6-27): minimum token length (default 3,
+  * src/tokenizer.py:8), lowercase folding, optional Snowball/Porter2 English
+  * stemming, and an optional stopword set (lowercased at construction when
+  * `lowercase=true`, src/tokenizer.py:20-23).
+  *
+  * Two named presets match the two configs that exist in the reference:
+  *   - `default`:  stem = false (src/data_processing.py:68-73)
+  *   - `notebook`: stem = true  (notebooks/bm25_analysis.ipynb cell 5005bb83,
+  *                 the config behind the published nDCG@10 = 0.57)
+  */
+final case class TokenizerConfig(
+    minTokenLength: Int = 3,
+    lowercase: Boolean = true,
+    stem: Boolean = false,
+    stopwords: Set[String] = Set.empty) extends Serializable {
+
+  /** Stopword set as the tokenizer will consult it: lowercased when the
+    * tokenizer lowercases (reference lowercases the *set*, not each probe —
+    * src/tokenizer.py:22-23). */
+  val effectiveStopwords: Set[String] =
+    if (lowercase) stopwords.map(_.toLowerCase) else stopwords
+}
+
+object TokenizerConfig {
+  /** Library default of the reference (src/data_processing.py:68-73). */
+  val default: TokenizerConfig = TokenizerConfig()
+
+  /** The notebook config behind the published baseline (stem=true). */
+  val notebook: TokenizerConfig = TokenizerConfig(stem = true)
+
+  /** A small English stopword list for the `full` test config
+    * (FIXTURES.md §6); the reference accepts any user-supplied set. */
+  val smallEnglishStopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "its", "this", "that",
+    "be", "from", "not", "but")
+
+  val full: TokenizerConfig =
+    TokenizerConfig(stem = true, stopwords = smallEnglishStopwords)
+}

@@ -1,0 +1,60 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** nDCG@k with the reference's exact DCG variant: the rank-1 gain is
+  * UNDISCOUNTED and rank i ≥ 2 contributes rel_i / log2(i)
+  * (reference src/evaluation.py:5-14: `rel / math.log2(i)` for i ≥ 2,
+  * `rel` for i == 1 — note the discount uses log2(i), not log2(i+1)).
+  *
+  * Relevance is binary (retrieved doc ∈ gold set), so the ideal DCG is the
+  * DCG of min(|gold|, k) leading ones — the closed form the reference
+  * itself exploits (src/evaluation.py:33-35).
+  */
+object Ndcg {
+
+  /** gain(rank, rel) under the reference's variant. */
+  private def gain(rankCol: String, relCol: String) =
+    when(col(rankCol) === 1, col(relCol).cast("double"))
+      .otherwise(col(relCol).cast("double") / log2(col(rankCol).cast("double")))
+
+  /** Per-query nDCG@k.
+    * @param ranked (query_id, doc_id, rank) — rank starting at 1
+    * @param gold   (query_id, doc_id) — gold-standard relevant docs
+    * @return (query_id, ndcg) for every query present in `gold`
+    *         (queries with an empty gold set score 0.0, matching the
+    *         reference's idcg==0 guard, src/evaluation.py:36-39) */
+  def perQuery(ranked: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    val goldSize = gold.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_gold"))
+    // rel via left join against gold (SURVEY §2 J7)
+    val rels = ranked.filter(col("rank") <= k)
+      .join(gold.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcg = rels
+      .withColumn("gain", gain("rank", "rel"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain")).as("dcg"))
+    // idcg = Σ_{i=1..min(|gold|,k)} (i==1 ? 1 : 1/log2(i)) via a HOF
+    // aggregate over sequence(1, m) — pure Catalyst, no UDF.
+    val m = least(col("n_gold"), lit(k))
+    goldSize
+      .withColumn("idcg",
+        when(m <= 0, lit(0.0)).otherwise(
+          aggregate(sequence(lit(1), m), lit(0.0),
+            (acc, i) => acc + when(i === 1, lit(1.0))
+              .otherwise(lit(1.0) / log2(i.cast("double"))))))
+      .join(dcg, Seq("query_id"), "left")
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
+      .select(col("query_id"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
+  /** Mean nDCG@k over queries (reference src/evaluation.py:112-124). */
+  def mean(ranked: DataFrame, gold: DataFrame, k: Int): Double = {
+    val r = perQuery(ranked, gold, k).agg(avg(col("ndcg"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic fixture query set over the `documents.parquet` vocabulary
+  * (31 lowercase ASCII words; 'a' is the only sub-min-length token and
+  * 'the' is the stopword-like high-df token).
+  *
+  * Covers the semantic corners called out in FIXTURES.md §4: single-term,
+  * multi-term, duplicate-term (qtf — reference src/bm25_search.py:80),
+  * unknown term, all-sub-min-length (empty result — src/bm25_search.py:154),
+  * mixed case (lowercase folding), and queries whose matches span very
+  * different document lengths (length normalization).
+  *
+  * `goldTerm` drives the deterministic gold-standard rule used by the nDCG
+  * fixtures (SQL-expressible so the DuckDB oracle can reproduce it):
+  *   gold(q) = { doc_id : goldTerm ∈ tokens(doc) AND doc_id % 5 == 0 }.
+  */
+object QuerySet {
+
+  /** (query_id, question, goldTerm) — goldTerm empty => empty gold set. */
+  val queries: Seq[(String, String, String)] = Seq(
+    ("q01", "merge", "merge"),
+    ("q02", "merge join", "merge"),
+    ("q03", "merge merge sort", "merge"),
+    ("q04", "zebra", ""),
+    ("q05", "a a a", ""),
+    ("q06", "MERGE Join", "merge"),
+    ("q07", "the", "the"),
+    ("q08", "hash join sort merge filter scan", "hash"),
+    ("q09", "customer order line", "customer"),
+    ("q10", "spark stream window", "spark"),
+    ("q11", "vector batch value", "vector"),
+    ("q12", "slow fast small big", "slow"),
+    ("q13", "query table row column", "query"),
+    ("q14", "dup key group agg", "dup"),
+    ("q15", "data part", "data"),
+    ("q16", "Sort SORT sort", "sort"),
+    ("q17", "merge zebra", "merge"),
+    ("q18", "the a merge", "the"),
+    ("q19", "window window agg", "window"),
+    ("q20", "scan filter", "scan"),
+    ("q21", "join join join join", "join"),
+    ("q22", "batch stream", "batch"),
+    ("q23", "column vector hash", "column"),
+    ("q24", "order by sort", "order"),
+    ("q25", "big data fast query", "big"))
+
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "question", "gold_term")
+  }
+
+  /** SQL VALUES list for the DuckDB oracle — built from the SAME Seq so the
+    * two sides can never drift. */
+  def sqlValues: String =
+    queries.map { case (id, q, g) => s"('$id', '$q', '$g')" }.mkString(", ")
+
+  /** Deterministic gold set over a corpus: (query_id, doc_id). */
+  def gold(spark: SparkSession, docs: DataFrame,
+      cfg: graft.analysis.TokenizerConfig): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = graft.index.IndexBuilder.withTokens(docs, cfg)
+      .select(col("doc_id"), col("tokens"))
+    df(spark).filter(col("gold_term") =!= "")
+      .join(toks, array_contains(col("tokens"), col("gold_term")) &&
+        col("doc_id") % 5 === 0)
+      .select(col("query_id"), col("doc_id"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthesized source-code corpus with EXACTLY the
+  * input_hint shape: (repo, path, commit, lang, content).
+  *
+  * Every field is a pure function of (seed, i) — no wall-clock, no
+  * `scala.util.Random` state — so Spark task re-execution, partition count
+  * changes, and independent re-generation all yield identical rows
+  * (FIXTURES.md §3). Content deliberately includes:
+  *   - stopword-like high-frequency tokens (`the`, `a`, `is`, `of`) to
+  *     exercise term-skew salting,
+  *   - sub-min-length tokens (`a`, `io`, `fn`) for the length filter,
+  *   - mixed-case tokens (`Spark`, `HashMap`) for lowercase folding.
+  */
+object SynthCorpus {
+
+  val DefaultSeed = 42L
+
+  private val exts = Array(".scala", ".py", ".rs", ".go", ".java")
+  private val langs = Array("scala", "python", "rust", "go", "java")
+
+  /** Code-flavored vocabulary (~200 words), FIXTURES.md §3. */
+  val vocabulary: Array[String] = {
+    val base = Array(
+      "the", "a", "is", "of", "io", "fn", "in", "to",
+      "def", "class", "object", "trait", "val", "var", "lazy", "import",
+      "package", "return", "match", "case", "index", "merge", "shuffle",
+      "partition", "sort", "join", "hash", "scan", "filter", "map",
+      "reduce", "fold", "flatmap", "groupby", "agg", "count", "sum",
+      "avg", "min", "max", "broadcast", "salting", "skew", "spill",
+      "codegen", "catalyst", "tungsten", "parquet", "iceberg", "schema",
+      "column", "row", "dataset", "dataframe", "encoder", "serializer",
+      "buffer", "stream", "batch", "window", "watermark", "state",
+      "checkpoint", "lineage", "resume", "token", "term", "posting",
+      "docid", "frequency", "position", "inverted", "spimi", "block",
+      "compress", "varbyte", "delta", "gap", "wand", "pivot", "cursor",
+      "threshold", "topk", "score", "rank", "idf", "bm25", "norm",
+      "length", "Spark", "HashMap", "ArrayBuffer", "Iterator", "Option",
+      "Some", "None", "Either", "Left", "Right", "Future", "Promise",
+      "async", "await", "thread", "pool", "executor", "driver", "task",
+      "stage", "job", "dag", "plan", "logical", "physical", "optimizer",
+      "rule", "strategy", "expression", "literal", "attribute", "alias",
+      "project", "predicate", "pushdown", "prune", "vectorized", "reader",
+      "writer", "sink", "source", "format", "codec", "snappy", "zstd",
+      "dictionary", "page", "footer", "metadata", "statistics", "bloom",
+      "sketch", "minhash", "simhash", "jaccard", "cosine", "embedding",
+      "vector", "similarity", "neighbor", "bucket", "band", "shingle",
+      "ngram", "dedup", "exact", "near", "duplicate", "fingerprint",
+      "rolling", "quality", "language", "english", "stopword", "stemmer",
+      "porter", "snowball", "lowercase", "unicode", "ascii", "regex",
+      "pattern", "matcher", "compile", "cache", "memo", "concurrent",
+      "atomic", "volatile", "synchronized", "immutable", "mutable",
+      "recursion", "tailrec", "generic", "covariant", "implicit",
+      "typeclass", "monad", "functor", "applicative", "semigroup",
+      "monoid", "foldable", "traverse", "sequence", "validate", "parse",
+      "tokenize", "normalize", "analyze", "search", "retrieve", "query",
+      "question", "answer", "relevant", "gold", "standard", "evaluate",
+      "ndcg", "precision", "recall", "corpus", "document", "collection")
+    base
+  }
+
+  /** splitmix64 — public-domain mixing function; a pure stateless PRNG. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d9d038f5e7f5b9L
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic content of doc i: 20..300 words from the vocabulary. */
+  def content(seed: Long, i: Long): String = {
+    val h0 = mix(seed ^ mix(i))
+    val n = 20 + (math.abs(mix(h0 ^ 0x1234)) % 281).toInt
+    val sb = new StringBuilder
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      val h = mix(h0 + j)
+      // Zipf-flavored skew: ~18% of draws come from the first 8
+      // (stopword-like) vocabulary entries.
+      val idx =
+        if (math.abs(h) % 100 < 18) (math.abs(h >>> 8) % 8).toInt
+        else (math.abs(h >>> 8) % vocabulary.length).toInt
+      sb.append(vocabulary(idx))
+      j += 1
+    }
+    sb.toString
+  }
+
+  def commitOf(seed: Long, i: Long): String =
+    f"${mix(seed ^ (i * 31 + 7))}%016x".take(12)
+
+  /** One deterministic row. */
+  def row(seed: Long, i: Long): (String, String, String, String, String) = {
+    val repo = s"repo${i % 20}"
+    val ext = exts((i % 5).toInt)
+    val path = s"src/f$i$ext"
+    (repo, path, commitOf(seed, i), langs((i % 5).toInt), content(seed, i))
+  }
+
+  /** Distributed generation: pure map over spark.range — embarrassingly
+    * parallel, no shuffle, reproducible at any partition count. */
+  def df(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
+      partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0, n, 1, partitions)
+               else spark.range(n)
+    base.map { i => SynthCorpus.row(seed, i) }
+      .toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  /** The engine's stable doc id: xxhash64 of the natural key (SURVEY §7.2).
+    * Reference doc_ids are opaque strings (PMID:...), so any stable id
+    * satisfies parity as long as both sides use the same. */
+  def withDocId(docs: DataFrame): DataFrame =
+    docs.withColumn("doc_id", xxhash64(col("repo"), col("path"), col("commit")))
+}

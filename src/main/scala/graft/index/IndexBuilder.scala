@@ -1,0 +1,148 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Tokenizer, TokenizerConfig}
+
+/** Inverted-index construction as declarative Spark plans.
+  *
+  * The reference builds `term -> {doc_id -> [positions]}` nested dicts per
+  * 10k-doc batch in worker processes and hierarchically merges msgpack files
+  * (reference: src/data_processing.py:15-40,113-164). Here the same result is
+  * a normalized postings TABLE produced by `posexplode` + hash aggregation —
+  * Spark's partial (map-side) aggregation plays the role of the per-batch
+  * in-memory dicts, and the shuffle's external merge-sort plays the role of
+  * the hierarchical 5-way file merge, with spill for free.
+  *
+  * Two tokenizer execution paths, equality-tested against each other:
+  *  - pure-Catalyst column (`tokensColumn`) for stem-less configs: stays in
+  *    whole-stage codegen, no UDF serialization;
+  *  - a UDF over [[graft.analysis.Tokenizer]] when stemming is on (stemming
+  *    is not expressible in Catalyst built-ins).
+  */
+object IndexBuilder {
+
+  val K1Default = 1.2 // reference src/bm25_search.py:52
+  val BDefault = 0.75 // reference src/bm25_search.py:53
+
+  /** Catalyst-only token array (lowercase -> \w+ -> min-length -> stopword).
+    * Valid only for `stem = false` configs. `(?U)` makes java.util.regex
+    * match Python's Unicode `\w` (reference src/tokenizer.py:38-39). */
+  def tokensColumn(text: Column, cfg: TokenizerConfig): Column = {
+    require(!cfg.stem, "tokensColumn is the no-stem fast path; use tokensUdf")
+    val base = if (cfg.lowercase) lower(text) else text
+    val raw = regexp_extract_all(base, lit("(?U)\\w+"), lit(0))
+    val minLen = cfg.minTokenLength
+    val withLen = filter(raw, t => length(t) >= minLen)
+    if (cfg.effectiveStopwords.isEmpty) withLen
+    else {
+      val stops = typedlit(cfg.effectiveStopwords.toSeq.sorted)
+      filter(withLen, t => !array_contains(stops, t))
+    }
+  }
+
+  /** UDF token array for configs Catalyst can't express (stemming). */
+  def tokensUdf(cfg: TokenizerConfig): Column => Column = {
+    val tok = Tokenizer(cfg)
+    val f = udf((s: String) => tok.tokenize(s))
+    c => f(c)
+  }
+
+  /** Token array column for any config, choosing the fastest valid path. */
+  def tokens(text: Column, cfg: TokenizerConfig): Column =
+    if (cfg.stem) tokensUdf(cfg)(text) else tokensColumn(text, cfg)
+
+  /** Docs + `tokens` array + `doc_len` (computed narrow, pre-explode —
+    * the reference counts the post-filter token list,
+    * src/data_processing.py:29). */
+  def withTokens(docs: DataFrame, cfg: TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol), cfg).as("tokens"))
+      .withColumn("doc_len", size(col("tokens")))
+
+  /** Exploded (doc_id, doc_len, pos, term) rows. `pos` is the index in the
+    * post-filter token list (reference enumerate(tokens),
+    * src/data_processing.py:30). doc_len rides along so downstream posting
+    * tables never need a doc-side shuffle join. */
+  def tokenRows(docs: DataFrame, cfg: TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withTokens(docs, cfg, idCol, textCol)
+      .select(col("doc_id"), col("doc_len"),
+        posexplode(col("tokens")).as(Seq("pos", "term")))
+
+  /** Positional postings: (term, doc_id, tf, positions, doc_len).
+    * One shuffle, hash-partitioned on (term, doc_id) — skew-free even for
+    * stopword terms because the doc id participates in the key. */
+  def postings(tokenRows: DataFrame): DataFrame =
+    tokenRows.groupBy(col("term"), col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"),
+        first(col("doc_len")).as("doc_len"))
+
+  /** Per-document stats (doc_id, doc_len) — narrow, no shuffle. */
+  def docStats(docs: DataFrame, cfg: TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withTokens(docs, cfg, idCol, textCol).select(col("doc_id"), col("doc_len"))
+
+  /** idf(term) = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (reference src/bm25_search.py:26-42). Computed ONCE into a table —
+    * the reference recomputes it over the full vocabulary on every query
+    * (src/bm25_search.py:162), an anti-pattern we fix (SURVEY §4 O11). */
+  def termStats(postings: DataFrame, numDocs: Long): DataFrame =
+    postings.groupBy(col("term"))
+      .agg(count(col("doc_id")).as("df"))
+      .withColumn("idf",
+        log((lit(numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+
+  /** (N, avgdl) — reference src/bm25_search.py:157-159. */
+  def corpusStats(docStats: DataFrame): (Long, Double) = {
+    val row = docStats.agg(
+      count(lit(1)).as("n"), avg(col("doc_len")).as("avgdl")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
+  /** Full index build via the declarative path. */
+  def build(docs: DataFrame, cfg: TokenizerConfig = TokenizerConfig.default,
+      idCol: String = "doc_id", textCol: String = "text"): InvertedIndex = {
+    val toks = tokenRows(docs, cfg, idCol, textCol)
+    val post = postings(toks)
+    val ds = docStats(docs, cfg, idCol, textCol)
+    val (n, avgdl) = corpusStats(ds)
+    InvertedIndex(post, ds, termStats(post, n), n, avgdl)
+  }
+}
+
+/** The built index: all distributed tables plus the two scalars every
+  * BM25 evaluation needs (reference loads the equivalent dicts in
+  * src/bm25_search.py:10-23,157-159). */
+final case class InvertedIndex(
+    postings: DataFrame,  // term, doc_id, tf, positions, doc_len
+    docStats: DataFrame,  // doc_id, doc_len
+    termStats: DataFrame, // term, df, idf
+    numDocs: Long,
+    avgdl: Double) {
+
+  def cache(): InvertedIndex = {
+    postings.cache(); docStats.cache(); termStats.cache(); this
+  }
+
+  def write(dir: String): Unit = {
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    docStats.write.mode("overwrite").parquet(s"$dir/doc_stats")
+    termStats.write.mode("overwrite").parquet(s"$dir/term_stats")
+  }
+}
+
+object InvertedIndex {
+  def read(spark: SparkSession, dir: String): InvertedIndex = {
+    val post = spark.read.parquet(s"$dir/postings")
+    val ds = spark.read.parquet(s"$dir/doc_stats")
+    val ts = spark.read.parquet(s"$dir/term_stats")
+    val (n, avgdl) = IndexBuilder.corpusStats(ds)
+    InvertedIndex(post, ds, ts, n, avgdl)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.index.{IndexBuilder, InvertedIndex}
+
+/** Batch BM25 ranked retrieval, join-relational form.
+  *
+  * Reference semantics (src/bm25_search.py:45-95,116-176):
+  *   score(q, d) = Σ_{t in query token LIST} idf(t) · tf(t,d)·(k1+1) /
+  *                 (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  * The sum iterates the query token *list*, so a term occurring twice in a
+  * query contributes twice (src/bm25_search.py:80) — modeled here as an
+  * explicit `qtf` multiplicity column (SURVEY §2 G7).
+  *
+  * Candidate generation (reference: union of posting-dict key sets,
+  * src/bm25_search.py:98-113) and posting lookup collapse into ONE inner
+  * equi-join on `term`; the query side is tiny and is broadcast, so the
+  * index is never shuffled by the join. The only shuffle in the scoring
+  * plan is the final (query_id, doc_id) aggregation, with map-side partial
+  * aggregation. Plan shape: BroadcastHashJoin → HashAggregate(partial) →
+  * Exchange → HashAggregate(final) → Window/TakeOrderedAndProject.
+  */
+object Bm25 {
+
+  final case class Params(k1: Double = IndexBuilder.K1Default,
+      b: Double = IndexBuilder.BDefault)
+
+  /** Tie-break resolution for ranking: ranks are assigned over the score
+    * rounded to 6 decimals so that FP summation-order noise (≪ 1e-9) can
+    * never flip an order, then doc_id ascending — the canonical total order
+    * (the reference's tie order is unspecified: candidates come from a
+    * Python set, src/bm25_search.py:109; SURVEY §2 E1). */
+  val ScoreRoundForRank = 6
+
+  /** (query_id, term, qtf) — query tokens with multiplicity, tokenized with
+    * the SAME config as indexing (reference src/bm25_search.py:142-149). */
+  def queryTerms(queries: DataFrame, cfg: TokenizerConfig,
+      idCol: String = "query_id", textCol: String = "question"): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+        explode(IndexBuilder.tokens(col(textCol), cfg)).as("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).cast("int").as("qtf"))
+
+  /** Scored candidates: (query_id, doc_id, score), score > 0 kept
+    * (reference src/bm25_search.py:171-172). */
+  def score(index: InvertedIndex, queryTerms: DataFrame,
+      p: Params = Params()): DataFrame = {
+    // Tiny side: query terms enriched with idf. Inner join doubles as the
+    // "term not in idf_scores: continue" existence filter (J3).
+    val qt = queryTerms.join(index.termStats, Seq("term"))
+      .select(col("term"), col("query_id"), col("qtf"), col("idf"))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    index.postings
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("term_score",
+        col("qtf") * col("idf") *
+          (col("tf") * lit(p.k1 + 1.0)) / (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .filter(col("score") > 0.0)
+  }
+
+  /** Per-query top-k under the canonical order; adds `rank`.
+    * One Window shuffle ranks ALL queries at once — replacing the
+    * reference's per-query Python sort loop (src/bm25_search.py:178-224). */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), ScoreRoundForRank).desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Full pipeline: queries table -> ranked results. */
+  def search(index: InvertedIndex, queries: DataFrame, cfg: TokenizerConfig,
+      k: Int = 100, p: Params = Params()): DataFrame =
+    topK(score(index, queryTerms(queries, cfg), p), k)
+}

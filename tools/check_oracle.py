@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Registers every parquet table in sfDir under its basename, runs each oracle
+SQL from oracle_sql.json, and compares (schema-insensitively: columns sorted
+by name, rows sorted) against the Spark result parquet dumped by graft.Verify.
+"""
+import json, sys, glob, os
+import duckdb
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    # canonical row order: sort by all columns (stringified for stability)
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_glob:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(con.sql(
+                f"SELECT * FROM read_parquet({spark_glob!r})").df())
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_fail += 1
+        else:
+            eq = got.equals(want)
+            if not eq:
+                # tolerate dtype mismatch only if values match as strings
+                eq = got.astype(str).equals(want.astype(str))
+            if eq:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+            else:
+                diff = (got != want)
+                bad = diff.any(axis=1)
+                print(f"FAIL {name}: value mismatch, first diffs:")
+                print("  spark:", got[bad].head(3).to_dict("records"))
+                print("  duckdb:", want[bad].head(3).to_dict("records"))
+                n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
