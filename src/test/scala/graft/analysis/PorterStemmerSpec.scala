@@ -1,0 +1,68 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vectors from the published Porter2 algorithm description and the public
+  * Snowball sample vocabulary (snowballstem.org). */
+class PorterStemmerSpec extends AnyFunSuite {
+
+  private val vectors: Seq[(String, String)] = Seq(
+    // exceptional forms
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "atlas" -> "atlas", "cosmos" -> "cosmos",
+    "bias" -> "bias", "andes" -> "andes",
+    // post-1a exceptions
+    "inning" -> "inning", "outing" -> "outing", "canning" -> "canning",
+    "herring" -> "herring", "earring" -> "earring", "proceed" -> "proceed",
+    "exceed" -> "exceed", "succeed" -> "succeed",
+    // step 1a
+    "caresses" -> "caress", "ties" -> "tie", "cries" -> "cri",
+    "gaps" -> "gap", "gas" -> "gas", "kiwis" -> "kiwi",
+    // step 1b incl. short-word e-restore and double-undoubling
+    "hopping" -> "hop", "hoping" -> "hope", "running" -> "run",
+    "agreed" -> "agre", "falling" -> "fall", "dripping" -> "drip",
+    "failing" -> "fail", "filing" -> "file",
+    // step 1c
+    "cry" -> "cri", "by" -> "by", "say" -> "say", "fly" -> "fli",
+    // steps 2-5
+    "happy" -> "happi", "happiness" -> "happi",
+    "relational" -> "relat", "conditional" -> "condit",
+    "rational" -> "ration",
+    "national" -> "nation",
+    "generously" -> "generous", "generate" -> "generat",
+    "generation" -> "generat",
+    "consistency" -> "consist", "consistent" -> "consist",
+    "dependent" -> "depend",
+    "hopefulness" -> "hope", "hopeful" -> "hope",
+    "adoption" -> "adopt", "adjustment" -> "adjust",
+    "communism" -> "communism",
+    "computation" -> "comput", "computer" -> "comput",
+    "indexing" -> "index", "indexes" -> "index",
+    "merges" -> "merg", "merging" -> "merg", "merged" -> "merg",
+    "sorting" -> "sort", "sorted" -> "sort",
+    "tokenizer" -> "token", "tokenization" -> "token",
+    // very short words untouched
+    "a" -> "a", "is" -> "is", "be" -> "be", "as" -> "as", "on" -> "on",
+    // case folding (NLTK SnowballStemmer lowercases its input)
+    "Merging" -> "merg", "RUNNING" -> "run")
+
+  test("Porter2 vectors") {
+    val bad = vectors.collect {
+      case (in, want) if PorterStemmer.stem(in) != want =>
+        s"$in -> ${PorterStemmer.stem(in)} (want $want)"
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
+  }
+
+  test("stemming is idempotent on common English") {
+    val words = Seq("running", "happiness", "relational", "generously",
+      "computation", "adjustment", "merging", "nationally", "dependent")
+    for (w <- words) {
+      val once = PorterStemmer.stem(w)
+      assert(PorterStemmer.stem(once) == PorterStemmer.stem(once),
+        s"non-deterministic for $w")
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class TokenizerSpec extends AnyFunSuite {
+
+  /** Raw-ScalaCheck bridge (scalatestplus is not in the offline cache). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pipeline order: lowercase -> \\w+ -> min-length -> stopword -> stem") {
+    val t = Tokenizer(TokenizerConfig(minTokenLength = 3, lowercase = true,
+      stem = false, stopwords = Set("THE")))
+    // 'THE' lowercased into the stopword set; 'ab' dropped by min length;
+    // punctuation splits words; case folded
+    assert(t.tokenize("The ab Quick-Brown the fox_jumps").toSeq ==
+      Seq("quick", "brown", "fox_jumps"))
+  }
+
+  test("duplicates and positions preserved (posting-list semantics)") {
+    val t = Tokenizer(TokenizerConfig())
+    assert(t.tokenize("merge sort merge").toSeq == Seq("merge", "sort", "merge"))
+  }
+
+  test("min length boundary is >= (reference len < min drops)") {
+    val t = Tokenizer(TokenizerConfig(minTokenLength = 3))
+    assert(t.tokenize("a ab abc abcd").toSeq == Seq("abc", "abcd"))
+  }
+
+  test("no lowercase keeps case and stopwords match case-sensitively") {
+    val t = Tokenizer(TokenizerConfig(lowercase = false, stopwords = Set("The")))
+    assert(t.tokenize("The the THE").toSeq == Seq("the", "THE"))
+  }
+
+  test("stemming applied after stopword filter") {
+    // 'running' stems to 'run'; a stopword list containing 'run' must NOT
+    // drop 'running' (filter happens pre-stem, reference src/tokenizer.py:45-53)
+    val t = Tokenizer(TokenizerConfig(stem = true, stopwords = Set("run")))
+    assert(t.tokenize("running run").toSeq == Seq("run"))
+  }
+
+  test("unicode \\w matches Python semantics (non-ASCII letters kept)") {
+    val t = Tokenizer(TokenizerConfig())
+    assert(t.tokenize("café naïve Straße").toSeq == Seq("café", "naïve", "straße"))
+  }
+
+  test("null and empty are empty") {
+    val t = Tokenizer(TokenizerConfig())
+    assert(t.tokenize("").isEmpty && t.tokenize(null).isEmpty)
+  }
+
+  test("property: tokenize is idempotent on its own output (stem off)") {
+    val t = Tokenizer(TokenizerConfig())
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(text) { s =>
+      val once = t.tokenize(s).toSeq
+      once == t.tokenize(once.mkString(" ")).toSeq
+    })
+  }
+
+  test("property: every token matches \\w+ and length >= min") {
+    val t = Tokenizer(TokenizerConfig())
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      t.tokenize(s).forall(tok => tok.length >= 3 && tok.matches("(?U)\\w+"))
+    })
+  }
+}

@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.SynthCorpus
+
+/** Structural invariants of the index tables (SURVEY §5.3 item 4), checked
+  * over both the driver corpus and the synthesized input_hint corpus. */
+class IndexInvariantsSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val toks = IndexBuilder.tokenRows(docs, cfg)
+  private lazy val post = IndexBuilder.postings(toks).cache()
+
+  test("tf == |positions| and positions strictly increasing within doc_len") {
+    val bad = post.filter(
+      col("tf") =!= size(col("positions")) ||
+      exists(zip_with(col("positions"), slice(col("positions"), 2, 1000000),
+        (a, b) => b <= a), x => x) ||
+      element_at(col("positions"), -1) >= col("doc_len") ||
+      element_at(col("positions"), 1) < 0).count()
+    assert(bad == 0)
+  }
+
+  test("sum of tf over a doc's terms equals doc_len") {
+    val bad = post.groupBy("doc_id")
+      .agg(sum("tf").as("s"), first("doc_len").as("dl"))
+      .filter(col("s") =!= col("dl")).count()
+    assert(bad == 0)
+  }
+
+  test("idf positive and strictly decreasing in df") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val ts = idx.termStats.select("df", "idf").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ts.forall(_._2 > 0.0), "idf must be > 0 (log(x+1) form)")
+    val byDf = ts.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byDf.values.forall(_.size == 1), "same df must give same idf")
+    val sorted = byDf.toSeq.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, i1), (_, i2)) =>
+      i1.head > i2.head }, "idf must decrease as df increases")
+  }
+
+  test("index build is partition-count invariant (1 vs 8 partitions)") {
+    val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 300, partitions = 1))
+    val synth8 = SynthCorpus.withDocId(SynthCorpus.df(spark, 300, partitions = 8))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      IndexBuilder.postings(IndexBuilder.tokenRows(synthSel(df), cfg))
+        .select("term", "doc_id", "tf", "positions")
+        .collect().map(_.toString).sorted.toSeq
+    def synthSel(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("content").as("text"))
+    assert(canon(synth) == canon(synth8))
+  }
+
+  test("synth corpus is deterministic and content sha256 is stable") {
+    val a = SynthCorpus.df(spark, 200, partitions = 2)
+      .select(sha2(col("content"), 256).as("h"), col("path"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = SynthCorpus.df(spark, 200, partitions = 5)
+      .select(sha2(col("content"), 256).as("h"), col("path"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.{Tokenizer, TokenizerConfig}
+import graft.fixtures.QuerySet
+import graft.index.IndexBuilder
+
+/** Rank-identity conformance vs a naive oracle that follows the reference's
+  * `search()` exactly (reference src/bm25_search.py:116-176): plain Scala
+  * maps and loops, no Spark. Per query we require the same candidate set,
+  * scores equal within 1e-9, and the same top-k doc-multiset per distinct
+  * score level (tie order is unspecified in the reference — Python set
+  * iteration order, src/bm25_search.py:109; SURVEY §2 E1/§5.3).
+  */
+class Bm25ConformanceSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+  private val k1 = 1.2
+  private val b = 0.75
+  private val topN = 100
+
+  /** Mirrors reference index_documents + search, dict-for-dict. */
+  private def naiveSearch(docs: Seq[(Long, String)],
+      queries: Seq[(String, String)]): Map[String, Seq[(Long, Double)]] = {
+    val tok = Tokenizer(cfg)
+    // index: term -> doc -> positions (src/data_processing.py:25-31)
+    val index = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Long, List[Int]]]()
+    val docLengths = scala.collection.mutable.Map[Long, Int]()
+    for ((id, text) <- docs) {
+      val toks = tok.tokenize(text)
+      docLengths(id) = toks.length
+      for ((t, pos) <- toks.zipWithIndex) {
+        val m = index.getOrElseUpdate(t,
+          scala.collection.mutable.Map[Long, List[Int]]())
+        m(id) = m.getOrElse(id, Nil) :+ pos
+      }
+    }
+    val n = docLengths.size
+    val avgdl = docLengths.values.sum.toDouble / n
+    // idf over full vocabulary (src/bm25_search.py:26-42)
+    val idf = index.map { case (t, post) =>
+      t -> math.log((n - post.size + 0.5) / (post.size + 0.5) + 1.0)
+    }.toMap
+    queries.map { case (qid, question) =>
+      val qTokens = tok.tokenize(question) // LIST — duplicates kept (:80)
+      val candidates = qTokens.toSet.flatMap((t: String) =>
+        index.get(t).map(_.keySet.toSet).getOrElse(Set.empty[Long]))
+      val scored = candidates.toSeq.map { d =>
+        val dl = docLengths(d)
+        var s = 0.0
+        for (t <- qTokens; post <- index.get(t); tfl <- post.get(d)) {
+          val tf = tfl.length
+          val norm = 1.0 - b + b * dl / avgdl
+          s += idf(t) * tf * (k1 + 1.0) / (tf + k1 * norm)
+        }
+        (d, s)
+      }.filter(_._2 > 0.0)
+      qid -> scored.sortBy { case (d, s) => (-s, d) }.take(topN)
+    }.toMap
+  }
+
+  test("Spark BM25 is rank-identical to the reference-semantics oracle") {
+    val docsDf = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val oracle = naiveSearch(docs, QuerySet.queries.map(q => (q._1, q._2)))
+
+    val index = IndexBuilder.build(docsDf, cfg)
+    val got = Bm25.search(index, QuerySet.df(spark), cfg, topN)
+      .select("query_id", "doc_id", "score", "rank").collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+
+    for ((qid, _, _) <- QuerySet.queries) {
+      val want = oracle.getOrElse(qid, Nil)
+      val have = got.getOrElse(qid, Nil)
+      assert(have.size == want.size, s"$qid: size ${have.size} vs ${want.size}")
+      // same doc set
+      assert(have.map(_._1).toSet == want.map(_._1).toSet, s"$qid: doc sets differ")
+      // scores equal within 1e-9 per doc
+      val wantScores = want.toMap
+      for ((d, s) <- have)
+        assert(math.abs(s - wantScores(d)) < 1e-9, s"$qid doc $d: $s vs ${wantScores(d)}")
+      // per-score-level multiset: group by rounded score, compare doc sets
+      def levels(xs: Seq[(Long, Double)]) =
+        xs.groupBy { case (_, s) => math.rint(s * 1e6) }
+          .map { case (k, v) => k -> v.map(_._1).toSet }
+      assert(levels(have) == levels(want), s"$qid: score-level grouping differs")
+    }
+  }
+
+  test("empty and unknown queries return no results") {
+    val docsDf = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val index = IndexBuilder.build(docsDf, cfg)
+    val res = Bm25.search(index, QuerySet.df(spark), cfg, topN)
+      .select("query_id").collect().map(_.getString(0)).toSet
+    assert(!res.contains("q04"), "unknown term must yield nothing")
+    assert(!res.contains("q05"), "all-sub-min-length query must yield nothing")
+  }
+}
