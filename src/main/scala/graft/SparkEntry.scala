@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.analysis.TokenizerConfig
 import graft.eval.Ndcg
 import graft.fixtures.QuerySet
-import graft.index.IndexBuilder
-import graft.query.Bm25
+import graft.index.{IndexBuilder, ServingIndex, Spimi}
+import graft.query.{Bm25, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-runnable `oracleSql` equivalent where
@@ -110,7 +110,42 @@ object SparkEntry {
     "q_ndcg" -> ((s, dir) =>
       Ndcg.perQuery(plans.ranked(s, dir, NdcgK), plans.gold(s, dir), NdcgK)
         .select(col("query_id"),
-          round(col("ndcg"), 4).cast("double").as("ndcg")))
+          round(col("ndcg"), 4).cast("double").as("ndcg"))),
+
+    // ---- A4/G1/G3: SPIMI runs + merge path (same result as q_postings —
+    //      the shared oracle IS the equivalence proof) ----
+    "q_spimi_postings" -> ((s, dir) => {
+      val merged = Spimi.merge(
+        Spimi.runs(Spimi.tokenRows(docs(s, dir), cfg), 8), 8)
+      merged.toDF().select(col("term"), col("doc_id"),
+        col("tf").cast("long").as("tf"),
+        element_at(col("positions"), 1).cast("long").as("first_pos"),
+        element_at(col("positions"), -1).cast("long").as("last_pos"))
+    }),
+
+    // ---- §7.4 codec: delta+varbyte blocks decode back to the postings ----
+    "q_codec_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val idx = plans.index(s, dir)
+      ServingIndex.fromPostings(idx.postings, numShards = 8)
+        .flatMap { b =>
+          val ds = graft.index.Codec.decodeSortedLongs(b.docs, b.n)
+          val ts = graft.index.Codec.decodeInts(b.tfs, b.n)
+          ds.indices.map(i => (b.term, ds(i), ts(i).toLong))
+        }
+        .toDF("term", "doc_id", "tf")
+    }),
+
+    // ---- §7.5 WAND serving path (oracle shared with q_bm25_topk) ----
+    "q_wand_topk" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val blocks = ServingIndex.fromPostings(idx.postings, numShards = 8)
+      Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+          QuerySet.df(s), cfg, TopK)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).cast("double").as("score"),
+          col("rank").cast("long").as("rank"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -142,6 +177,16 @@ object SparkEntry {
           " JOIN postings p USING (term)"),
 
       "q_bm25_topk" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
+        "SELECT query_id, doc_id, CAST(round(score, 4) AS DOUBLE) AS score," +
+          " rank FROM ranked"),
+
+      "q_spimi_postings" -> withCtes(Seq(tokArrays, toks, postings),
+        "SELECT term, doc_id, tf, first_pos, last_pos FROM postings"),
+
+      "q_codec_roundtrip" -> withCtes(Seq(tokArrays, toks, postings),
+        "SELECT term, doc_id, tf FROM postings"),
+
+      "q_wand_topk" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
         "SELECT query_id, doc_id, CAST(round(score, 4) AS DOUBLE) AS score," +
           " rank FROM ranked"),
 

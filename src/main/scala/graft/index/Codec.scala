@@ -1,0 +1,116 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Posting-list compression: delta-gap + variable-byte, from scratch.
+  *
+  * Replaces the reference's msgpack blobs (reference
+  * src/data_processing.py:33-37, chosen for "efficient binary
+  * serialization") with the classic IR codec: sorted doc ids become
+  * first-value + positive gaps, each integer varbyte-encoded (7 data bits
+  * per byte, high bit = continuation). The first value and any potentially
+  * negative input go through zigzag so xxhash64-negative doc ids survive.
+  *
+  * All methods are pure and allocation-tight; decode is branch-light for
+  * WAND's hot path.
+  */
+object Codec {
+
+  @inline private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  @inline private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private def writeUnsigned(out: ArrayBuffer[Byte], v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out += ((v & 0x7f) | 0x80).toByte
+      v >>>= 7
+    }
+    out += (v & 0x7f).toByte
+  }
+
+  /** Delta + varbyte encode a STRICTLY INCREASING long array
+    * (first value zigzagged; gaps are ≥ 1 so stored as gap-1). */
+  def encodeSortedLongs(xs: Array[Long]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](xs.length * 2 + 4)
+    if (xs.nonEmpty) {
+      writeUnsigned(out, zigzag(xs(0)))
+      var i = 1
+      while (i < xs.length) {
+        val gap = xs(i) - xs(i - 1)
+        require(gap > 0, s"input not strictly increasing at $i")
+        writeUnsigned(out, gap - 1)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  def decodeSortedLongs(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(p) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        p += 1
+      } while ((b & 0x80) != 0)
+      out(i) = if (i == 0) unzigzag(v) else out(i - 1) + v + 1
+      i += 1
+    }
+    out
+  }
+
+  /** Varbyte encode non-negative ints (tf, doc_len, positions-as-gaps). */
+  def encodeInts(xs: Array[Int]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](xs.length + 4)
+    var i = 0
+    while (i < xs.length) {
+      require(xs(i) >= 0, "negative value")
+      writeUnsigned(out, xs(i).toLong)
+      i += 1
+    }
+    out.toArray
+  }
+
+  def decodeInts(bytes: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(p) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        p += 1
+      } while ((b & 0x80) != 0)
+      out(i) = v.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Positions are strictly increasing ints — delta+varbyte them too. */
+  def encodePositions(xs: Array[Int]): Array[Byte] = {
+    if (xs.isEmpty) return Array.empty
+    val gaps = new Array[Int](xs.length)
+    gaps(0) = xs(0)
+    var i = 1
+    while (i < xs.length) { gaps(i) = xs(i) - xs(i - 1) - 1; i += 1 }
+    encodeInts(gaps)
+  }
+
+  def decodePositions(bytes: Array[Byte], n: Int): Array[Int] = {
+    val gaps = decodeInts(bytes, n)
+    var i = 1
+    while (i < n) { gaps(i) = gaps(i - 1) + gaps(i) + 1; i += 1 }
+    gaps
+  }
+}

@@ -1,0 +1,81 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One compressed posting block: ≤ blockSize consecutive (by doc_id)
+  * postings of one term inside one shard. doc ids are delta+varbyte
+  * (strictly increasing), tf and doc_len plain varbyte. (max_tf, min_dl)
+  * give the block's BM25 upper bound at query time for any (k1, b, avgdl)
+  * — the block-max metadata of the north_star. */
+final case class BlockRow(shard: Int, term: String, first_doc: Long,
+    last_doc: Long, n: Int, max_tf: Int, min_dl: Int,
+    docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
+
+/** Document-sharded serving index — the layout that scales.
+  *
+  * The index is partitioned BY DOCUMENT RANGE (hash of doc_id), not by
+  * term: every shard holds a compressed mini-index of ALL terms over its
+  * slice of the corpus. This is the standard web-search layout because it
+  * has no term skew by construction — "the" simply appears in every shard
+  * with ~1/numShards of its postings — and query fan-out is embarrassingly
+  * parallel: each shard answers top-k over its docs independently and only
+  * k candidates per shard travel to the final merge. Adding executors adds
+  * shards; nothing global grows with corpus size except the number of
+  * shards.
+  *
+  * Queries hit shards through a Parquet scan with `term IN (...)`
+  * predicate pushdown, so a shard only ever decodes the query's terms.
+  */
+object ServingIndex {
+
+  val DefaultBlockSize = 128
+
+  /** Pack merged postings (term, doc_id, tf, doc_len) into per-shard
+    * compressed blocks. One shuffle (hash on doc_id), then partition-local
+    * sort + streaming packing. */
+  def fromPostings(postings: DataFrame, numShards: Int,
+      blockSize: Int = DefaultBlockSize): Dataset[BlockRow] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_len"))
+      .repartition(numShards, col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .mapPartitions { it =>
+        val shard = TaskContext.getPartitionId()
+        new Iterator[BlockRow] {
+          private val in = it.buffered
+          override def hasNext: Boolean = in.hasNext
+          override def next(): BlockRow = {
+            val term = in.head.getString(0)
+            val docs = new Array[Long](blockSize)
+            val tfs = new Array[Int](blockSize)
+            val dls = new Array[Int](blockSize)
+            var n = 0
+            while (n < blockSize && in.hasNext &&
+                in.head.getString(0) == term) {
+              val r = in.next()
+              docs(n) = r.getLong(1); tfs(n) = r.getInt(2)
+              dls(n) = r.getInt(3); n += 1
+            }
+            val d = java.util.Arrays.copyOf(docs, n)
+            val t = java.util.Arrays.copyOf(tfs, n)
+            val l = java.util.Arrays.copyOf(dls, n)
+            BlockRow(shard, term, d(0), d(n - 1), n, t.max, l.min,
+              Codec.encodeSortedLongs(d), Codec.encodeInts(t),
+              Codec.encodeInts(l))
+          }
+        }
+      }
+  }
+
+  def write(blocks: Dataset[BlockRow], dir: String): Unit =
+    blocks.toDF().write.mode("overwrite").parquet(dir)
+
+  def read(spark: SparkSession, dir: String): Dataset[BlockRow] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[BlockRow]
+  }
+}

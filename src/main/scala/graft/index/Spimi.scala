@@ -1,0 +1,249 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed rows flowing through the SPIMI pipeline. */
+final case class TokenRow(term: String, doc_id: Long, pos: Int, doc_len: Int)
+final case class RunRow(term: String, doc_id: Long, tf: Int,
+    positions: Array[Int], doc_len: Int)
+final case class LineageRow(stage: String, partition_id: Int, n_rows: Long,
+    n_docs: Long, checksum: Long, status: String)
+
+/** SPIMI-proper index construction: salted term-hash partitioning,
+  * per-partition in-memory posting-run construction with bounded-memory
+  * segment flushes, run persistence with per-partition lineage rows, and a
+  * global merge-sort pass — the distributed re-expression of the
+  * reference's multiprocessing SPIMI (reference src/data_processing.py:
+  * 56-94 fan-out, :96-105 partial-index files, :113-164 hierarchical
+  * merge).
+  *
+  * Scale design (the part that must survive 100 TB / 1000 executors):
+  *  - The run shuffle is keyed on hash(term) PLUS a doc-salt: stopword-like
+  *    terms ("the" at ~3% of all tokens) would otherwise pin one reducer;
+  *    the salt spreads each heavy term over `saltBuckets` partitions while
+  *    keeping every (term, doc) pair — and therefore every position list —
+  *    intact in exactly one partition (SURVEY §4 O5).
+  *  - Each partition builds posting runs in a bounded hash map and flushes
+  *    a sorted segment every `flushTokens` tokens; segments stream straight
+  *    into the shuffle writer, so memory stays bounded no matter how large
+  *    a partition gets (the reference's 10k-doc batches, generalized).
+  *  - The merge is ONE range-repartition + partition-local sort + adjacent
+  *    merge: Spark's external merge-sort (with spill) plays the role of the
+  *    reference's hierarchical 5-way file merge (SURVEY §2 G3). Range
+  *    partitioning on (term, doc_id) keeps the merged index balanced even
+  *    though term frequencies are Zipfian — a heavy term simply spans
+  *    several consecutive partitions.
+  *  - Runs + lineage are persisted; `buildCheckpointed` resumes from
+  *    whatever stage already completed (north_rule: resumable from
+  *    checkpoint with per-partition lineage + metrics).
+  */
+object Spimi {
+
+  val DefaultSaltBuckets = 16
+  val DefaultFlushTokens = 4 * 1000 * 1000
+
+  /** Exploded token rows for the SPIMI path. */
+  def tokenRows(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[TokenRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    IndexBuilder.tokenRows(docs, cfg, idCol, textCol)
+      .select(col("term"), col("doc_id"), col("pos"), col("doc_len"))
+      .as[TokenRow]
+  }
+
+  /** Salted repartition + per-partition SPIMI run build. */
+  def runs(tokens: Dataset[TokenRow], numPartitions: Int,
+      saltBuckets: Int = DefaultSaltBuckets,
+      flushTokens: Int = DefaultFlushTokens): Dataset[RunRow] = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens
+      .repartition(numPartitions, bucketExpr(numPartitions, saltBuckets))
+      .mapPartitions(it => new SpimiRunIterator(it, flushTokens))
+  }
+
+  /** Stable, row-derivable salted bucket id: hash(term) spread over
+    * `saltBuckets` doc-hash sub-buckets. Recomputable from any persisted
+    * run row, so lineage can be keyed on it. */
+  def bucketExpr(numPartitions: Int, saltBuckets: Int):
+      org.apache.spark.sql.Column =
+    pmod(hash(col("term")).cast("long") * lit(31L) +
+      pmod(hash(col("doc_id")), lit(saltBuckets)).cast("long"),
+      lit(numPartitions.toLong))
+
+  /** One partition's SPIMI loop: accumulate term→doc→positions until the
+    * token budget is hit, then drain a sorted segment. The iterator
+    * alternates fill/drain so flushed segments stream to the consumer
+    * (the shuffle/Parquet writer) instead of accumulating on heap. */
+  private final class SpimiRunIterator(in: Iterator[TokenRow],
+      flushTokens: Int) extends Iterator[RunRow] {
+    private var segment: Iterator[RunRow] = Iterator.empty
+
+    private def refill(): Unit = {
+      if (!in.hasNext) return
+      val map = mutable.HashMap[String, mutable.HashMap[Long, (Int, mutable.ArrayBuffer[Int])]]()
+      var tokens = 0
+      while (in.hasNext && tokens < flushTokens) {
+        val t = in.next()
+        val byDoc = map.getOrElseUpdate(t.term,
+          mutable.HashMap[Long, (Int, mutable.ArrayBuffer[Int])]())
+        val entry = byDoc.getOrElseUpdate(t.doc_id,
+          (t.doc_len, mutable.ArrayBuffer[Int]()))
+        entry._2 += t.pos
+        tokens += 1
+      }
+      // sorted run: (term ASC, doc_id ASC), positions sorted
+      segment = map.toSeq.sortBy(_._1).iterator.flatMap { case (term, byDoc) =>
+        byDoc.toSeq.sortBy(_._1).iterator.map { case (d, (dl, ps)) =>
+          val sorted = ps.toArray
+          java.util.Arrays.sort(sorted)
+          RunRow(term, d, sorted.length, sorted, dl)
+        }
+      }
+    }
+
+    override def hasNext: Boolean = {
+      while (!segment.hasNext && in.hasNext) refill()
+      segment.hasNext
+    }
+    override def next(): RunRow = {
+      if (!hasNext) throw new NoSuchElementException
+      segment.next()
+    }
+  }
+
+  /** Global merge: range-repartition + in-partition sort + adjacent-group
+    * merge. Fragments of the same (term, doc) — possible when a partition
+    * flushed mid-document — concatenate exactly like the reference's
+    * position-list `extend` (src/data_processing.py:121-127). */
+  def merge(runs: Dataset[RunRow], numPartitions: Int): Dataset[RunRow] = {
+    val spark = runs.sparkSession
+    import spark.implicits._
+    runs
+      .repartitionByRange(numPartitions, col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .mapPartitions { it =>
+        new Iterator[RunRow] {
+          private val buf = it.buffered
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): RunRow = {
+            val head = buf.next()
+            var tf = head.tf
+            var positions = head.positions
+            while (buf.hasNext && buf.head.term == head.term &&
+                buf.head.doc_id == head.doc_id) {
+              val frag = buf.next()
+              tf += frag.tf
+              positions = positions ++ frag.positions
+            }
+            if (tf != head.tf) java.util.Arrays.sort(positions)
+            RunRow(head.term, head.doc_id, tf, positions, head.doc_len)
+          }
+        }
+      }
+  }
+
+  /** Per-partition ingest lineage: row/doc counts + an order-insensitive
+    * XOR checksum over sha256(content) prefixes. Together with the per-doc
+    * manifest this carries the input_hint's per-row invariant ("content
+    * sha256 equality vs the source table"). */
+  def ingestLineage(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[LineageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        sha2(col(textCol), 256).as("content_sha256"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var n = 0L
+        var checksum = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          n += 1
+          checksum ^= java.lang.Long.parseUnsignedLong(
+            r.getString(1).substring(0, 16), 16)
+        }
+        Iterator.single(LineageRow("ingest", pid, n, n, checksum, "done"))
+      }
+  }
+
+  /** Per-doc manifest: (doc_id, content_sha256) — the row-level half of the
+    * lineage invariant. */
+  def docManifest(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      sha2(col(textCol), 256).as("content_sha256"))
+
+  private def stageDone(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path)
+  }
+
+  /** Checkpointed, resumable build:
+    *   stage 1: doc manifest + ingest lineage     -> workDir/manifest, /lineage
+    *   stage 2: SPIMI runs                        -> workDir/runs
+    *   stage 3: merged postings (+ stats tables)  -> workDir/index
+    * A completed stage (Parquet _SUCCESS marker) is skipped on resume —
+    * re-running after a crash does no redundant work and yields an
+    * identical index (tested partition-invariant).
+    */
+  def buildCheckpointed(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      workDir: String, numPartitions: Int,
+      saltBuckets: Int = DefaultSaltBuckets,
+      flushTokens: Int = DefaultFlushTokens,
+      idCol: String = "doc_id", textCol: String = "text"): InvertedIndex = {
+    val spark = docs.sparkSession
+
+    if (!stageDone(spark, s"$workDir/manifest")) {
+      docManifest(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$workDir/manifest")
+      ingestLineage(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$workDir/lineage")
+    }
+
+    if (!stageDone(spark, s"$workDir/runs")) {
+      runs(tokenRows(docs, cfg, idCol, textCol), numPartitions, saltBuckets,
+        flushTokens)
+        .write.mode("overwrite").parquet(s"$workDir/runs")
+      // run-stage lineage: per-bucket row counts (bucket id recomputed from
+      // the persisted rows — a pure function of (term, doc_id))
+      spark.read.parquet(s"$workDir/runs")
+        .groupBy(bucketExpr(numPartitions, saltBuckets)
+          .cast("int").as("partition_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .select(lit("runs").as("stage"), col("partition_id"),
+          col("n_rows"), col("n_docs"), lit(0L).as("checksum"),
+          lit("done").as("status"))
+        .write.mode("append").parquet(s"$workDir/lineage")
+    }
+
+    if (!stageDone(spark, s"$workDir/index/postings")) {
+      import spark.implicits._
+      val merged = merge(spark.read.parquet(s"$workDir/runs").as[RunRow],
+        numPartitions)
+      merged.toDF().write.mode("overwrite").parquet(s"$workDir/index/postings")
+      val post = spark.read.parquet(s"$workDir/index/postings")
+      // doc stats come from the docs table (narrow) so zero-token documents
+      // still count toward N/avgdl, matching the reference's doc_lengths
+      // (src/data_processing.py:29 records every doc).
+      val ds = IndexBuilder.docStats(docs, cfg, idCol, textCol)
+      ds.write.mode("overwrite").parquet(s"$workDir/index/doc_stats")
+      val n = spark.read.parquet(s"$workDir/index/doc_stats").count()
+      IndexBuilder.termStats(post, n)
+        .write.mode("overwrite").parquet(s"$workDir/index/term_stats")
+    }
+
+    val post = spark.read.parquet(s"$workDir/index/postings")
+    val ds = spark.read.parquet(s"$workDir/index/doc_stats")
+    val ts = spark.read.parquet(s"$workDir/index/term_stats")
+    val (n, avgdl) = IndexBuilder.corpusStats(ds)
+    InvertedIndex(post, ds, ts, n, avgdl)
+  }
+}

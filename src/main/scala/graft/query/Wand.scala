@@ -1,0 +1,236 @@
+package graft.query
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{BlockRow, Codec}
+
+/** Block-max WAND top-k over the document-sharded compressed index —
+  * the serving-path alternative to the join-relational [[Bm25]], tested
+  * rank-identical to it.
+  *
+  * Per shard and per query, a classic DAAT WAND loop runs over per-term
+  * cursors: cursors sort by current doc id, the pivot is the first cursor
+  * where the running sum of term upper bounds clears the heap threshold,
+  * and blocks whose (max_tf, min_dl)-derived upper bound cannot clear the
+  * threshold are skipped without decoding. Each shard emits at most k
+  * candidates; the global merge is a k·numShards-row aggregation.
+  *
+  * Exactness contract: shard-local eviction uses the SAME canonical order
+  * as [[Bm25.topK]] (round(score,6) DESC, doc_id ASC) and pruning uses a
+  * 1e-6 safety margin below the rounded threshold, so the emitted
+  * candidate superset always contains the canonical global top-k.
+  */
+object Wand {
+
+  private val PruneMargin = 1e-6
+
+  /** Per-term query-time constants. */
+  private final case class TermInfo(qtf: Int, idf: Double)
+
+  /** A decoded block cursor over one term's blocks within one shard. */
+  private final class Cursor(blocks: Array[BlockRow], val weight: Double,
+      k1: Double, b: Double, avgdl: Double) {
+    // global upper bound: tf·(k1+1)/(tf + k1·norm) < (k1+1)
+    val ub: Double = weight * (k1 + 1.0)
+    private var bi = 0
+    private var pi = 0
+    private var docs: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var dls: Array[Int] = _
+    decodeIfNeeded()
+
+    private def decodeIfNeeded(): Unit = {
+      while (bi < blocks.length && docs == null) {
+        val blk = blocks(bi)
+        docs = Codec.decodeSortedLongs(blk.docs, blk.n)
+        tfs = Codec.decodeInts(blk.tfs, blk.n)
+        dls = Codec.decodeInts(blk.dls, blk.n)
+        pi = 0
+      }
+    }
+
+    def exhausted: Boolean = bi >= blocks.length
+    def doc: Long = if (exhausted) Long.MaxValue else docs(pi)
+
+    /** Exact BM25 contribution at the current posting. */
+    def score: Double = {
+      val tf = tfs(pi).toDouble
+      val norm = 1.0 - b + b * dls(pi) / avgdl
+      weight * tf * (k1 + 1.0) / (tf + k1 * norm)
+    }
+
+    /** Upper bound of this term's contribution within the current block. */
+    def blockUb: Double = {
+      if (exhausted) return 0.0
+      val blk = blocks(bi)
+      val tf = blk.max_tf.toDouble
+      val norm = 1.0 - b + b * blk.min_dl / avgdl
+      weight * tf * (k1 + 1.0) / (tf + k1 * norm)
+    }
+
+    def advance(): Unit = {
+      pi += 1
+      if (pi >= blocks(bi).n) { bi += 1; docs = null; decodeIfNeeded() }
+    }
+
+    /** Skip to the first posting with doc id >= d; whole blocks whose
+      * last_doc < d are skipped WITHOUT decoding. */
+    def advanceTo(d: Long): Unit = {
+      if (exhausted || doc >= d) return
+      while (bi < blocks.length && blocks(bi).last_doc < d) {
+        bi += 1; docs = null
+      }
+      decodeIfNeeded()
+      if (exhausted) return
+      // binary search within the decoded block
+      var lo = pi.max(0)
+      if (docs(lo) >= d) { pi = lo; return }
+      var hi = blocks(bi).n - 1
+      // invariant: docs(lo) < d <= docs(hi) or answer is beyond block
+      if (docs(hi) < d) { pi = blocks(bi).n; advanceFix(); return }
+      while (hi - lo > 1) {
+        val mid = (lo + hi) >>> 1
+        if (docs(mid) < d) lo = mid else hi = mid
+      }
+      pi = hi
+    }
+
+    private def advanceFix(): Unit = {
+      if (pi >= blocks(bi).n) { bi += 1; docs = null; decodeIfNeeded() }
+    }
+  }
+
+  private final case class Cand(doc: Long, score: Double) {
+    def r6: Double = math.rint(score * 1e6) / 1e6
+  }
+
+  /** Canonical-worst-first ordering: the PQ head is the candidate that the
+    * canonical order (round(score,6) DESC, doc_id ASC) ranks LAST. */
+  private val worstFirst: Ordering[Cand] = (a: Cand, b: Cand) => {
+    val c = java.lang.Double.compare(b.r6, a.r6) // smaller r6 = worse = max
+    if (c != 0) c else java.lang.Long.compare(a.doc, b.doc) // bigger doc worse
+  }
+
+  /** WAND over one shard for one query. Returns shard-local canonical
+    * top-k candidates. */
+  private def wandOne(terms: Seq[(TermInfo, Array[BlockRow])], k: Int,
+      k1: Double, b: Double, avgdl: Double): Seq[Cand] = {
+    val cursors = terms
+      .map { case (ti, blocks) =>
+        new Cursor(blocks, ti.qtf * ti.idf, k1, b, avgdl) }
+      .filterNot(_.exhausted).toArray
+    if (cursors.isEmpty) return Nil
+    val heap = mutable.PriorityQueue.empty[Cand](worstFirst)
+    def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.head.r6 - PruneMargin
+
+    var live = cursors
+    while (live.nonEmpty) {
+      live = live.filterNot(_.exhausted)
+      if (live.nonEmpty) {
+        java.util.Arrays.sort(live, Ordering.by((c: Cursor) => c.doc))
+        // pivot: first cursor where cumulative global UBs clear θ
+        var acc = 0.0
+        var p = -1
+        var i = 0
+        while (i < live.length && p < 0) {
+          acc += live(i).ub
+          if (acc > threshold) p = i
+          i += 1
+        }
+        if (p < 0) return heap.toSeq // no doc can beat θ anymore
+        val pivotDoc = live(p).doc
+        if (pivotDoc == Long.MaxValue) return heap.toSeq
+        if (live(0).doc == pivotDoc) {
+          // cursors 0..e (e >= p: ties may extend past the pivot index) all
+          // sit on pivotDoc: block-max check over ALL of them, then score
+          var e = p
+          while (e + 1 < live.length && live(e + 1).doc == pivotDoc) e += 1
+          var blockAcc = 0.0
+          var j = 0
+          while (j <= e) { blockAcc += live(j).blockUb; j += 1 }
+          if (blockAcc > threshold) {
+            var s = 0.0
+            j = 0
+            while (j <= e) { s += live(j).score; j += 1 }
+            if (s > 0.0) {
+              val cand = Cand(pivotDoc, s)
+              if (heap.size < k) heap.enqueue(cand)
+              else if (worstFirst.compare(cand, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(cand)
+              }
+            }
+          }
+          // either way pivotDoc is settled — move every cursor past it
+          j = 0
+          while (j <= e) { live(j).advance(); j += 1 }
+        } else {
+          // advance the highest-impact cursor that is strictly before the
+          // pivot doc (one always exists: live(0).doc < pivotDoc here)
+          var best = 0
+          var j = 1
+          while (j <= p && live(j).doc < pivotDoc) {
+            if (live(j).ub > live(best).ub) best = j
+            j += 1
+          }
+          live(best).advanceTo(pivotDoc)
+        }
+      }
+    }
+    heap.toSeq
+  }
+
+  /** Distributed WAND search.
+    * @param blocks   serving index ([[graft.index.ServingIndex]])
+    * @param termStats (term, df, idf) table
+    * @param queries  (query_id, question) table
+    * @return (query_id, doc_id, score, rank) — canonical top-k, identical
+    *         to [[Bm25.search]] output */
+  def search(blocks: Dataset[BlockRow], termStats: DataFrame,
+      numDocs: Long, avgdl: Double, queries: DataFrame,
+      cfg: graft.analysis.TokenizerConfig, k: Int = 100,
+      p: Bm25.Params = Bm25.Params()): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+
+    // tiny driver-side query prep: terms + qtf + idf per query
+    val qt = Bm25.queryTerms(queries, cfg)
+      .join(termStats.select("term", "idf"), Seq("term"))
+      .select("query_id", "term", "qtf", "idf").collect()
+    val perQuery: Map[String, Map[String, TermInfo]] = qt
+      .groupBy(_.getString(0))
+      .map { case (qid, rows) =>
+        qid -> rows.map(r =>
+          r.getString(1) -> TermInfo(r.getInt(2), r.getDouble(3))).toMap
+      }
+    if (perQuery.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("query_id", lit("")).withColumn("doc_id", lit(0L))
+        .withColumn("score", lit(0.0)).withColumn("rank", lit(0L))
+        .limit(0)
+    val allTerms = perQuery.values.flatMap(_.keys).toSeq.distinct
+    val bQueries = spark.sparkContext.broadcast(perQuery)
+    val (k1, b) = (p.k1, p.b)
+
+    val candidates = blocks
+      .filter(col("term").isin(allTerms: _*)) // parquet predicate pushdown
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toArray.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
+        bQueries.value.iterator.flatMap { case (qid, terms) =>
+          val present = terms.toSeq.flatMap { case (t, ti) =>
+            byTerm.get(t).map(bs => (ti, bs)) }
+          if (present.isEmpty) Iterator.empty
+          else wandOne(present, k, k1, b, avgdl).iterator
+            .map(c => (qid, c.doc, c.score))
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+
+    Bm25.topK(candidates, k)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class CodecSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: decode∘encode = id for strictly increasing longs") {
+    val gen = Gen.listOf(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(gen) { xs =>
+      Codec.decodeSortedLongs(Codec.encodeSortedLongs(xs), xs.length)
+        .sameElements(xs)
+    })
+  }
+
+  test("property: decode∘encode = id for non-negative ints") {
+    val gen = Gen.listOf(Gen.chooseNum(0, Int.MaxValue)).map(_.toArray)
+    check(Prop.forAll(gen) { xs =>
+      Codec.decodeInts(Codec.encodeInts(xs), xs.length).sameElements(xs)
+    })
+  }
+
+  test("property: positions round-trip (strictly increasing ints)") {
+    val gen = Gen.listOf(Gen.chooseNum(0, 1000000)).map(_.distinct.sorted.toArray)
+    check(Prop.forAll(gen) { xs =>
+      Codec.decodePositions(Codec.encodePositions(xs), xs.length)
+        .sameElements(xs)
+    })
+  }
+
+  test("compression wins on dense doc-id runs") {
+    val xs = Array.tabulate(10000)(i => 1000000L + i * 3)
+    val enc = Codec.encodeSortedLongs(xs)
+    assert(enc.length < xs.length * 2,
+      s"dense gaps should take ~1 byte each, got ${enc.length} for ${xs.length}")
+  }
+
+  test("negative doc ids (xxhash64) survive") {
+    val xs = Array(Long.MinValue + 5, -42L, 0L, 7L, Long.MaxValue - 3)
+    assert(Codec.decodeSortedLongs(Codec.encodeSortedLongs(xs), 5).sameElements(xs))
+  }
+
+  test("encode rejects unsorted input") {
+    intercept[IllegalArgumentException] {
+      Codec.encodeSortedLongs(Array(5L, 3L))
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.{QuerySet, SynthCorpus}
+import graft.query.{Bm25, Wand}
+
+/** SPIMI build ≡ declarative build; WAND serving ≡ join-path BM25;
+  * checkpoint/resume ≡ fresh build; lineage carries the sha256 invariant. */
+class SpimiWandSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  private def canonPostings(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("term"), col("doc_id"), col("tf"),
+        col("positions").cast("string"), col("doc_len"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("SPIMI runs+merge produce exactly the declarative postings") {
+    val declarative = IndexBuilder.postings(IndexBuilder.tokenRows(docs, cfg))
+    val spimi = Spimi.merge(
+      Spimi.runs(Spimi.tokenRows(docs, cfg), numPartitions = 8,
+        saltBuckets = 4, flushTokens = 1000), // tiny flush => many segments
+      numPartitions = 5)
+    assert(canonPostings(spimi.toDF()) == canonPostings(declarative))
+  }
+
+  test("checkpointed build resumes to an identical index and lineage checks out") {
+    val work = Files.createTempDirectory("graft-spimi").toString
+    val idx1 = Spimi.buildCheckpointed(docs, cfg, work, numPartitions = 6)
+    val fresh = IndexBuilder.build(docs, cfg)
+    assert(canonPostings(idx1.postings) == canonPostings(fresh.postings))
+    assert(idx1.numDocs == fresh.numDocs && math.abs(idx1.avgdl - fresh.avgdl) < 1e-12)
+
+    // resume: rerun over the same workDir — must skip and yield the same
+    val idx2 = Spimi.buildCheckpointed(docs, cfg, work, numPartitions = 6)
+    assert(canonPostings(idx2.postings) == canonPostings(fresh.postings))
+
+    // per-row invariant: manifest sha256 equals recomputed source sha256
+    val manifest = spark.read.parquet(s"$work/manifest")
+    val src = docs.select(col("doc_id"),
+      sha2(col("text"), 256).as("content_sha256"))
+    assert(manifest.except(src).count() == 0 && src.except(manifest).count() == 0)
+
+    // lineage: ingest partition checksums XOR to the global checksum
+    val lineage = spark.read.parquet(s"$work/lineage")
+    val ingestDocs = lineage.filter(col("stage") === "ingest")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(ingestDocs == docs.count())
+    assert(lineage.filter(col("stage") === "runs").count() > 0)
+  }
+
+  test("WAND over the compressed sharded index is rank-identical to join BM25") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val blocks = ServingIndex.fromPostings(idx.postings, numShards = 4,
+      blockSize = 16) // small blocks => multi-block cursors exercised
+    val queries = QuerySet.df(spark)
+    val viaJoin = Bm25.search(idx, queries, cfg, k = 50)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val viaWand = Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+        queries, cfg, k = 50)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaWand == viaJoin)
+  }
+
+  test("WAND matches join BM25 on the synthesized input_hint corpus too") {
+    val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 800, partitions = 4))
+      .withColumnRenamed("content", "text")
+    val idx = IndexBuilder.build(synth, cfg)
+    val blocks = ServingIndex.fromPostings(idx.postings, numShards = 3,
+      blockSize = 32)
+    import spark.implicits._
+    val queries = Seq(
+      ("s1", "merge shuffle partition"), ("s2", "the the index"),
+      ("s3", "bm25 wand topk"), ("s4", "nonexistentterm"),
+      ("s5", "Spark HashMap")).toDF("query_id", "question")
+    val viaJoin = Bm25.search(idx, queries, cfg, k = 40)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val viaWand = Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+        queries, cfg, k = 40)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaWand == viaJoin)
+  }
+}
