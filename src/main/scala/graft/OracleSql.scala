@@ -102,4 +102,48 @@ object OracleSql {
 
   val coreCtes: Seq[String] = Seq(tokArrays, toks, doclen, postings, stats,
     termstats, queriesCte, qtoks, qterms)
+
+  // ---- training-data-pipeline fragments ----
+
+  /** Corpus with injected exact and near duplicates (deterministic), used
+    * by the dedup operators so they have something real to find. */
+  val dupCorpus: String =
+    """dup_corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents
+      |    WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 200000, text || ' extra token here'
+      |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** 3-word shingle set per dup_corpus doc. */
+  val shingleRows: String =
+    """sh_arrays AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+      |  FROM dup_corpus),
+      |shingle_rows AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+      |      THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |            FOR i IN range(1, len(ts) - 1)]
+      |      ELSE [array_to_string(ts, ' ')] END) AS shingle
+      |    FROM sh_arrays))""".stripMargin
+
+  /** md5-min MinHash signatures (12 hash fns) + 4 LSH bands of 3. */
+  val minhashCtes: String =
+    """sigs AS (
+      |  SELECT doc_id, i AS sig_id,
+      |         min(md5(i::VARCHAR || ':' || shingle)) AS minhash
+      |  FROM shingle_rows CROSS JOIN (SELECT unnest(range(12)) AS i)
+      |  GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id, (sig_id // 3)::INT AS band_id,
+      |         md5(string_agg(minhash, '|' ORDER BY sig_id)) AS band_hash
+      |  FROM sigs GROUP BY doc_id, (sig_id // 3)::INT)""".stripMargin
+
+  /** Exploded embeddings (dim 1-based to match generate_subscripts). */
+  val embeddingExploded: String =
+    """e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings)""".stripMargin
 }

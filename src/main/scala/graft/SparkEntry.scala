@@ -8,7 +8,8 @@ import graft.analysis.TokenizerConfig
 import graft.eval.Ndcg
 import graft.fixtures.QuerySet
 import graft.index.{IndexBuilder, ServingIndex, Spimi}
-import graft.query.{Bm25, Wand}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.query.{Bm25, Rerank, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-runnable `oracleSql` equivalent where
@@ -40,6 +41,17 @@ object SparkEntry {
 
     def gold(s: SparkSession, dir: String): DataFrame =
       QuerySet.gold(s, docs(s, dir), cfg)
+
+    /** Corpus with injected exact + near duplicates (mirrors
+      * OracleSql.dupCorpus). */
+    def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      d.union(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra token here")).as("text")))
+    }
   }
 
   /** Flagship: batch BM25 top-k over the sf0.001 corpus. */
@@ -145,7 +157,63 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 4).cast("double").as("score"),
           col("rank").cast("long").as("rank"))
-    })
+    }),
+
+    // ---- §7.6: deterministic re-score pass over the BM25 shortlist ----
+    "q_rerank" -> ((s, dir) =>
+      Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
+        .select(col("query_id"), col("doc_id"),
+          round(col("rscore"), 3).cast("double").as("rscore"),
+          col("rerank").cast("long").as("rerank"))),
+
+    // ---- dedup: exact (hash groupBy) over a corpus with injected dups ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(plans.dupCorpus(s, dir))
+        .select(col("doc_id"), col("keeper"), col("dup_count"), col("is_dup"))),
+
+    // ---- dedup: MinHash + LSH candidates, exact-Jaccard confirmed ----
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(plans.dupCorpus(s, dir))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).cast("double").as("jaccard"))),
+
+    // ---- dedup: 16-bit SimHash fingerprints ----
+    "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+
+    // ---- similarity: brute-force cosine top-10 (ANN baseline) ----
+    "q_ann_cosine" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir),
+          col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"),
+          round(col("cosine"), 4).cast("double").as("cosine"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- similarity: LSH-bucketed ANN (the scale path) ----
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"),
+          round(col("cosine"), 4).cast("double").as("cosine"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("short_ratio"), 6).cast("double").as("short_ratio"),
+          round(col("mean_token_len"), 6).cast("double").as("mean_token_len"),
+          round(col("quality"), 6).cast("double").as("quality"))),
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+
+    // ---- multimodal binary plumbing (decode step stubbed) ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("payload_sha"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -212,7 +280,206 @@ object SparkEntry {
         """SELECT i.query_id, CAST(round(CASE WHEN i.idcg > 0
           |  THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
           |  AS ndcg
-          |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin)
+          |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin),
+
+      "q_rerank" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
+        embeddingExploded,
+        """t AS (
+          |  SELECT r.query_id, r.doc_id, r.score, r.rank, e.dim, e.v
+          |  FROM ranked r JOIN e ON r.doc_id = e.vec_id)""".stripMargin,
+        """qv AS (
+          |  SELECT query_id, dim, avg(v) AS qv FROM t
+          |  WHERE rank <= 10 GROUP BY 1, 2)""".stripMargin,
+        """ragg AS (
+          |  SELECT t.query_id, t.doc_id, sum(t.v * q.qv) AS dot,
+          |    sqrt(sum(t.v * t.v)) AS dn, sqrt(sum(q.qv * q.qv)) AS qn,
+          |    max(t.score) AS score
+          |  FROM t JOIN qv q ON t.query_id = q.query_id AND t.dim = q.dim
+          |  GROUP BY 1, 2)""".stripMargin,
+        "ms AS (SELECT query_id, max(score) AS ms FROM ragg GROUP BY 1)",
+        """rs AS (
+          |  SELECT a.query_id, a.doc_id,
+          |    0.7 * (CASE WHEN a.dn > 0 AND a.qn > 0
+          |      THEN a.dot / (a.dn * a.qn) ELSE 0 END)
+          |    + 0.3 * a.score / m.ms AS rscore
+          |  FROM ragg a JOIN ms m USING (query_id))""".stripMargin),
+        """SELECT query_id, doc_id,
+          |  CAST(round(rscore, 3) AS DOUBLE) AS rscore,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY round(rscore, 6) DESC, doc_id ASC) AS rerank
+          |FROM rs""".stripMargin),
+
+      "q_dedup_exact" -> withCtes(Seq(dupCorpus,
+        "hashed AS (SELECT doc_id, sha256(text) AS content_sha FROM dup_corpus)",
+        """groups AS (
+          |  SELECT content_sha, min(doc_id) AS keeper, count(*) AS dup_count
+          |  FROM hashed GROUP BY 1)""".stripMargin),
+        "SELECT h.doc_id, g.keeper, g.dup_count, h.doc_id <> g.keeper AS" +
+          " is_dup FROM hashed h JOIN groups g USING (content_sha)"),
+
+      "q_minhash_pairs" -> withCtes(Seq(dupCorpus, shingleRows, minhashCtes,
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          |    AND a.doc_id < b.doc_id)""".stripMargin,
+        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_rows" +
+          " GROUP BY 1)",
+        """inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
+          |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
+          |    AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)""".stripMargin,
+        """jac AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    coalesce(i.n_inter, 0)::DOUBLE /
+          |      (za.n_shingles + zb.n_shingles - coalesce(i.n_inter, 0))
+          |      AS jaccard
+          |  FROM cand c
+          |  LEFT JOIN inter i USING (doc_a, doc_b)
+          |  JOIN sizes za ON za.doc_id = c.doc_a
+          |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin),
+        "SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard" +
+          " FROM jac WHERE jaccard >= 0.5"),
+
+      "q_simhash" -> withCtes(Seq(
+        """tfh AS (
+          |  SELECT doc_id, t AS term, count(*) AS tf, md5(t) AS h FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+'))
+          |      AS t FROM documents)
+          |  GROUP BY doc_id, t)""".stripMargin,
+        """bits AS (
+          |  SELECT doc_id, b,
+          |    CASE WHEN sum(CASE WHEN substr(h, (b + 1)::INT, 1) >= '8'
+          |      THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS bit
+          |  FROM tfh CROSS JOIN (SELECT unnest(range(16)) AS b)
+          |  GROUP BY doc_id, b)""".stripMargin),
+        "SELECT doc_id, CAST(sum(bit * (1::BIGINT << b::INT)) AS BIGINT)" +
+          " AS simhash FROM bits GROUP BY doc_id"),
+
+      "q_ann_cosine" -> withCtes(Seq(embeddingExploded,
+        "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +
+          " WHERE vec_id % 100 = 0)",
+        """agg AS (
+          |  SELECT q.query_vec, e.vec_id, sum(q.qv * e.v) AS dot,
+          |    sqrt(sum(e.v * e.v)) AS dn, sqrt(sum(q.qv * q.qv)) AS qn
+          |  FROM q JOIN e USING (dim) GROUP BY 1, 2)""".stripMargin,
+        """cosined AS (
+          |  SELECT query_vec, vec_id,
+          |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
+          |      AS cosine
+          |  FROM agg)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(round(cosine, 4) AS DOUBLE)
+          |  AS cosine, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank FROM cosined)
+          |WHERE rank <= 10""".stripMargin),
+
+      "q_ann_lsh" -> withCtes(Seq(embeddingExploded,
+        """planes AS (
+          |  SELECT p, dim,
+          |    CASE WHEN substr(md5(p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+          |      >= '8' THEN 1 ELSE -1 END AS w
+          |  FROM (SELECT unnest(range(8)) AS p)
+          |  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim))""".stripMargin,
+        """proj AS (
+          |  SELECT e.vec_id, pl.p, sum(pl.w * e.v) AS proj
+          |  FROM e JOIN planes pl USING (dim) GROUP BY 1, 2)""".stripMargin,
+        """buckets AS (
+          |  SELECT vec_id, sum(CASE WHEN proj > 0
+          |    THEN (1::BIGINT << p::INT) ELSE 0 END) AS bucket
+          |  FROM proj GROUP BY 1)""".stripMargin,
+        "eb AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id))",
+        "qb AS (SELECT vec_id AS query_vec, bucket, dim, v AS qv FROM eb" +
+          " WHERE vec_id % 100 = 0)",
+        """agg AS (
+          |  SELECT q.query_vec, e.vec_id, sum(q.qv * e.v) AS dot,
+          |    sqrt(sum(e.v * e.v)) AS dn, sqrt(sum(q.qv * q.qv)) AS qn
+          |  FROM qb q JOIN eb e ON q.bucket = e.bucket AND q.dim = e.dim
+          |  GROUP BY 1, 2)""".stripMargin,
+        """cosined AS (
+          |  SELECT query_vec, vec_id,
+          |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
+          |      AS cosine
+          |  FROM agg)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(round(cosine, 4) AS DOUBLE)
+          |  AS cosine, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank FROM cosined)
+          |WHERE rank <= 10""".stripMargin),
+
+      "q_lang_id" -> withCtes(Seq(
+        "lt AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts" +
+          " FROM documents)",
+        s"""ls AS (
+           |  SELECT doc_id,
+           |    len(list_filter(ts, x -> x IN (${markerSql("en")}))) AS s_en,
+           |    len(list_filter(ts, x -> x IN (${markerSql("de")}))) AS s_de,
+           |    len(list_filter(ts, x -> x IN (${markerSql("es")}))) AS s_es,
+           |    len(list_filter(ts, x -> x IN (${markerSql("fr")}))) AS s_fr
+           |  FROM lt)""".stripMargin),
+        """SELECT doc_id,
+          |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+          |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+          |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+          |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+          |    ELSE 'fr' END AS pred_lang,
+          |  greatest(s_en, s_de, s_es, s_fr) AS score
+          |FROM ls""".stripMargin),
+
+      "q_quality" -> withCtes(Seq(
+        "lt AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts" +
+          " FROM documents)",
+        """qf AS (
+          |  SELECT doc_id, len(ts) AS n_tokens,
+          |    CASE WHEN len(ts) > 0 THEN
+          |      len(list_filter(ts, x -> length(x) < 3))::DOUBLE / len(ts)
+          |      ELSE 0 END AS short_ratio,
+          |    CASE WHEN len(ts) > 0 THEN
+          |      list_sum([length(x) FOR x IN ts])::DOUBLE / len(ts)
+          |      ELSE 0 END AS mean_token_len
+          |  FROM lt)""".stripMargin),
+        """SELECT doc_id, n_tokens,
+          |  CAST(round(short_ratio, 6) AS DOUBLE) AS short_ratio,
+          |  CAST(round(mean_token_len, 6) AS DOUBLE) AS mean_token_len,
+          |  CAST(round(least(1.0, n_tokens / 100.0) * (1.0 - short_ratio), 6)
+          |    AS DOUBLE) AS quality
+          |FROM qf""".stripMargin),
+
+      "q_token_count" ->
+        """SELECT doc_id,
+          |  len(string_split(text, ' ')) AS ws_tokens,
+          |  len(regexp_extract_all(lower(text), '\w+')) AS word_tokens,
+          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+          |    AS bpe_ish_tokens
+          |FROM documents""".stripMargin,
+
+      "q_fingerprint" -> withCtes(Seq(
+        """sh_arrays AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |  FROM documents)""".stripMargin,
+        """doc_shingles AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+          |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+          |          FOR i IN range(1, len(ts) - 1)]
+          |    ELSE [array_to_string(ts, ' ')] END) AS shingle
+          |  FROM sh_arrays)""".stripMargin),
+        "SELECT doc_id, min(md5(shingle)) AS fingerprint FROM doc_shingles" +
+          " GROUP BY doc_id"),
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          |  sha256(text) AS payload_sha,
+          |  octet_length(encode(text)) % 640 AS width,
+          |  (octet_length(encode(text)) * 7) % 480 AS height,
+          |  octet_length(encode(text)) % 32 AS n_frames
+          |FROM documents""".stripMargin
     )
   }
+
+  /** SQL IN-list for a marker language. */
+  private def markerSql(lang: String): String =
+    TextAnalysis.markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content-hash groupBy), MinHash+LSH near-dup candidate generation with
+  * exact-Jaccard confirmation, and SimHash fingerprints.
+  *
+  * Portability-by-construction: every hash used here is MD5/SHA-256 over
+  * UTF-8 strings, so the DuckDB oracle reproduces signatures bit-for-bit —
+  * a MinHash "permutation" i is the lexicographic MIN of md5(i + ":" +
+  * shingle), which is a valid min-wise hash family and needs no
+  * engine-specific integer hashing.
+  *
+  * Scale notes: exact dedup is one hash-partitioned aggregation; MinHash is
+  * explode→agg (shuffle keyed on doc, then band), and the LSH bucket join
+  * only ever joins docs sharing a band hash — the O(n²) pair space is never
+  * materialized. Each stage is a plain shuffle that AQE can re-balance.
+  */
+object Dedup {
+
+  /** Exact duplicates via sha256(text): every doc annotated with its
+    * group's keeper (min doc_id) and group size. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol).cast("long").as("doc_id"),
+      sha2(col(textCol), 256).as("content_sha"))
+    hashed.groupBy(col("content_sha"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("dup_count"))
+      .join(hashed, Seq("content_sha"))
+      .select(col("doc_id"), col("keeper"), col("dup_count"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+  }
+
+  /** Word w-shingles of the raw lowercase \w+ token stream; docs shorter
+    * than w collapse to a single whole-doc shingle. */
+  def shingles(textCol: Column, w: Int = 3): Column = {
+    val toks = regexp_extract_all(lower(textCol), lit("(?U)\\w+"), lit(0))
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** (doc_id, shingle) distinct rows. */
+  def shingleRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 3): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(shingles(col(textCol), w)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: for each of `numHashes` md5-derived min-wise
+    * hash functions, the minimum over the doc's shingle set.
+    * Output: (doc_id, sig_id, minhash). */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 12): DataFrame =
+    shingleRows
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+          i => md5(concat(i.cast("string"), lit(":"), col("shingle")).cast("binary"))))
+          .as(Seq("sig_id", "h")))
+      .groupBy(col("doc_id"), col("sig_id"))
+      .agg(min(col("h")).as("minhash"))
+
+  /** LSH banding: concat the band's signature values and re-hash. Two docs
+    * collide on a band iff all `rowsPerBand` minhashes agree.
+    * Output: (doc_id, band_id, band_hash). */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int = 3): DataFrame =
+    signatures
+      .withColumn("band_id", (col("sig_id") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band_id"))
+      .agg(md5(concat_ws("|",
+        sort_array(collect_list(struct(col("sig_id"), col("minhash"))))
+          .getField("minhash")).cast("binary")).as("band_hash"))
+
+  /** Candidate pairs sharing ≥ 1 LSH band, confirmed with EXACT Jaccard
+    * over the shingle sets; only pairs with jaccard >= threshold survive.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.5, shingleWidth: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleWidth).cache()
+    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash over the tf-weighted term set: bit b of md5(term)'s
+    * b-th hex nibble (≥ 8 ⇒ +tf else −tf), majority vote per bit.
+    * Output: (doc_id, simhash). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("(?U)\\w+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("term").cast("binary")))
+    val bits = tf
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("nibble", col("h").substr(col("b") + 1, lit(1)))
+      .withColumn("w",
+        when(col("nibble") >= "8", col("tf")).otherwise(-col("tf")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("w")).as("s"))
+      .withColumn("bit", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .as("simhash"))
+  }
+}

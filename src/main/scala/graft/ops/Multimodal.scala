@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from one opaque binary payload. */
+final case class MediaMeta(doc_id: Long, n_bytes: Long, payload_sha: String,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side plumbing is real — binary schema, partition-batched
+  * iteration (the Scala analogue of `mapInPandas` batch shape), typed
+  * output schema — while the actual media DECODE is a clearly-marked
+  * deterministic STUB (no image/audio libraries exist in this
+  * environment): it derives fake dimensions from the payload bytes, so
+  * tests and the oracle can still verify the full pipeline shape.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload column (here: the UTF-8 bytes of the
+    * text column stand in for real media bytes). */
+  def withPayload(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** STUB media decode — deterministic fake: real code would hand
+    * `bytes` to an image/audio decoder here. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    (n % 640, (n * 7) % 480, n % 32) // fake width/height/frame-count
+  }
+
+  /** Per-partition batched feature extraction over the binary column —
+    * the mapPartitions form keeps one decoder instance per task and
+    * amortizes any per-batch model setup, exactly like a Pandas-UDF batch.
+    */
+  def extractMeta(withPayload: DataFrame): Dataset[MediaMeta] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        // per-task decoder setup would go here (once per partition)
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, f) = decodeStub(bytes)
+          digest.reset()
+          val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaMeta(id, bytes.length.toLong, sha, w, h, f)
+        }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, both pure Catalyst (no UDF):
+  *  - [[bruteForceTopK]]: exact cosine top-k via explode + aggregate —
+  *    the correctness baseline; one shuffle keyed on (query, candidate).
+  *  - [[lshTopK]]: random-hyperplane LSH — 64-dim sign projections against
+  *    md5-derived ±1 planes bucket the vectors; cosine runs only within a
+  *    query's bucket. At scale the bucket join replaces the all-pairs
+  *    product: cost drops from O(Q·N) to O(Q·N/2^planes) per probe, and
+  *    the bucket table is a one-off narrow projection of the corpus.
+  *
+  * Hyperplane weights are a pure function of (plane, dim) through md5 —
+  * reproducible by the SQL oracle and by any re-execution, no RNG state.
+  */
+object Similarity {
+
+  /** (vec_id, dim, v) exploded view; `dim` is 1-based so md5 keys match
+    * the SQL oracle's generate_subscripts. */
+  private def exploded(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        col("v").cast("double").as("v"))
+
+  /** Exact cosine top-k of every query vector against the whole corpus.
+    * @param queryPred picks the query vectors (e.g. vec_id % 100 === 0) */
+  def bruteForceTopK(embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val e = exploded(embeddings)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_vec"), col("dim"), col("v").as("qv"))
+    val agg = q.join(e, Seq("dim"))
+      .groupBy(col("query_vec"), col("vec_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("dn"),
+        sqrt(sum(col("qv") * col("qv"))).as("qn"))
+      .withColumn("cosine",
+        when(col("dn") > 0.0 && col("qn") > 0.0,
+          col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_vec"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** Sign-random-projection bucket id per vector: bit p of the bucket is
+    * the sign of ⟨v, plane_p⟩ with plane_p[dim] = ±1 from md5(p ":" dim). */
+  def buckets(embeddings: DataFrame, numPlanes: Int = 8): DataFrame = {
+    val e = exploded(embeddings)
+    e.select(col("vec_id"), col("dim"), col("v"),
+        explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
+      .withColumn("w",
+        when(md5(concat(col("p").cast("string"), lit(":"),
+          col("dim").cast("string")).cast("binary")).substr(1, 1) >= "8",
+          col("v")).otherwise(-col("v")))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("w")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0.0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: cosine top-k within the query's bucket only. */
+  def lshTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, numPlanes: Int = 8): DataFrame = {
+    val b = buckets(embeddings, numPlanes)
+    val e = exploded(embeddings).join(b, Seq("vec_id"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_vec"), col("bucket"), col("dim"),
+        col("v").as("qv"))
+    val agg = q.join(e, Seq("bucket", "dim"))
+      .groupBy(col("query_vec"), col("vec_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("dn"),
+        sqrt(sum(col("qv") * col("qv"))).as("qn"))
+      .withColumn("cosine",
+        when(col("dn") > 0.0 && col("qn") > 0.0,
+          col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_vec"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-token heuristic), quality scoring, token counting, and
+  * md5-min document fingerprinting. All pure Catalyst; all narrow
+  * (per-document, no shuffle) except the explode-based fingerprint.
+  */
+object TextAnalysis {
+
+  /** Marker lists per language (n-gram heuristic reduced to its word-level
+    * form). Deterministic tie order: first list wins. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "es", "de"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
+
+  private def rawTokens(textCol: Column): Column =
+    regexp_extract_all(lower(textCol), lit("(?U)\\w+"), lit(0))
+
+  /** (doc_id, pred_lang, score): argmax of marker hits, 'und' when no
+    * marker matches. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = rawTokens(col(textCol))
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // chained whens evaluate in order, so the FIRST list wins ties
+    val predFirstWins = scores
+      .foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+        when(s === best && best > 0, lit(lang)).otherwise(acc)
+      }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      predFirstWins.as("pred_lang"), best.cast("long").as("score"))
+  }
+
+  /** Per-document quality features + a deterministic composite score:
+    * quality = min(1, n_tokens/100) · (1 − short_ratio). */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = rawTokens(col(textCol))
+    val nTokens = size(toks)
+    val nShort = size(filter(toks, t => length(t) < 3))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      when(nTokens > 0, nShort.cast("double") / nTokens)
+        .otherwise(lit(0.0)).as("short_ratio"),
+      when(nTokens > 0,
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / nTokens).otherwise(lit(0.0)).as("mean_token_len"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("short_ratio")))
+  }
+
+  /** Whitespace, word-regex, and BPE-ish token counts per document. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      size(rawTokens(col(textCol))).cast("long").as("word_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"))
+
+  /** md5-min shingle fingerprint: the lexicographic minimum of
+    * md5(shingle) over the doc's 3-word shingles — a stable, locality-
+    * sensitive document signature ([[Winnowing]] holds the rolling-hash
+    * variant). */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(Dedup.shingles(col(textCol))).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"))
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+final case class DocFingerprints(doc_id: Long, fingerprints: Array[Long])
+
+/** Winnowing document fingerprinting (Schleimer/Wilkerson/Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+  * Karp-Rabin rolling hash over token k-grams, then the minimum hash per
+  * sliding window — guarantees any shared run of ≥ window+k−1 tokens
+  * yields a shared fingerprint. Not SQL-expressible (stateful rolling
+  * hash), so this operator gets a rows-only driver check; its invariants
+  * are covered by ScalaTest instead.
+  */
+object Winnowing {
+
+  private val Base = 1000003L
+  private val Mod = (1L << 61) - 1 // Mersenne prime keeps products in range
+
+  @inline private def mulmod(a: Long, b: Long): Long = {
+    // 61-bit Mersenne modular multiply via 128-bit split
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val r = (lo & Mod) + ((lo >>> 61) | (hi << 3))
+    if (r >= Mod) r - Mod else r
+  }
+
+  private def tokenHash(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) { h = (mulmod(h, 257L) + t.charAt(i)) % Mod; i += 1 }
+    h + 1 // avoid 0 so empty-token ambiguity can't occur
+  }
+
+  /** Rolling k-gram hashes of the token stream. */
+  def kgramHashes(tokens: IndexedSeq[String], k: Int): Array[Long] = {
+    if (tokens.length < k) return Array.empty
+    val th = tokens.map(tokenHash)
+    val out = new Array[Long](tokens.length - k + 1)
+    var h = 0L
+    var basePow = 1L
+    var i = 0
+    while (i < k) { h = (mulmod(h, Base) + th(i)) % Mod; i += 1 }
+    i = 0
+    while (i < k - 1) { basePow = mulmod(basePow, Base); i += 1 }
+    out(0) = h
+    i = k
+    while (i < tokens.length) {
+      h = (h + Mod - mulmod(th(i - k), basePow)) % Mod
+      h = (mulmod(h, Base) + th(i)) % Mod
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowed fingerprints: min hash of each `window`-sized sliding window
+    * over the k-gram hashes, rightmost-min rule, deduplicated in order. */
+  def select(hashes: Array[Long], window: Int): Array[Long] = {
+    if (hashes.isEmpty) return Array.empty
+    if (hashes.length <= window) return Array(hashes.min)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var last = -1
+    var i = 0
+    while (i + window <= hashes.length) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + window) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      if (minIdx != last) { out += hashes(minIdx); last = minIdx }
+      i += 1
+    }
+    out.toArray
+  }
+
+  def fingerprintTokens(tokens: IndexedSeq[String], k: Int = 4,
+      window: Int = 4): Array[Long] =
+    select(kgramHashes(tokens, k), window)
+
+  /** Distributed form: narrow typed map per document. */
+  def fingerprints(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 4, window: Int = 4): Dataset[DocFingerprints] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = graft.analysis.Tokenizer(cfg)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .map { r =>
+        DocFingerprints(r.getLong(0),
+          fingerprintTokens(tok.tokenize(r.getString(1)).toIndexedSeq, k, window))
+      }
+  }
+}

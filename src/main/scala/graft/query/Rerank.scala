@@ -1,0 +1,53 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic batch re-score pass over the BM25 top-k shortlist — the
+  * north_star-sanctioned re-expression of the reference's neural reranker
+  * (reference notebooks/reranking_model_training.ipynb cell 1c0851d3: the
+  * reranker "does not retrieve new documents — it only reorders"; model
+  * forward src/model.py:12-23).
+  *
+  * The neural scorer is replaced by a deterministic blend over the
+  * embeddings table (SURVEY §7.6):
+  *   query vector  = mean embedding of the query's top-`qTop` BM25 docs
+  *   rescore(q, d) = w1 · cosine(emb(d), qvec(q)) + w2 · bm25 / max_bm25(q)
+  * followed by the same re-sort the reference does (E3) — all expressed in
+  * Catalyst column arithmetic (one explode + two aggregations), no UDF.
+  */
+object Rerank {
+
+  /** @param topk       (query_id, doc_id, score, rank) from [[Bm25.search]]
+    * @param embeddings (vec_id, embedding: array<float>)
+    * @return (query_id, doc_id, rscore, rerank) */
+  def rescore(topk: DataFrame, embeddings: DataFrame, w1: Double = 0.7,
+      w2: Double = 0.3, qTop: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id").as("doc_id"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val t = topk.join(e, Seq("doc_id"))
+    val qv = t.filter(col("rank") <= qTop)
+      .groupBy(col("query_id"), col("dim"))
+      .agg(avg(col("v")).as("qv"))
+    val agg = t.join(qv, Seq("query_id", "dim"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(col("v") * col("qv")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("dn"),
+        sqrt(sum(col("qv") * col("qv"))).as("qn"),
+        max(col("score")).as("score")) // G8-style max-over-group
+    val ms = Window.partitionBy(col("query_id"))
+    val cos = when(col("dn") > 0.0 && col("qn") > 0.0,
+      col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0))
+    val rescored = agg
+      .withColumn("rscore",
+        lit(w1) * cos + lit(w2) * col("score") / max(col("score")).over(ms))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("rscore"), 6).desc, col("doc_id").asc)
+    rescored
+      .withColumn("rerank", row_number().over(w))
+      .select(col("query_id"), col("doc_id"), col("rscore"), col("rerank"))
+  }
+}
