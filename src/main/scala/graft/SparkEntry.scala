@@ -128,11 +128,11 @@ object SparkEntry {
     //      the shared oracle IS the equivalence proof) ----
     "q_spimi_postings" -> ((s, dir) => {
       val merged = Spimi.merge(
-        Spimi.runs(Spimi.tokenRows(docs(s, dir), cfg), 8), 8)
+        Spimi.runs(Spimi.docPostings(docs(s, dir), cfg), 8), 8)
       merged.toDF().select(col("term"), col("doc_id"),
         col("tf").cast("long").as("tf"),
-        element_at(col("positions"), 1).cast("long").as("first_pos"),
-        element_at(col("positions"), -1).cast("long").as("last_pos"))
+        col("first_pos").cast("long").as("first_pos"),
+        col("last_pos").cast("long").as("last_pos"))
     }),
 
     // ---- §7.4 codec: delta+varbyte blocks decode back to the postings ----

@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
 final case class TokenRow(term: String, doc_id: Long, pos: Int, doc_len: Int)
 final case class RunRow(term: String, doc_id: Long, tf: Int,
     positions: Array[Int], doc_len: Int)
+
+/** A complete posting with delta+varbyte-packed positions — the compact
+  * shuffle/storage format of the SPIMI pipeline. ~4× smaller than an
+  * int-array row on the wire and in the run files; `first_pos`/`last_pos`
+  * ride along un-packed for cheap positional queries. */
+final case class PackedPosting(term: String, doc_id: Long, tf: Int,
+    pos_bytes: Array[Byte], first_pos: Int, last_pos: Int, doc_len: Int)
+
 final case class LineageRow(stage: String, partition_id: Int, n_rows: Long,
     n_docs: Long, checksum: Long, status: String)
 
@@ -44,9 +52,66 @@ final case class LineageRow(stage: String, partition_id: Int, n_rows: Long,
 object Spimi {
 
   val DefaultSaltBuckets = 16
-  val DefaultFlushTokens = 4 * 1000 * 1000
 
-  /** Exploded token rows for the SPIMI path. */
+  /** Doc-at-a-time inversion — the narrow (shuffle-free) first stage.
+    *
+    * Because every (term, doc) posting is complete within its document —
+    * the same invariant the reference exploits ("each doc lives in exactly
+    * one batch", src/data_processing.py:82, which is why its merge is pure
+    * concatenation — SURVEY §2 G3) — the in-memory SPIMI map never needs
+    * to span documents: one small per-doc HashMap suffices, memory is
+    * bounded by the largest single document, and the exploded token stream
+    * (|tokens| rows) never hits a shuffle. Only |postings| compact rows
+    * (≈ 4-6× fewer, with varbyte-packed position lists) move to the run
+    * shuffle. */
+  def docPostings(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"):
+      Dataset[PackedPosting] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = graft.analysis.Tokenizer(cfg)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          val tokens = tok.tokenize(if (text == null) "" else text)
+          val byTerm = new java.util.HashMap[String, mutable.ArrayBuffer[Int]]()
+          var i = 0
+          while (i < tokens.length) {
+            var ps = byTerm.get(tokens(i))
+            if (ps == null) {
+              ps = mutable.ArrayBuffer[Int]()
+              byTerm.put(tokens(i), ps)
+            }
+            ps += i
+            i += 1
+          }
+          val out = new Array[PackedPosting](byTerm.size)
+          val eit = byTerm.entrySet().iterator()
+          var j = 0
+          while (eit.hasNext) {
+            val e = eit.next()
+            val ps = e.getValue.toArray // already increasing (append order)
+            out(j) = PackedPosting(e.getKey, docId, ps.length,
+              Codec.encodePositions(ps), ps(0), ps(ps.length - 1),
+              tokens.length)
+            j += 1
+          }
+          out
+        }
+      }
+  }
+
+  /** Salted repartition + partition-local sort = the SPIMI sorted runs.
+    * Spark's sort spills to disk, so a run partition can exceed memory —
+    * the generalization of the reference's bounded 10k-doc batches. */
+  def runs(postings: Dataset[PackedPosting], numPartitions: Int,
+      saltBuckets: Int = DefaultSaltBuckets): Dataset[PackedPosting] =
+    postings
+      .repartition(numPartitions, bucketExpr(numPartitions, saltBuckets))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+
+  /** Exploded token rows (kept for tests/diagnostics of the exploded form). */
   def tokenRows(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
       idCol: String = "doc_id", textCol: String = "text"): Dataset[TokenRow] = {
     val spark = docs.sparkSession
@@ -54,17 +119,6 @@ object Spimi {
     IndexBuilder.tokenRows(docs, cfg, idCol, textCol)
       .select(col("term"), col("doc_id"), col("pos"), col("doc_len"))
       .as[TokenRow]
-  }
-
-  /** Salted repartition + per-partition SPIMI run build. */
-  def runs(tokens: Dataset[TokenRow], numPartitions: Int,
-      saltBuckets: Int = DefaultSaltBuckets,
-      flushTokens: Int = DefaultFlushTokens): Dataset[RunRow] = {
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    tokens
-      .repartition(numPartitions, bucketExpr(numPartitions, saltBuckets))
-      .mapPartitions(it => new SpimiRunIterator(it, flushTokens))
   }
 
   /** Stable, row-derivable salted bucket id: hash(term) spread over
@@ -76,76 +130,26 @@ object Spimi {
       pmod(hash(col("doc_id")), lit(saltBuckets)).cast("long"),
       lit(numPartitions.toLong))
 
-  /** One partition's SPIMI loop: accumulate term→doc→positions until the
-    * token budget is hit, then drain a sorted segment. The iterator
-    * alternates fill/drain so flushed segments stream to the consumer
-    * (the shuffle/Parquet writer) instead of accumulating on heap. */
-  private final class SpimiRunIterator(in: Iterator[TokenRow],
-      flushTokens: Int) extends Iterator[RunRow] {
-    private var segment: Iterator[RunRow] = Iterator.empty
-
-    private def refill(): Unit = {
-      if (!in.hasNext) return
-      val map = mutable.HashMap[String, mutable.HashMap[Long, (Int, mutable.ArrayBuffer[Int])]]()
-      var tokens = 0
-      while (in.hasNext && tokens < flushTokens) {
-        val t = in.next()
-        val byDoc = map.getOrElseUpdate(t.term,
-          mutable.HashMap[Long, (Int, mutable.ArrayBuffer[Int])]())
-        val entry = byDoc.getOrElseUpdate(t.doc_id,
-          (t.doc_len, mutable.ArrayBuffer[Int]()))
-        entry._2 += t.pos
-        tokens += 1
-      }
-      // sorted run: (term ASC, doc_id ASC), positions sorted
-      segment = map.toSeq.sortBy(_._1).iterator.flatMap { case (term, byDoc) =>
-        byDoc.toSeq.sortBy(_._1).iterator.map { case (d, (dl, ps)) =>
-          val sorted = ps.toArray
-          java.util.Arrays.sort(sorted)
-          RunRow(term, d, sorted.length, sorted, dl)
-        }
-      }
-    }
-
-    override def hasNext: Boolean = {
-      while (!segment.hasNext && in.hasNext) refill()
-      segment.hasNext
-    }
-    override def next(): RunRow = {
-      if (!hasNext) throw new NoSuchElementException
-      segment.next()
-    }
-  }
-
-  /** Global merge: range-repartition + in-partition sort + adjacent-group
-    * merge. Fragments of the same (term, doc) — possible when a partition
-    * flushed mid-document — concatenate exactly like the reference's
-    * position-list `extend` (src/data_processing.py:121-127). */
-  def merge(runs: Dataset[RunRow], numPartitions: Int): Dataset[RunRow] = {
-    val spark = runs.sparkSession
-    import spark.implicits._
+  /** Global merge: one range-repartition on (term, doc_id) + in-partition
+    * sort. Because doc-at-a-time inversion emits each (term, doc) posting
+    * exactly once, the merge is a pure re-ordering — the same reason the
+    * reference's hierarchical merge degenerates to concatenation
+    * (src/data_processing.py:121-127; SURVEY §2 G3). Range partitioning
+    * keeps partitions balanced under Zipfian term skew: a heavy term just
+    * spans several consecutive partitions. */
+  def merge(runs: Dataset[PackedPosting],
+      numPartitions: Int): Dataset[PackedPosting] =
     runs
       .repartitionByRange(numPartitions, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .mapPartitions { it =>
-        new Iterator[RunRow] {
-          private val buf = it.buffered
-          override def hasNext: Boolean = buf.hasNext
-          override def next(): RunRow = {
-            val head = buf.next()
-            var tf = head.tf
-            var positions = head.positions
-            while (buf.hasNext && buf.head.term == head.term &&
-                buf.head.doc_id == head.doc_id) {
-              val frag = buf.next()
-              tf += frag.tf
-              positions = positions ++ frag.positions
-            }
-            if (tf != head.tf) java.util.Arrays.sort(positions)
-            RunRow(head.term, head.doc_id, tf, positions, head.doc_len)
-          }
-        }
-      }
+
+  /** Decode a packed pipeline output back to the reference-shaped
+    * positional rows (term, doc_id, tf, positions, doc_len). */
+  def unpack(packed: Dataset[PackedPosting]): Dataset[RunRow] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.map(p => RunRow(p.term, p.doc_id, p.tf,
+      Codec.decodePositions(p.pos_bytes, p.tf), p.doc_len))
   }
 
   /** Per-partition ingest lineage: row/doc counts + an order-insensitive
@@ -172,12 +176,15 @@ object Spimi {
       }
   }
 
-  /** Per-doc manifest: (doc_id, content_sha256) — the row-level half of the
-    * lineage invariant. */
-  def docManifest(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+  /** Per-doc manifest: (doc_id, content_sha256, doc_len) — the row-level
+    * half of the lineage invariant, plus the doc length so stage 3 never
+    * re-tokenizes the corpus (doc stats come straight from this table,
+    * including zero-token docs the postings can't see). */
+  def docManifest(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-      sha2(col(textCol), 256).as("content_sha256"))
+      sha2(col(textCol), 256).as("content_sha256"),
+      size(IndexBuilder.tokens(col(textCol), cfg)).as("doc_len"))
 
   private def stageDone(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
@@ -196,20 +203,18 @@ object Spimi {
   def buildCheckpointed(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
       workDir: String, numPartitions: Int,
       saltBuckets: Int = DefaultSaltBuckets,
-      flushTokens: Int = DefaultFlushTokens,
       idCol: String = "doc_id", textCol: String = "text"): InvertedIndex = {
     val spark = docs.sparkSession
 
     if (!stageDone(spark, s"$workDir/manifest")) {
-      docManifest(docs, idCol, textCol)
+      docManifest(docs, cfg, idCol, textCol)
         .write.mode("overwrite").parquet(s"$workDir/manifest")
       ingestLineage(docs, idCol, textCol)
         .write.mode("overwrite").parquet(s"$workDir/lineage")
     }
 
     if (!stageDone(spark, s"$workDir/runs")) {
-      runs(tokenRows(docs, cfg, idCol, textCol), numPartitions, saltBuckets,
-        flushTokens)
+      runs(docPostings(docs, cfg, idCol, textCol), numPartitions, saltBuckets)
         .write.mode("overwrite").parquet(s"$workDir/runs")
       // run-stage lineage: per-bucket row counts (bucket id recomputed from
       // the persisted rows — a pure function of (term, doc_id))
@@ -226,14 +231,17 @@ object Spimi {
 
     if (!stageDone(spark, s"$workDir/index/postings")) {
       import spark.implicits._
-      val merged = merge(spark.read.parquet(s"$workDir/runs").as[RunRow],
+      val merged = merge(
+        spark.read.parquet(s"$workDir/runs").as[PackedPosting],
         numPartitions)
       merged.toDF().write.mode("overwrite").parquet(s"$workDir/index/postings")
       val post = spark.read.parquet(s"$workDir/index/postings")
-      // doc stats come from the docs table (narrow) so zero-token documents
-      // still count toward N/avgdl, matching the reference's doc_lengths
-      // (src/data_processing.py:29 records every doc).
-      val ds = IndexBuilder.docStats(docs, cfg, idCol, textCol)
+      // doc stats come from the manifest (already tokenized once at
+      // ingest) so zero-token documents still count toward N/avgdl,
+      // matching the reference's doc_lengths (src/data_processing.py:29
+      // records every doc) — and the corpus is never tokenized twice.
+      val ds = spark.read.parquet(s"$workDir/manifest")
+        .select(col("doc_id"), col("doc_len"))
       ds.write.mode("overwrite").parquet(s"$workDir/index/doc_stats")
       val n = spark.read.parquet(s"$workDir/index/doc_stats").count()
       IndexBuilder.termStats(post, n)

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single seam through which every persisted engine table (index, stats,
+  * lineage, manifests, results) is written and read.
+  *
+  * The north_rule targets Iceberg tables; this sandbox ships no Iceberg
+  * runtime jar (verified: /opt/spark/jars has Parquet/Avro/Hive only) and
+  * dependency resolution is offline, so the honest design is a format
+  * seam: Parquet is the default and fully exercised; `Iceberg` activates
+  * when a runtime jar + catalog are configured (`spark.sql.catalog.*`),
+  * at which point `dir` is interpreted as a table identifier and writes
+  * gain Iceberg's snapshot/rollback semantics with no caller changes
+  * (SURVEY §7.7).
+  */
+object TableIO {
+
+  sealed trait Format
+  case object Parquet extends Format
+  case object Iceberg extends Format
+
+  /** Chosen once per job; Parquet unless an Iceberg catalog is present. */
+  def detect(spark: SparkSession): Format =
+    if (spark.conf.getOption("spark.sql.catalog.graft").isDefined) Iceberg
+    else Parquet
+
+  def write(df: DataFrame, target: String,
+      format: Format = Parquet, mode: String = "overwrite"): Unit =
+    format match {
+      case Parquet => df.write.mode(mode).parquet(target)
+      case Iceberg => df.writeTo(target).createOrReplace()
+    }
+
+  def read(spark: SparkSession, target: String,
+      format: Format = Parquet): DataFrame =
+    format match {
+      case Parquet => spark.read.parquet(target)
+      case Iceberg => spark.read.table(target)
+    }
+}

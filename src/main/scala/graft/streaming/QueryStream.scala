@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.analysis.TokenizerConfig
+import graft.index.InvertedIndex
+import graft.query.Bm25
+
+/** Streaming query serving — the "index once, many queries" shape of the
+  * reference's `batch_search` (reference src/bm25_search.py:178-224, which
+  * loads the index once at :202 then loops queries) lifted to Structured
+  * Streaming: queries arrive as an unbounded stream and are answered per
+  * micro-batch against the STATIC index tables.
+  *
+  * No watermark is needed: queries are independent events with no
+  * cross-query aggregation (SURVEY §2 H). The index side is a static
+  * DataFrame, so each micro-batch plans a stream-static broadcast join —
+  * the index is never re-shuffled per batch.
+  *
+  * At scale this is the serving tier: a long-lived SparkSession holding
+  * the cached index, with query batches flowing through; swap the source
+  * for Kafka and the sink for a results topic and nothing else changes.
+  */
+object QueryStream {
+
+  /** Attach the BM25 top-k computation to a streaming queries DataFrame
+    * (schema: query_id string, question string). Returns a writer in
+    * foreachBatch mode; caller starts it with `.start()`. */
+  def serve(queryStream: DataFrame, index: InvertedIndex,
+      cfg: TokenizerConfig, k: Int = 100)(
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queryStream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val ranked = Bm25.search(index, batch, cfg, k)
+          onBatch(ranked, id)
+        }
+      }
+
+  /** Convenience: serve into an in-memory table for tests/demos. */
+  def serveToMemory(queryStream: DataFrame, index: InvertedIndex,
+      cfg: TokenizerConfig, k: Int, sink: String => Unit): DataStreamWriter[Row] =
+    serve(queryStream, index, cfg, k) { (ranked, _) =>
+      ranked.select(col("query_id"), col("doc_id"), col("rank")).collect()
+        .foreach(r => sink(s"${r.getString(0)},${r.getLong(1)},${r.getInt(2)}"))
+    }
+}

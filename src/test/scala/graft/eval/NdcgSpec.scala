@@ -1,0 +1,31 @@
+package graft.eval
+
+import graft.SparkSpec
+
+/** Hand-computed vectors for the reference's DCG variant
+  * (rank-1 undiscounted; src/evaluation.py:5-39). */
+class NdcgSpec extends SparkSpec {
+
+  test("nDCG matches hand-computed values") {
+    import spark.implicits._
+    // query a: retrieved [1,2,3], gold {1,3} ->
+    //   dcg = 1 (rank1) + 0 + 1/log2(3); idcg = 1 + 1/log2(2) = 2
+    val ranked = Seq(("a", 1L, 1), ("a", 2L, 2), ("a", 3L, 3),
+      ("b", 5L, 1), ("b", 6L, 2)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq(("a", 1L), ("a", 3L), ("b", 9L)).toDF("query_id", "doc_id")
+    val res = Ndcg.perQuery(ranked, gold, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantA = (1.0 + 1.0 / (math.log(3) / math.log(2))) / 2.0
+    assert(math.abs(res("a") - wantA) < 1e-12)
+    assert(res("b") == 0.0) // gold doc never retrieved
+    assert(math.abs(Ndcg.mean(ranked, gold, 10) - (wantA / 2.0)) < 1e-12)
+  }
+
+  test("perfect ranking scores 1.0; idcg truncates at k and |gold|") {
+    import spark.implicits._
+    val ranked = Seq(("q", 10L, 1), ("q", 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq(("q", 10L), ("q", 20L)).toDF("query_id", "doc_id")
+    val res = Ndcg.perQuery(ranked, gold, 10).collect()
+    assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-12)
+  }
+}

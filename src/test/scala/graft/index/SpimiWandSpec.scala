@@ -24,26 +24,30 @@ class SpimiWandSpec extends SparkSpec {
 
   test("SPIMI runs+merge produce exactly the declarative postings") {
     val declarative = IndexBuilder.postings(IndexBuilder.tokenRows(docs, cfg))
-    val spimi = Spimi.merge(
-      Spimi.runs(Spimi.tokenRows(docs, cfg), numPartitions = 8,
-        saltBuckets = 4, flushTokens = 1000), // tiny flush => many segments
-      numPartitions = 5)
+    val spimi = Spimi.unpack(Spimi.merge(
+      Spimi.runs(Spimi.docPostings(docs, cfg), numPartitions = 8,
+        saltBuckets = 4),
+      numPartitions = 5))
     assert(canonPostings(spimi.toDF()) == canonPostings(declarative))
   }
 
   test("checkpointed build resumes to an identical index and lineage checks out") {
+    import spark.implicits._
     val work = Files.createTempDirectory("graft-spimi").toString
     val idx1 = Spimi.buildCheckpointed(docs, cfg, work, numPartitions = 6)
     val fresh = IndexBuilder.build(docs, cfg)
-    assert(canonPostings(idx1.postings) == canonPostings(fresh.postings))
+    def unpacked(df: org.apache.spark.sql.DataFrame) =
+      canonPostings(Spimi.unpack(df.as[PackedPosting]).toDF())
+    assert(unpacked(idx1.postings) == canonPostings(fresh.postings))
     assert(idx1.numDocs == fresh.numDocs && math.abs(idx1.avgdl - fresh.avgdl) < 1e-12)
 
     // resume: rerun over the same workDir — must skip and yield the same
     val idx2 = Spimi.buildCheckpointed(docs, cfg, work, numPartitions = 6)
-    assert(canonPostings(idx2.postings) == canonPostings(fresh.postings))
+    assert(unpacked(idx2.postings) == canonPostings(fresh.postings))
 
     // per-row invariant: manifest sha256 equals recomputed source sha256
     val manifest = spark.read.parquet(s"$work/manifest")
+      .select("doc_id", "content_sha256")
     val src = docs.select(col("doc_id"),
       sha2(col("text"), 256).as("content_sha256"))
     assert(manifest.except(src).count() == 0 && src.except(manifest).count() == 0)

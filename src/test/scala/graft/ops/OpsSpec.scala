@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+
+class OpsSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("exact dedup finds injected duplicates and nothing else") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma"), (4L, "unique text here"))
+      .toDF("doc_id", "text")
+    val res = Dedup.exact(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(res == Set((1L, 1L, 2L, false), (3L, 1L, 2L, true),
+      (2L, 2L, 1L, false), (4L, 4L, 1L, false)))
+  }
+
+  test("minhash LSH finds exact and near duplicates with correct jaccard") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, t), (2L, t), // exact dup -> jaccard 1.0
+      (3L, t + " extra"), // near dup
+      (4L, "completely different words describing other things entirely now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(corpus, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(pairs.keySet.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("simhash: identical docs equal; near docs within small hamming distance") {
+    import spark.implicits._
+    val t = "spark index merge shuffle partition sort join hash scan filter"
+    val corpus = Seq((1L, t), (2L, t), (3L, t + " extra token"),
+      (4L, "entirely unrelated vocabulary about gardening and cooking soup"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 4, s"near-dup hamming ${hamming(sh(1L), sh(3L))}")
+    assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
+  }
+
+  test("brute-force ANN: self is rank 1 with cosine 1") {
+    val res = Similarity.bruteForceTopK(
+      spark.read.parquet(sf("sf0.001") + "/embeddings.parquet"),
+      col("vec_id") % 250 === 0, 5).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    for ((q, rows) <- byQuery) {
+      val r1 = rows.find(_.getInt(3) == 1).get
+      assert(r1.getLong(1) == q, s"rank-1 of $q should be itself")
+      assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates, same bucket only") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val pred = col("vec_id") % 250 === 0
+    val lsh = Similarity.lshTopK(emb, pred, 10).collect()
+    val buckets = Similarity.buckets(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- lsh)
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+        "LSH candidate must share the query's bucket")
+  }
+
+  test("language id is deterministic and marker-driven") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat is on the mat"), // en markers
+      (2L, "der hund und die katze"), // de markers
+      (3L, "xyzzy plugh")) // no markers
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.languageId(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("quality score bounds and monotonicity") {
+    val q = TextAnalysis.qualityScore(docs).collect()
+    assert(q.nonEmpty)
+    for (r <- q) {
+      val quality = r.getDouble(4)
+      assert(quality >= 0.0 && quality <= 1.0)
+    }
+  }
+
+  test("winnowing: shared long runs share a fingerprint; robust to prefix shift") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ").toIndexedSeq
+    val b = ("prefix words here " + "alpha beta gamma delta epsilon zeta eta theta iota kappa").split(" ").toIndexedSeq
+    val fa = Winnowing.fingerprintTokens(a).toSet
+    val fb = Winnowing.fingerprintTokens(b).toSet
+    assert(fa.intersect(fb).nonEmpty, "shared run must produce shared fingerprint")
+    val c = "one two three four five six seven eight nine ten".split(" ").toIndexedSeq
+    assert(Winnowing.fingerprintTokens(c).toSet.intersect(fa).isEmpty)
+  }
+
+  test("winnowing determinism and coverage guarantee") {
+    val toks = ("the quick brown fox jumps over the lazy dog and runs far away " * 4)
+      .trim.split(" ").toIndexedSeq
+    val f1 = Winnowing.fingerprintTokens(toks)
+    val f2 = Winnowing.fingerprintTokens(toks)
+    assert(f1.sameElements(f2))
+    assert(f1.nonEmpty && f1.length < toks.length)
+  }
+
+  test("multimodal: payload metadata matches source bytes") {
+    val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
+    val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
+        sha2(col("text"), 256)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(meta.length == src.size)
+    for (m <- meta) {
+      val (len, sha) = src(m.doc_id)
+      assert(m.n_bytes == len && m.payload_sha == sha)
+      assert(m.width == len % 640 && m.height == (len * 7) % 480)
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.index.IndexBuilder
+import graft.query.Bm25
+
+class QueryStreamSpec extends SparkSpec {
+
+  test("streaming queries against the static index match batch results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val index = IndexBuilder.build(docs, TokenizerConfig.default).cache()
+
+    val source = MemoryStream[(String, String)]
+    val queryStream = source.toDF().toDF("query_id", "question")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = QueryStream.serveToMemory(queryStream, index,
+      TokenizerConfig.default, k = 10, line => out.synchronized { out += line })
+    val q = writer.start()
+    try {
+      source.addData(("q01", "merge"), ("q02", "merge join"))
+      q.processAllAvailable()
+      source.addData(("q03", "merge merge sort"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = Bm25.search(index,
+        QuerySet.df(spark).filter($"query_id".isin("q01", "q02", "q03")),
+        TokenizerConfig.default, 10)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => s"${r.getString(0)},${r.getLong(1)},${r.getInt(2)}").toSet
+    assert(out.toSet == batch, "streaming micro-batch results must equal batch")
+  }
+}
