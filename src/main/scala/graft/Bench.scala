@@ -25,12 +25,31 @@ object Bench {
 
   private val cfg = TokenizerConfig.default
 
+  /** Bench work (runs/index tables + shuffle spill) goes to tmpfs: on a
+    * real cluster, disk bandwidth scales with executor count (each node
+    * brings its own disks); a single box's one virtio disk does not, so
+    * putting the scratch space in RAM keeps the 8-vs-32-core comparison
+    * about the ENGINE's scaling rather than one shared disk's. Override
+    * with SPARK_GRAFT_WORK_DIR to bench against real disk. */
+  private val workRoot = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_WORK_DIR",
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-bench"
+      else System.getProperty("java.io.tmpdir"))
+    new java.io.File(root).mkdirs()
+    root
+  }
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(java.nio.file.Paths.get(workRoot), prefix)
+      .toString
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$workRoot/spark-local")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -54,7 +73,7 @@ object Bench {
     * persisted to a temp dir; returns wall seconds. */
   private def timeIndexBuild(s: SparkSession, sfDir: String, synthDocs: Int,
       partitions: Int): Double = {
-    val work = Files.createTempDirectory("graft-bench-idx").toString
+    val work = tempDir("graft-bench-idx")
     val c = corpus(s, sfDir, synthDocs)
     val t0 = System.nanoTime()
     Spimi.buildCheckpointed(c, cfg, work, partitions)
@@ -125,24 +144,40 @@ object Bench {
     // the fixed per-job scheduling cost (calibrated: 0.96 efficiency at
     // 100k docs vs 0.26 at 3.5k where overhead dominates). ----
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
+    val scaleQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "80").toInt
+
+    // Materialize the scaling corpus ONCE as a parquet table (untimed):
+    // the timed job then READS a table — what a real pipeline does — and
+    // both cluster sizes consume byte-identical input.
+    val corpusPath = s"${tempDir("graft-scale-corpus")}/corpus"
+    locally {
+      val sess = session(cpus)
+      SynthCorpus.withDocId(SynthCorpus.df(sess, scaleDocs, partitions = 128))
+        .select(col("doc_id"), col("content").as("text"))
+        .write.mode("overwrite").parquet(corpusPath)
+      sess.stop()
+    }
+
     def scalingRun(cores: Int): (Double, Double) = {
       val sess = session(cores)
-      def synth(m: Long) = SynthCorpus.withDocId(
-          SynthCorpus.df(sess, m, partitions = cores * 4))
-        .select(col("doc_id"), col("content").as("text"))
-      val c = synth(scaleDocs)
+      val c = sess.read.parquet(corpusPath)
       // warmup: run the FULL pipeline on a small corpus so JIT/codegen of
       // every stage happens outside the timed region
-      val wwork = Files.createTempDirectory("graft-warm").toString
-      Spimi.buildCheckpointed(synth(20000), cfg, wwork, cores)
+      val wwork = tempDir("graft-warm")
+      Spimi.buildCheckpointed(c.limit(20000), cfg, wwork, cores)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wwork))
-      val work = Files.createTempDirectory("graft-scale").toString
+      val work = tempDir("graft-scale")
       val t0 = System.nanoTime()
       val idxS = Spimi.buildCheckpointed(c, cfg, work, cores)
       val tBuild = (System.nanoTime() - t0) / 1e9
       idxS.postings.cache().count()
-      val (tQuery, _) = time(
-        Bm25.search(idxS, QuerySet.df(sess), cfg, 100).count())
+      // query throughput needs a query BATCH: replicate the fixture set
+      // so the scoring job has real parallel work at both core counts
+      val batch = QuerySet.df(sess)
+        .crossJoin(sess.range(scaleQueries).select(col("id").as("rep")))
+        .select(concat(col("query_id"), lit("_"), col("rep")).as("query_id"),
+          col("question"))
+      val (tQuery, _) = time(Bm25.search(idxS, batch, cfg, 100).count())
       idxS.postings.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
       sess.stop()
@@ -150,6 +185,8 @@ object Bench {
     }
     val (t8, q8) = scalingRun(8)
     val (t32, q32) = scalingRun(32)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(corpusPath).getParentFile)
 
     val indexEff = t8 / (4.0 * t32)
     val queryEff = q8 / (4.0 * q32)

@@ -9,7 +9,7 @@ import graft.eval.Ndcg
 import graft.fixtures.QuerySet
 import graft.index.{IndexBuilder, ServingIndex, Spimi}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.query.{Bm25, Rerank, Wand}
+import graft.query.{Bm25, Rerank, TrainingPairs, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-runnable `oracleSql` equivalent where
@@ -205,6 +205,18 @@ object SparkEntry {
           round(col("quality"), 6).cast("double").as("quality"))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+
+    // ---- G10/P10: vocabulary with parallel-safe first-seen ids ----
+    "q_vocab" -> ((s, dir) =>
+      IndexBuilder.vocabulary(plans.tokenRows(s, dir))
+        .select(col("term"), col("term_id").cast("long").as("term_id"))),
+
+    // ---- J4/J5/J6 + E5: reranker training pairs ----
+    "q_training_pairs" -> ((s, dir) =>
+      TrainingPairs.build(
+        plans.ranked(s, dir).select("query_id", "doc_id", "rank"),
+        plans.gold(s, dir),
+        docs(s, dir).select("doc_id"))),
 
     // ---- multimodal binary plumbing (decode step stubbed) ----
     "q_multimodal_meta" -> ((s, dir) =>
@@ -468,6 +480,45 @@ object SparkEntry {
           |  FROM sh_arrays)""".stripMargin),
         "SELECT doc_id, min(md5(shingle)) AS fingerprint FROM doc_shingles" +
           " GROUP BY doc_id"),
+
+      "q_vocab" -> withCtes(Seq(tokArrays, toks,
+        """vocab AS (
+          |  SELECT term, min(doc_id * 1000000 + pos) AS first_occ
+          |  FROM toks GROUP BY term)""".stripMargin),
+        "SELECT term, row_number() OVER (ORDER BY first_occ, term) AS" +
+          " term_id FROM vocab"),
+
+      "q_training_pairs" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
+        gold,
+        """positives AS (
+          |  SELECT r.query_id, r.doc_id, CAST(1.0 AS DOUBLE) AS label,
+          |    'positive' AS kind
+          |  FROM ranked r WHERE EXISTS (SELECT 1 FROM gold g
+          |    WHERE g.query_id = r.query_id AND g.doc_id = r.doc_id))""".stripMargin,
+        """hardneg AS (
+          |  SELECT query_id, doc_id, CAST(0.0 AS DOUBLE) AS label,
+          |    'hard_negative' AS kind
+          |  FROM (
+          |    SELECT r.query_id, r.doc_id, row_number() OVER (
+          |      PARTITION BY r.query_id
+          |      ORDER BY md5(r.query_id || ':' || r.doc_id), r.doc_id) AS rn
+          |    FROM ranked r WHERE NOT EXISTS (SELECT 1 FROM gold g
+          |      WHERE g.query_id = r.query_id AND g.doc_id = r.doc_id))
+          |  WHERE rn <= 4)""".stripMargin,
+        """randneg AS (
+          |  SELECT query_id, doc_id, CAST(0.0 AS DOUBLE) AS label,
+          |    'random_negative' AS kind
+          |  FROM (
+          |    SELECT q.query_id, d.doc_id, row_number() OVER (
+          |      PARTITION BY q.query_id
+          |      ORDER BY md5(q.query_id || ':' || d.doc_id), d.doc_id) AS rn
+          |    FROM (SELECT DISTINCT query_id FROM ranked) q
+          |    CROSS JOIN (SELECT doc_id FROM documents) d
+          |    WHERE NOT EXISTS (SELECT 1 FROM ranked r
+          |      WHERE r.query_id = q.query_id AND r.doc_id = d.doc_id))
+          |  WHERE rn <= 4)""".stripMargin),
+        "SELECT * FROM positives UNION ALL SELECT * FROM hardneg" +
+          " UNION ALL SELECT * FROM randneg"),
 
       "q_multimodal_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -98,6 +98,23 @@ object IndexBuilder {
       .withColumn("idf",
         log((lit(numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
 
+  /** G10/P10: vocabulary with deterministic first-seen ids. The
+    * reference assigns ids in Python-dict first-seen order
+    * (src/tokenizer.py:57-64), which is not reproducible in parallel;
+    * the parallel-safe definition is first occurrence = min (doc_id, pos)
+    * (SURVEY §2 G10). The ranking window is global but runs over
+    * vocabulary-sized data (terms, not tokens), so the single-partition
+    * window is fine at any corpus scale. */
+  def vocabulary(tokenRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokenRows
+      .groupBy(col("term"))
+      .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_occ"))
+      .withColumn("term_id",
+        row_number().over(Window.orderBy(col("first_occ"), col("term"))))
+      .select(col("term"), col("term_id"))
+  }
+
   /** (N, avgdl) — reference src/bm25_search.py:157-159. */
   def corpusStats(docStats: DataFrame): (Long, Double) = {
     val row = docStats.agg(

@@ -1,0 +1,65 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reranker training-pair construction — the relational form of the
+  * reference's `PointWiseDataset` (reference src/dataset.py:8-146):
+  *
+  *   positives      = ranked ∩ gold            (semi-join, label 1 — :55-60)
+  *   hard negatives = ranked ∖ gold, sampled   (anti-join + sample — :63-72)
+  *   rand negatives = corpus ∖ ranked, sampled (anti-join + sample — :73-77)
+  *
+  * The reference samples with `random.seed(42)` (src/dataset.py:43); a
+  * partition-dependent `df.sample` would NOT be reproducible across
+  * cluster sizes, so sampling here is a deterministic hash order:
+  * row_number over md5(query_id ':' doc_id) — stable under any
+  * parallelism AND reproducible by the SQL oracle (SURVEY §2 E5).
+  */
+object TrainingPairs {
+
+  /** @param ranked (query_id, doc_id, rank) — the BM25 shortlist
+    * @param gold   (query_id, doc_id) — gold-standard labels
+    * @param corpusIds single-column (doc_id) universe
+    * @param negPerQuery hard/random negatives kept per query
+    * @return (query_id, doc_id, label, kind) */
+  def build(ranked: DataFrame, gold: DataFrame, corpusIds: DataFrame,
+      negPerQuery: Int = 4): DataFrame = {
+    val sampleOrder = Window.partitionBy(col("query_id"))
+      .orderBy(md5(concat(col("query_id"), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), col("doc_id"))
+
+    val positives = ranked.select("query_id", "doc_id")
+      .join(gold, Seq("query_id", "doc_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"),
+        lit(1.0).as("label"), lit("positive").as("kind"))
+
+    val hardNegatives = ranked.select("query_id", "doc_id")
+      .join(gold, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(sampleOrder))
+      .filter(col("rn") <= negPerQuery)
+      .select(col("query_id"), col("doc_id"),
+        lit(0.0).as("label"), lit("hard_negative").as("kind"))
+
+    // corpus × queries universe minus the ranked docs (reference
+    // src/dataset.py:74-76); at 10^12-doc scale the universe would be
+    // pre-sampled per query before the anti-join — noted, not needed here
+    val queryIds = ranked.select("query_id").distinct()
+    val randomNegatives = queryIds
+      .crossJoin(corpusIds.select(col("doc_id")))
+      .join(ranked.select("query_id", "doc_id"), Seq("query_id", "doc_id"),
+        "left_anti")
+      .withColumn("rn", row_number().over(sampleOrder))
+      .filter(col("rn") <= negPerQuery)
+      .select(col("query_id"), col("doc_id"),
+        lit(0.0).as("label"), lit("random_negative").as("kind"))
+
+    positives.union(hardNegatives).union(randomNegatives)
+  }
+
+  /** J6: prune the corpus to the docs any pair references — classic
+    * row-pruning semi-join (reference src/dataset.py:87-89). */
+  def neededDocs(corpus: DataFrame, pairs: DataFrame): DataFrame =
+    corpus.join(pairs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+}

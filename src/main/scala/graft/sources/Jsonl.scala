@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL sources/sinks with the reference's exact shapes and field-fallback
+  * semantics (SURVEY §2 A1-A3, A6; P6/P7/P12).
+  *
+  * Explicit schemas throughout — never `inferSchema` in the hot path
+  * (SURVEY §1.3): a schema read is one pass, an inferred one is two.
+  */
+object Jsonl {
+
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType), StructField("text", StringType)))
+
+  val querySchema: StructType = StructType(Seq(
+    StructField("query_id", StringType), StructField("id", StringType),
+    StructField("question", StringType), StructField("query", StringType),
+    StructField("goldstandard_documents", ArrayType(StringType))))
+
+  val rankedSchema: StructType = StructType(Seq(
+    StructField("query_id", StringType), StructField("id", StringType),
+    StructField("retrieved_documents", ArrayType(StringType))))
+
+  /** A1: corpus scan. `{"doc_id": "PMID:2451706", "text": ...}` with the
+    * prefix strip made an explicit projection (reference
+    * src/data_processing.py:26 `doc_id.split(':')[1]`; SURVEY P6). */
+  def readCorpus(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(corpusSchema).json(path)
+      .select(
+        substring_index(col("doc_id"), ":", -1).cast("long").as("doc_id"),
+        col("doc_id").as("raw_doc_id"),
+        col("text"))
+
+  /** A2: query scan with the reference's field fallbacks
+    * (`query_id` or `id`, `question` or `query` —
+    * src/bm25_search.py:205-206; SURVEY P12), normalized at ingest. */
+  def readQueries(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(querySchema).json(path)
+      .select(
+        coalesce(col("query_id"), col("id")).as("query_id"),
+        coalesce(col("question"), col("query")).as("question"),
+        col("goldstandard_documents"))
+
+  /** A3: prior-ranking scan — rank recovered from list position
+    * (reference src/utils.py:78-100 keeps score order; SURVEY A3). */
+  def readRanked(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(rankedSchema).json(path)
+      .select(coalesce(col("query_id"), col("id")).as("query_id"),
+        posexplode(col("retrieved_documents")).as(Seq("pos", "raw_doc_id")))
+      .select(col("query_id"),
+        substring_index(col("raw_doc_id"), ":", -1).cast("long").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** A6: results sink — `{"id", "question", "retrieved_documents"}` rows,
+    * doc ids re-prefixed (reference src/bm25_search.py:172,216-222;
+    * SURVEY P7). One shuffle (the sort-collect per query). */
+  def writeResults(ranked: DataFrame, queries: DataFrame, path: String,
+      prefix: String = "PMID:"): Unit =
+    ranked
+      .withColumn("prefixed", concat(lit(prefix), col("doc_id")))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("prefixed"))))
+        .getField("prefixed").as("retrieved_documents"))
+      .join(queries.select(col("query_id"), col("question")), Seq("query_id"))
+      .select(col("query_id").as("id"), col("question"),
+        col("retrieved_documents"))
+      .write.mode("overwrite").json(path)
+
+  /** A7: tokenizer-config source — JSON instead of the reference's msgpack
+    * (src/data_processing.py:166-179); same four knobs. */
+  def readTokenizerConfig(spark: SparkSession, path: String):
+      graft.analysis.TokenizerConfig = {
+    val schema = StructType(Seq(
+      StructField("min_token_length", IntegerType),
+      StructField("lowercase", BooleanType),
+      StructField("stem", BooleanType),
+      StructField("stopwords", ArrayType(StringType))))
+    val row = spark.read.schema(schema).json(path).head()
+    graft.analysis.TokenizerConfig(
+      minTokenLength = if (row.isNullAt(0)) 3 else row.getInt(0),
+      lowercase = if (row.isNullAt(1)) true else row.getBoolean(1),
+      stem = if (row.isNullAt(2)) false else row.getBoolean(2),
+      stopwords = if (row.isNullAt(3)) Set.empty
+        else row.getSeq[String](3).toSet)
+  }
+}

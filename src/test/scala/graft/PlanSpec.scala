@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.index.{IndexBuilder, ServingIndex}
+import graft.query.Bm25
+
+/** Physical-plan shape assertions — the properties that make the engine
+  * scale are encoded as tests so a refactor can't silently regress them:
+  * query-side broadcast (the index is never shuffled by a query), term
+  * predicate pushdown into the Parquet scan, and narrow (exchange-free)
+  * per-document operators. */
+class PlanSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("BM25 scoring broadcasts the query side — index is never shuffled by the join") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(Bm25.score(idx, Bm25.queryTerms(QuerySet.df(spark), cfg)))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"query join must not sort-merge the postings:\n$p")
+  }
+
+  test("doc-length computation is narrow: no Exchange in the plan") {
+    val p = plan(IndexBuilder.docStats(docs, cfg))
+    assert(!p.contains("Exchange"), s"docStats must not shuffle:\n$p")
+  }
+
+  test("tokenization runs inside WholeStageCodegen (no UDF in the stem-off path)") {
+    val p = plan(IndexBuilder.tokenRows(docs, cfg))
+    // WholeStageCodegen renders as "*(n)" stage prefixes in plan strings
+    assert(p.contains("*(") , s"expected codegen stages:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"stem-off tokenizer must be pure Catalyst:\n$p")
+  }
+
+  test("serving-index term filter pushes down to the Parquet scan") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val dir = Files.createTempDirectory("graft-plan").toString
+    ServingIndex.write(ServingIndex.fromPostings(idx.postings, 4), dir)
+    val scan = ServingIndex.read(spark, dir)
+      .filter(col("term").isin("merge", "join"))
+    val p = plan(scan.toDF())
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      s"term IN filter must reach the parquet reader:\n$p")
+    // column pruning: reading only block metadata must not fetch payloads
+    val narrow = ServingIndex.read(spark, dir).select("term", "n")
+    val np = narrow.queryExecution.executedPlan.toString
+    assert(np.contains("ReadSchema") && !np.contains("docs:binary"),
+      s"payload columns must be pruned from a metadata-only read:\n$np")
+  }
+
+  test("postings aggregation keys on (term, doc_id) — skew-free by construction") {
+    val p = plan(IndexBuilder.postings(IndexBuilder.tokenRows(docs, cfg)))
+    // one hash-partitioned exchange on both keys, with partial aggregation
+    assert(p.contains("hashpartitioning(term"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+}

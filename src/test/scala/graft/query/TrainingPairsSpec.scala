@@ -1,0 +1,45 @@
+package graft.query
+
+import graft.SparkSpec
+
+class TrainingPairsSpec extends SparkSpec {
+
+  test("positives/hard/random negatives partition correctly and sampling is deterministic") {
+    import spark.implicits._
+    val ranked = Seq(
+      ("q1", 1L, 1), ("q1", 2L, 2), ("q1", 3L, 3), ("q1", 4L, 4))
+      .toDF("query_id", "doc_id", "rank")
+    val gold = Seq(("q1", 2L), ("q1", 99L)).toDF("query_id", "doc_id")
+    val corpus = (1L to 10L).toDF("doc_id")
+
+    val pairs = TrainingPairs.build(ranked, gold, corpus, negPerQuery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+
+    val pos = pairs.filter(_._4 == "positive").map(_._2).toSet
+    assert(pos == Set(2L), "positive = ranked ∩ gold")
+    val hard = pairs.filter(_._4 == "hard_negative").map(_._2).toSet
+    assert(hard.size == 2 && hard.subsetOf(Set(1L, 3L, 4L)),
+      "hard negatives come from ranked ∖ gold")
+    val rand = pairs.filter(_._4 == "random_negative").map(_._2).toSet
+    assert(rand.size == 2 && rand.intersect(Set(1L, 2L, 3L, 4L)).isEmpty,
+      "random negatives exclude every ranked doc")
+    assert(pairs.forall(p => (p._3 == 1.0) == (p._4 == "positive")))
+
+    // determinism across partitioning
+    val pairs2 = TrainingPairs.build(ranked.repartition(7), gold,
+      corpus.repartition(3), negPerQuery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    assert(pairs.toSet == pairs2.toSet)
+  }
+
+  test("neededDocs prunes the corpus to referenced docs (J6)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val pairs = Seq(("q", 1L), ("q", 3L)).toDF("query_id", "doc_id")
+    val pruned = TrainingPairs.neededDocs(corpus, pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(pruned == Set(1L, 3L))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class JsonlSpec extends SparkSpec {
+
+  private def writeLines(lines: Seq[String]): String = {
+    val f = Files.createTempFile("graft-jsonl", ".jsonl")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("corpus scan strips the PMID prefix (P6) and keeps the raw id") {
+    val path = writeLines(Seq(
+      """{"doc_id": "PMID:2451706", "text": "alpha beta"}""",
+      """{"doc_id": "PMID:7", "text": "gamma"}"""))
+    val rows = Jsonl.readCorpus(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((2451706L, "PMID:2451706", "alpha beta"),
+      (7L, "PMID:7", "gamma")))
+  }
+
+  test("query scan applies the reference's field fallbacks (P12)") {
+    val path = writeLines(Seq(
+      """{"query_id": "a", "question": "q one", "goldstandard_documents": ["PMID:1"]}""",
+      """{"id": "b", "query": "q two"}"""))
+    val rows = Jsonl.readQueries(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "q one"), ("b", "q two")))
+  }
+
+  test("ranked scan recovers rank from list position (A3)") {
+    val path = writeLines(Seq(
+      """{"query_id": "a", "retrieved_documents": ["PMID:5", "PMID:3"]}"""))
+    val rows = Jsonl.readRanked(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows == Set(("a", 5L, 1), ("a", 3L, 2)))
+  }
+
+  test("results sink writes rank-ordered prefixed ids (A6/P7) round-trip") {
+    import spark.implicits._
+    val ranked = Seq(("a", 5L, 2), ("a", 9L, 1)).toDF("query_id", "doc_id", "rank")
+    val queries = Seq(("a", "what is spark")).toDF("query_id", "question")
+    val out = Files.createTempDirectory("graft-results").toString + "/res"
+    Jsonl.writeResults(ranked, queries, out)
+    val back = spark.read.json(out).collect().head
+    assert(back.getAs[String]("id") == "a")
+    assert(back.getAs[scala.collection.Seq[String]]("retrieved_documents")
+      .toSeq == Seq("PMID:9", "PMID:5"),
+      "must be rank order, not insertion order")
+  }
+
+  test("tokenizer-config source (A7) with defaults for missing fields") {
+    val path = writeLines(Seq(
+      """{"min_token_length": 2, "stem": true, "stopwords": ["the"]}"""))
+    val cfg = Jsonl.readTokenizerConfig(spark, path)
+    assert(cfg.minTokenLength == 2 && cfg.lowercase && cfg.stem &&
+      cfg.stopwords == Set("the"))
+  }
+}
