@@ -170,15 +170,21 @@ object Bench {
       val t0 = System.nanoTime()
       val idxS = Spimi.buildCheckpointed(c, cfg, work, cores)
       val tBuild = (System.nanoTime() - t0) / 1e9
-      idxS.postings.cache().count()
-      // query throughput needs a query BATCH: replicate the fixture set
-      // so the scoring job has real parallel work at both core counts
+      // Query-throughput scaling runs on the SERVING path (WAND over the
+      // sharded compressed index): the join path scores every candidate,
+      // so a stopword query touches ~every doc — exactly the work WAND's
+      // block-max pruning exists to skip. Serving build is untimed.
+      val blocks = ServingIndex
+        .fromPostings(idxS.postings, numShards = cores).cache()
+      blocks.count()
       val batch = QuerySet.df(sess)
         .crossJoin(sess.range(scaleQueries).select(col("id").as("rep")))
         .select(concat(col("query_id"), lit("_"), col("rep")).as("query_id"),
           col("question"))
-      val (tQuery, _) = time(Bm25.search(idxS, batch, cfg, 100).count())
-      idxS.postings.unpersist()
+      val (tQuery, _) = time(
+        Wand.search(blocks, idxS.termStats, idxS.numDocs, idxS.avgdl,
+          batch, cfg, 100).count())
+      blocks.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
       sess.stop()
       (tBuild, tQuery)

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+
+import graft.analysis.{PorterStemmer, Tokenizer, TokenizerConfig}
+import graft.index.Codec
+
+/** Native Catalyst expressions for the posting codec (SURVEY §7.4 — the
+  * one custom-`Expression` surface the plan budget allows), plus SQL
+  * registration for the tokenizer/stemmer so every engine function is
+  * callable from `spark.sql(...)`.
+  *
+  * The codec expressions evaluate on Catalyst's internal representation
+  * directly (ArrayData in, byte[] out) — no row conversion, no UDF
+  * serialization. CodegenFallback keeps them correct inside codegen'd
+  * stages; the eval path is a tight primitive loop already.
+  */
+object GraftFunctions {
+
+  /** `graft_encode_positions(array<int>) -> binary` — delta+varbyte. */
+  case class EncodePositionsExpr(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_encode_positions"
+    override protected def nullSafeEval(v: Any): Any =
+      Codec.encodePositions(v.asInstanceOf[ArrayData].toIntArray())
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** `graft_decode_positions(binary, n) -> array<int>`. */
+  case class DecodePositionsExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, false)
+    override def prettyName: String = "graft_decode_positions"
+    override protected def nullSafeEval(bytes: Any, n: Any): Any =
+      new GenericArrayData(Codec.decodePositions(
+        bytes.asInstanceOf[Array[Byte]], n.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression) = copy(l, r)
+  }
+
+  import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+
+  def encode_positions(c: Column): Column =
+    toCol(EncodePositionsExpr(toExpr(c)))
+  def decode_positions(bytes: Column, n: Column): Column =
+    toCol(DecodePositionsExpr(toExpr(bytes), toExpr(n)))
+
+  /** Register every graft function for SQL access. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_encode_positions",
+      exprs => EncodePositionsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_decode_positions",
+      exprs => DecodePositionsExpr(exprs(0), exprs(1)), "built-in")
+    // tokenizer + stemmer as UDFs (stemming is not Catalyst-expressible)
+    val stemUdf = udf((s: String) => if (s == null) null else PorterStemmer.stem(s))
+    spark.udf.register("graft_stem", stemUdf)
+    val tok = Tokenizer(TokenizerConfig.notebook)
+    spark.udf.register("graft_tokenize",
+      udf((s: String) => tok.tokenize(s)))
+    val tokDefault = Tokenizer(TokenizerConfig.default)
+    spark.udf.register("graft_tokenize_nostem",
+      udf((s: String) => tokDefault.tokenize(s)))
+  }
+}

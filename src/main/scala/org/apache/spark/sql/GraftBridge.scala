@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal Column <-> Expression bridge. Spark 4 made `Column` backend-
+  * agnostic and scoped the classic converters `private[sql]`; extension
+  * libraries that define native Catalyst expressions conventionally bridge
+  * from within the package (same pattern as spark-connector projects). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

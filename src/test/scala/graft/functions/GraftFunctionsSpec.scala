@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.PorterStemmer
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("codec expressions round-trip through Catalyst and SQL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Array(0, 3, 4, 10)), (2L, Array(7)), (3L, Array.empty[Int]))
+      .toDF("id", "positions")
+    val rt = df.select(col("id"),
+      GraftFunctions.decode_positions(
+        GraftFunctions.encode_positions(col("positions")),
+        size(col("positions"))).as("back"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(rt == Map(1L -> Seq(0, 3, 4, 10), 2L -> Seq(7), 3L -> Seq()))
+
+    // same functions from SQL
+    df.createOrReplaceTempView("codec_in")
+    val sqlRt = spark.sql(
+      """SELECT id, graft_decode_positions(
+        |  graft_encode_positions(positions), size(positions)) AS back
+        |FROM codec_in""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(sqlRt == rt)
+  }
+
+  test("graft_stem and graft_tokenize are SQL-callable and match the library") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_stem('running') AS s, graft_tokenize('Merging the Indexes') AS t," +
+        " graft_tokenize_nostem('Merging the Indexes') AS t2").head()
+    assert(row.getString(0) == PorterStemmer.stem("running"))
+    assert(row.getSeq[String](1).toSeq ==
+      Seq("merg", "the", "index")) // notebook config: stem=true, min_len 3
+    assert(row.getSeq[String](2).toSeq == Seq("merging", "the", "indexes"))
+  }
+}
