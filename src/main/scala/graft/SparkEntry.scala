@@ -33,8 +33,16 @@ object SparkEntry {
     def tokenRows(s: SparkSession, dir: String): DataFrame =
       IndexBuilder.tokenRows(docs(s, dir), cfg)
 
-    def index(s: SparkSession, dir: String) =
-      IndexBuilder.build(docs(s, dir), cfg)
+    // The driver's Verify calls many queries back-to-back in one session;
+    // the index over a given sf dir is identical each time, so memoize it
+    // (cached Datasets, corpus-stats scalars) per (session, dir).
+    private val indexCache =
+      scala.collection.concurrent.TrieMap[(SparkSession, String),
+        graft.index.InvertedIndex]()
+
+    def index(s: SparkSession, dir: String): graft.index.InvertedIndex =
+      indexCache.getOrElseUpdate((s, dir),
+        IndexBuilder.build(docs(s, dir), cfg).cache())
 
     def ranked(s: SparkSession, dir: String, k: Int = TopK): DataFrame =
       Bm25.search(index(s, dir), QuerySet.df(s), cfg, k)

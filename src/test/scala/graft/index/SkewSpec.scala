@@ -1,0 +1,52 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.SynthCorpus
+
+/** Demonstrates the skew-handling claim concretely: with term-hash-only
+  * partitioning a stopword term pins one bucket; with the doc-salt the
+  * same term's postings spread across `saltBuckets` buckets, bounding the
+  * largest partition (SURVEY §4 O5; north_rule "skew handled explicitly").
+  */
+class SkewSpec extends SparkSpec {
+
+  test("doc-salt bounds the heaviest bucket under Zipfian term skew") {
+    val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 2000, partitions = 4))
+      .withColumnRenamed("content", "text")
+    val postings = Spimi.docPostings(synth, TokenizerConfig.default).toDF()
+    val p = 16
+
+    def maxBucketShare(bucket: org.apache.spark.sql.Column): Double = {
+      val counts = postings.groupBy(bucket.as("b")).count()
+        .collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+
+    // unsalted: pure term-hash — 'the'/'a'/'is'/'of' (~18% of tokens)
+    // all land wherever their hash says
+    val unsalted = maxBucketShare(pmod(hash(col("term")), lit(p)))
+    val salted = maxBucketShare(
+      Spimi.bucketExpr(p, Spimi.DefaultSaltBuckets))
+
+    assert(salted < unsalted,
+      f"salting must flatten the distribution: salted=$salted%.3f unsalted=$unsalted%.3f")
+    assert(salted <= 2.0 / p,
+      f"heaviest salted bucket must stay near uniform (≤ 2/p), got $salted%.3f")
+  }
+
+  test("every (term, doc) stays whole in exactly one salted bucket") {
+    val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 500, partitions = 3))
+      .withColumnRenamed("content", "text")
+    val postings = Spimi.docPostings(synth, TokenizerConfig.default).toDF()
+    val buckets = postings
+      .select(col("term"), col("doc_id"),
+        Spimi.bucketExpr(16, 8).as("bucket"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(countDistinct(col("bucket")).as("nb"))
+      .filter(col("nb") =!= 1)
+    assert(buckets.count() == 0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.{Tokenizer, TokenizerConfig}
+import graft.index.{IndexBuilder, ServingIndex, Spimi}
+
+/** The published 0.57-nDCG baseline ran with stem=true (notebook config);
+  * the library default is stem=false, and the `full` test config adds
+  * stopwords (FIXTURES.md §6). All three configs must flow through the
+  * whole engine — tokenizer parity between the Catalyst and UDF paths,
+  * and rank-identity of every index/query path combination. */
+class ConfigConformanceSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("Catalyst token path equals Tokenizer path for every stem-off config") {
+    import org.apache.spark.sql.functions._
+    for (cfg <- Seq(TokenizerConfig.default,
+        TokenizerConfig(stopwords = TokenizerConfig.smallEnglishStopwords),
+        TokenizerConfig(minTokenLength = 2))) {
+      val catalyst = docs
+        .select(col("doc_id"), IndexBuilder.tokensColumn(col("text"), cfg))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      val tok = Tokenizer(cfg)
+      val viaUdf = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> tok.tokenize(r.getString(1)).toSeq).toMap
+      assert(catalyst == viaUdf, s"paths diverge for $cfg")
+    }
+  }
+
+  test("stemmed (notebook) and stopworded (full) configs: all three paths rank-identically") {
+    import spark.implicits._
+    val queries = Seq(("c1", "merging tables"), ("c2", "the sorted merges"),
+      ("c3", "customers ordering lines")).toDF("query_id", "question")
+    for (cfg <- Seq(TokenizerConfig.notebook, TokenizerConfig.full)) {
+      val idx = IndexBuilder.build(docs, cfg)
+      val viaJoin = Bm25.search(idx, queries, cfg, 20)
+        .select("query_id", "doc_id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+      val spimiIdx = {
+        val work = java.nio.file.Files.createTempDirectory("graft-cfg").toString
+        Spimi.buildCheckpointed(docs, cfg, work, 4)
+      }
+      val viaSpimi = Bm25.search(spimiIdx, queries, cfg, 20)
+        .select("query_id", "doc_id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaSpimi == viaJoin, s"SPIMI index diverges for $cfg")
+
+      val blocks = ServingIndex.fromPostings(idx.postings, 3, blockSize = 16)
+      val viaWand = Wand.search(blocks, idx.termStats, idx.numDocs,
+          idx.avgdl, queries, cfg, 20)
+        .select("query_id", "doc_id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaWand == viaJoin, s"WAND diverges for $cfg")
+      assert(viaJoin.nonEmpty, "stemmed queries must match stemmed index")
+    }
+  }
+
+  test("stemming is what makes morphological variants match") {
+    import spark.implicits._
+    val queries = Seq(("m1", "merging")).toDF("query_id", "question")
+    val stemmed = Bm25.search(IndexBuilder.build(docs, TokenizerConfig.notebook),
+      queries, TokenizerConfig.notebook, 10)
+    val unstemmed = Bm25.search(IndexBuilder.build(docs, TokenizerConfig.default),
+      queries, TokenizerConfig.default, 10)
+    assert(stemmed.count() > 0, "'merging' stems to 'merg' = stem of 'merge'")
+    assert(unstemmed.count() == 0, "'merging' is not in the unstemmed corpus")
+  }
+}
