@@ -8,7 +8,7 @@ import graft.analysis.TokenizerConfig
 import graft.eval.Ndcg
 import graft.fixtures.QuerySet
 import graft.index.{IndexBuilder, ServingIndex, Spimi}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.query.{Bm25, Rerank, TrainingPairs, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -188,6 +188,21 @@ object SparkEntry {
     // ---- dedup: 16-bit SimHash fingerprints ----
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
 
+    // ---- dedup: near-dup clustering (connected components over pairs) ----
+    "q_dedup_clusters" -> ((s, dir) => {
+      val corpus = plans.dupCorpus(s, dir)
+      Dedup.clusters(corpus.select(col("doc_id")),
+        Dedup.minhashPairs(corpus))
+    }),
+
+    // ---- deterministic stratified sampling ----
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir), col("lang"), 40)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- text normalization ----
+    "q_normalize" -> ((s, dir) => TextAnalysis.normalized(docs(s, dir))),
+
     // ---- similarity: brute-force cosine top-10 (ANN baseline) ----
     "q_ann_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir),
@@ -363,6 +378,53 @@ object SparkEntry {
           |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin),
         "SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard" +
           " FROM jac WHERE jaccard >= 0.5"),
+
+      "q_dedup_clusters" -> ("WITH RECURSIVE " + Seq(dupCorpus, shingleRows,
+        minhashCtes,
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          |    AND a.doc_id < b.doc_id)""".stripMargin,
+        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_rows" +
+          " GROUP BY 1)",
+        """inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
+          |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
+          |    AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)""".stripMargin,
+        """pairsf AS (
+          |  SELECT c.doc_a, c.doc_b
+          |  FROM cand c
+          |  LEFT JOIN inter i USING (doc_a, doc_b)
+          |  JOIN sizes za ON za.doc_id = c.doc_a
+          |  JOIN sizes zb ON zb.doc_id = c.doc_b
+          |  WHERE coalesce(i.n_inter, 0)::DOUBLE /
+          |    (za.n_shingles + zb.n_shingles - coalesce(i.n_inter, 0))
+          |    >= 0.5)""".stripMargin,
+        """edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairsf
+          |  UNION SELECT doc_b, doc_a FROM pairsf)""".stripMargin,
+        """reach(doc_id, label) AS (
+          |  SELECT doc_id, doc_id FROM dup_corpus
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r
+          |  JOIN edges e ON e.src = r.doc_id)""".stripMargin).mkString(",\n") +
+        "\nSELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id"),
+
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 40""".stripMargin,
+
+      "q_normalize" ->
+        """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(text,
+          |  '[^A-Za-z0-9_ ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_text
+          |FROM documents""".stripMargin,
 
       "q_simhash" -> withCtes(Seq(
         """tfh AS (

@@ -109,6 +109,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-duplicate clustering: connected components over the confirmed
+    * LSH pair graph, labels = min reachable doc_id (deterministic).
+    * Iterative min-label propagation — each round is one join + one
+    * aggregation, converging in O(log(component diameter)) rounds; real
+    * dedup clusters are tiny chains, so this terminates in a handful of
+    * Spark jobs even at corpus scale. Docs in no pair form singleton
+    * clusters. Output: (doc_id, cluster). */
+  def clusters(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").as("cluster")).cache()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIters) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels.union(propagated)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .cache()
+      changed = next.select(col("doc_id"), col("cluster").as("c_next"))
+        .join(labels.select(col("doc_id"), col("cluster").as("c_prev")),
+          Seq("doc_id"))
+        .filter(col("c_next") =!= col("c_prev")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 16-bit SimHash over the tf-weighted term set: bit b of md5(term)'s
     * b-th hex nibble (≥ 8 ⇒ +tf else −tf), majority vote per bit.
     * Output: (doc_id, simhash). */

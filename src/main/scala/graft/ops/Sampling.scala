@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * `df.sample()` is partition-dependent — re-running at a different
+  * parallelism yields a different sample, which breaks reproducibility at
+  * cluster scale. Every sampler here orders by a content-independent md5
+  * of the row key, so the sample is a pure function of the data (and
+  * reproducible by the SQL oracle).
+  */
+object Sampling {
+
+  /** Per-stratum quota sample: the first `quota` docs of each stratum
+    * under deterministic md5 order. One window shuffle, keyed on the
+    * stratum — skew-safe as long as quota ≪ stratum size (the window only
+    * ranks, rows beyond the quota are filtered before any downstream op).
+    */
+  def stratified(df: DataFrame, stratum: Column, quota: Int,
+      keyCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .drop("rn")
+  }
+
+  /** Deterministic fraction sample: keep rows whose md5-derived uniform
+    * draw falls under `fraction`. Narrow — no shuffle at all. */
+  def fraction(df: DataFrame, fraction: Double,
+      keyCol: String = "doc_id"): DataFrame = {
+    // first 8 hex chars of md5 -> uniform int in [0, 2^32)
+    val draw = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("double") / 4294967296.0
+    df.filter(draw < fraction)
+  }
+}

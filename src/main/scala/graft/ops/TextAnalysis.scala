@@ -69,6 +69,18 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** Text normalization/cleaning: punctuation -> space, whitespace
+    * collapse, trim, lowercase. ASCII-explicit character classes so the
+    * SQL oracle (RE2) and Spark (java.util.regex) agree byte-for-byte. */
+  def normalize(textCol: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(textCol, "[^A-Za-z0-9_ ]", " "), " +", " ")))
+
+  def normalized(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      normalize(col(textCol)).as("norm_text"))
+
   /** md5-min shingle fingerprint: the lexicographic minimum of
     * md5(shingle) over the doc's 3-word shingles — a stable, locality-
     * sensitive document signature ([[Winnowing]] holds the rolling-hash

@@ -50,6 +50,46 @@ class OpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
   }
 
+  test("connected components: chains collapse to min label, singletons stay") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("doc_id")
+    // chain 1-2-3, pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("stratified sampling: exact quota per stratum, partition-invariant") {
+    val quota = 7
+    val s1 = Sampling.stratified(docs, org.apache.spark.sql.functions.col("lang"), quota)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val s2 = Sampling.stratified(docs.repartition(13),
+        org.apache.spark.sql.functions.col("lang"), quota)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet == s2.toSet, "sample must not depend on partitioning")
+    val perLang = s1.groupBy(_._2).view.mapValues(_.length)
+    assert(perLang.values.forall(_ == quota))
+  }
+
+  test("deterministic fraction sampling is narrow and stable") {
+    val f = Sampling.fraction(docs, 0.2)
+    assert(!f.queryExecution.executedPlan.toString.contains("Exchange"))
+    val n = f.count()
+    assert(n == Sampling.fraction(docs.repartition(9), 0.2).count())
+    assert(n > 30 && n < 170, s"~20% of 500 expected, got $n")
+  }
+
+  test("normalize: punctuation out, whitespace collapsed, idempotent") {
+    import spark.implicits._
+    val df = Seq((1L, "  Hello,   World! (x=1)  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalized(df).head().getString(1)
+    assert(out == "hello world x 1")
+    val again = TextAnalysis.normalized(
+      Seq((1L, out)).toDF("doc_id", "text")).head().getString(1)
+    assert(again == out)
+  }
+
   test("brute-force ANN: self is rank 1 with cosine 1") {
     val res = Similarity.bruteForceTopK(
       spark.read.parquet(sf("sf0.001") + "/embeddings.parquet"),
