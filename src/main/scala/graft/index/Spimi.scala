@@ -152,39 +152,33 @@ object Spimi {
       Codec.decodePositions(p.pos_bytes, p.tf), p.doc_len))
   }
 
-  /** Per-partition ingest lineage: row/doc counts + an order-insensitive
-    * XOR checksum over sha256(content) prefixes. Together with the per-doc
-    * manifest this carries the input_hint's per-row invariant ("content
-    * sha256 equality vs the source table"). */
-  def ingestLineage(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Dataset[LineageRow] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        sha2(col(textCol), 256).as("content_sha256"))
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var n = 0L
-        var checksum = 0L
-        while (it.hasNext) {
-          val r = it.next()
-          n += 1
-          checksum ^= java.lang.Long.parseUnsignedLong(
-            r.getString(1).substring(0, 16), 16)
-        }
-        Iterator.single(LineageRow("ingest", pid, n, n, checksum, "done"))
-      }
-  }
-
-  /** Per-doc manifest: (doc_id, content_sha256, doc_len) — the row-level
-    * half of the lineage invariant, plus the doc length so stage 3 never
-    * re-tokenizes the corpus (doc stats come straight from this table,
-    * including zero-token docs the postings can't see). */
+  /** Per-doc manifest: (partition_id, doc_id, content_sha256, doc_len) —
+    * the row-level half of the lineage invariant, plus the doc length so
+    * stage 3 never re-tokenizes the corpus (doc stats come straight from
+    * this table, including zero-token docs the postings can't see). One
+    * pass over the corpus produces sha, length, AND the input partition
+    * id, so ingest lineage derives from this table without ever touching
+    * the corpus again. */
   def docManifest(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(spark_partition_id().as("partition_id"),
+      col(idCol).cast("long").as("doc_id"),
       sha2(col(textCol), 256).as("content_sha256"),
       size(IndexBuilder.tokens(col(textCol), cfg)).as("doc_len"))
+
+  /** Per-partition ingest lineage from the manifest: doc counts + an
+    * order-insensitive XOR checksum over 60-bit sha256 prefixes. Carries
+    * the input_hint's per-row invariant ("content sha256 equality vs the
+    * source table") up to partition granularity. */
+  def ingestLineage(manifest: DataFrame): DataFrame =
+    manifest
+      .withColumn("chk",
+        expr("conv(substring(content_sha256, 1, 15), 16, 10)").cast("long"))
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n_rows"), count(lit(1)).as("n_docs"),
+        expr("bit_xor(chk)").as("checksum"))
+      .select(lit("ingest").as("stage"), col("partition_id"), col("n_rows"),
+        col("n_docs"), col("checksum"), lit("done").as("status"))
 
   private def stageDone(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
@@ -209,7 +203,7 @@ object Spimi {
     if (!stageDone(spark, s"$workDir/manifest")) {
       docManifest(docs, cfg, idCol, textCol)
         .write.mode("overwrite").parquet(s"$workDir/manifest")
-      ingestLineage(docs, idCol, textCol)
+      ingestLineage(spark.read.parquet(s"$workDir/manifest"))
         .write.mode("overwrite").parquet(s"$workDir/lineage")
     }
 
