@@ -1,0 +1,125 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.eval.Ndcg
+import graft.index.{IndexBuilder, InvertedIndex, ServingIndex, Spimi}
+import graft.query.{Bm25, Rerank, Wand}
+import graft.sources.Jsonl
+
+/** spark-submit entry points mirroring the reference's user surface
+  * (index_documents / batch_search / evaluation — reference
+  * src/data_processing.py:56, src/bm25_search.py:178,
+  * src/evaluation.py:82), so a user of the reference can run the same
+  * three steps against this engine:
+  *
+  *   spark-submit --class graft.jobs.BuildIndexJob app.jar \
+  *     --input corpus.parquet|jsonl --output /idx [--partitions N]
+  *     [--stem true] [--min-token-length 3] [--stopwords a,b]
+  *   spark-submit --class graft.jobs.SearchJob app.jar \
+  *     --index /idx --queries queries.jsonl|parquet --output /out
+  *     [--k 100] [--mode join|wand] [--rerank embeddings.parquet]
+  *   spark-submit --class graft.jobs.EvalJob app.jar \
+  *     --results /out --gold gold.jsonl [--k 10]
+  */
+object JobArgs {
+  def parse(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def cfg(a: Map[String, String]): TokenizerConfig = TokenizerConfig(
+    minTokenLength = a.getOrElse("min-token-length", "3").toInt,
+    lowercase = a.getOrElse("lowercase", "true").toBoolean,
+    stem = a.getOrElse("stem", "false").toBoolean,
+    stopwords = a.get("stopwords").map(_.split(",").toSet).getOrElse(Set.empty))
+
+  def session(name: String): SparkSession = {
+    val b = SparkSession.builder().appName(name)
+      .config("spark.sql.adaptive.enabled", "true")
+    // default master only when not provided by spark-submit
+    if (sys.props.get("spark.master").isEmpty &&
+        sys.env.get("MASTER").isEmpty) b.master("local[*]")
+    b.getOrCreate()
+  }
+
+  def readDocs(spark: SparkSession, path: String) =
+    if (path.endsWith(".jsonl") || path.endsWith(".json"))
+      Jsonl.readCorpus(spark, path).select("doc_id", "text")
+    else spark.read.parquet(path)
+
+  /** spark-submit owns the session lifecycle; tests pass
+    * `--keep-session true` to reuse a shared session. */
+  def maybeStop(spark: SparkSession, a: Map[String, String]): Unit =
+    if (a.getOrElse("keep-session", "false") != "true") spark.stop()
+
+  def readQueries(spark: SparkSession, path: String) =
+    if (path.endsWith(".jsonl") || path.endsWith(".json"))
+      Jsonl.readQueries(spark, path)
+    else spark.read.parquet(path)
+}
+
+object BuildIndexJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-build-index")
+    val docs = JobArgs.readDocs(spark, a("input"))
+    val partitions = a.getOrElse("partitions",
+      spark.sparkContext.defaultParallelism.toString).toInt
+    val idx = Spimi.buildCheckpointed(docs, JobArgs.cfg(a), a("output"),
+      partitions, idCol = a.getOrElse("id-col", "doc_id"),
+      textCol = a.getOrElse("text-col", "text"))
+    ServingIndex.write(
+      ServingIndex.fromPostings(idx.postings, partitions),
+      s"${a("output")}/serving")
+    println(s"indexed ${idx.numDocs} docs, avgdl ${idx.avgdl}")
+    JobArgs.maybeStop(spark, a)
+  }
+}
+
+object SearchJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-search")
+    val cfg = JobArgs.cfg(a)
+    val k = a.getOrElse("k", "100").toInt
+    val idx = InvertedIndex.read(spark, s"${a("index")}/index")
+    val queries = JobArgs.readQueries(spark, a("queries"))
+    val ranked = a.getOrElse("mode", "wand") match {
+      case "join" => Bm25.search(idx, queries, cfg, k)
+      case _ => Wand.search(
+        ServingIndex.read(spark, s"${a("index")}/serving"),
+        idx.termStats, idx.numDocs, idx.avgdl, queries, cfg, k)
+    }
+    val out = a.get("rerank") match {
+      case Some(embPath) =>
+        Rerank.rescore(ranked, spark.read.parquet(embPath))
+          .withColumnRenamed("rerank", "rank")
+          .withColumnRenamed("rscore", "score")
+      case None => ranked
+    }
+    out.write.mode("overwrite").parquet(s"${a("output")}/ranked")
+    Jsonl.writeResults(out.select("query_id", "doc_id", "rank"),
+      queries, s"${a("output")}/results_jsonl")
+    JobArgs.maybeStop(spark, a)
+  }
+}
+
+object EvalJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-eval")
+    val k = a.getOrElse("k", "10").toInt
+    val ranked = spark.read.parquet(s"${a("results")}/ranked")
+    val gold = JobArgs.readQueries(spark, a("gold"))
+      .select(col("query_id"),
+        explode(col("goldstandard_documents")).as("raw"))
+      .select(col("query_id"),
+        substring_index(col("raw"), ":", -1).cast("long").as("doc_id"))
+    val mean = Ndcg.mean(ranked, gold, k)
+    println(f"nDCG@$k = $mean%.4f over ${gold.select("query_id").distinct().count()} queries")
+    JobArgs.maybeStop(spark, a)
+  }
+}

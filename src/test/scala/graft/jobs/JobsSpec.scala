@@ -1,0 +1,46 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end: the three spark-submit jobs chained exactly as a reference
+  * user would run them (index -> search -> eval), via their real mains. */
+class JobsSpec extends SparkSpec {
+
+  test("BuildIndexJob -> SearchJob -> EvalJob end to end") {
+    spark // ensure the shared session exists before mains call getOrCreate
+    val work = Files.createTempDirectory("graft-jobs").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+
+    // queries jsonl in the reference shape (incl. gold labels)
+    val queries = s"$work/queries.jsonl"
+    Files.writeString(java.nio.file.Paths.get(queries),
+      Seq(
+        """{"query_id": "j1", "question": "merge join", "goldstandard_documents": ["PMID:0", "PMID:5"]}""",
+        """{"id": "j2", "query": "the sort", "goldstandard_documents": ["PMID:10"]}"""
+      ).mkString("\n"))
+
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx",
+      "--partitions", "4", "--keep-session", "true"))
+    SearchJob.main(Array("--index", s"$work/idx", "--queries", queries,
+      "--output", s"$work/out", "--k", "20", "--mode", "wand", "--keep-session", "true"))
+    EvalJob.main(Array("--results", s"$work/out", "--gold", queries,
+      "--keep-session", "true"))
+
+    val ranked = spark.read.parquet(s"$work/out/ranked")
+    assert(ranked.count() > 0)
+    assert(ranked.columns.toSet.contains("rank"))
+    val jsonl = spark.read.json(s"$work/out/results_jsonl")
+    assert(jsonl.count() == 2)
+
+    // join-mode search produces the identical ranking
+    SearchJob.main(Array("--index", s"$work/idx", "--queries", queries,
+      "--output", s"$work/out2", "--k", "20", "--mode", "join", "--keep-session", "true"))
+    val viaJoin = spark.read.parquet(s"$work/out2/ranked")
+      .select("query_id", "doc_id", "rank").collect().map(_.toString).sorted
+    val viaWand = ranked
+      .select("query_id", "doc_id", "rank").collect().map(_.toString).sorted
+    assert(viaJoin.sameElements(viaWand))
+  }
+}
