@@ -241,6 +241,15 @@ object SparkEntry {
         plans.gold(s, dir),
         docs(s, dir).select("doc_id"))),
 
+    // ---- winnowing fingerprints: stateful rolling hash, NOT
+    //      SQL-expressible -> no oracle entry; driver records the
+    //      weaker rows-only check per the contract ----
+    "q_winnow" -> ((s, dir) =>
+      graft.ops.Winnowing.fingerprints(docs(s, dir), cfg)
+        .toDF()
+        .select(col("doc_id"), size(col("fingerprints")).cast("long")
+          .as("n_fingerprints"))),
+
     // ---- multimodal binary plumbing (decode step stubbed) ----
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir)))

@@ -1,0 +1,61 @@
+package graft
+
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.index.{IndexBuilder, ServingIndex, Spimi}
+import graft.query.{Bm25, Wand}
+
+/** Degenerate inputs the 100 TB pipeline will inevitably contain. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  test("empty corpus: build + search return empty, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val idx = IndexBuilder.build(empty, cfg)
+    assert(idx.numDocs == 0 && idx.avgdl == 0.0)
+    assert(Bm25.search(idx, QuerySet.df(spark), cfg, 10).count() == 0)
+    val blocks = ServingIndex.fromPostings(idx.postings, 2)
+    assert(Wand.search(blocks, idx.termStats, 0, 0.0,
+      QuerySet.df(spark), cfg, 10).count() == 0)
+  }
+
+  test("docs with empty/null/sub-min-length-only text count toward N but produce no postings") {
+    import spark.implicits._
+    val docs = Seq((1L, "merge sort"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "a b c d"), (5L, "!!! ???")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(docs, cfg)
+    assert(idx.numDocs == 5, "every doc counts toward N (reference doc_lengths)")
+    val withPostings = idx.postings.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(withPostings == Set(1L))
+    // SPIMI path agrees
+    val work = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val spimi = Spimi.buildCheckpointed(docs, cfg, work, 2)
+    assert(spimi.numDocs == 5)
+    assert(spimi.postings.select("doc_id").distinct().count() == 1)
+  }
+
+  test("unicode corpus flows through index + query end to end") {
+    import spark.implicits._
+    val docs = Seq((1L, "café straße naïve münchen"),
+      (2L, "plain ascii words here")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(docs, cfg)
+    val queries = Seq(("u1", "straße"), ("u2", "café münchen"))
+      .toDF("query_id", "question")
+    val hits = Bm25.search(idx, queries, cfg, 10)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hits == Set(("u1", 1L), ("u2", 1L)))
+  }
+
+  test("query longer than any document and k larger than corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "merge"), (2L, "sort")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(docs, cfg)
+    val q = Seq(("big", ("merge sort " * 50).trim)).toDF("query_id", "question")
+    val res = Bm25.search(idx, q, cfg, 1000).collect()
+    assert(res.length == 2)
+  }
+}
