@@ -180,6 +180,43 @@ object Spimi {
       .select(lit("ingest").as("stage"), col("partition_id"), col("n_rows"),
         col("n_docs"), col("checksum"), lit("done").as("status"))
 
+  /** Validate a built index's ingest lineage against the CURRENT source
+    * table: per-row sha256 equality (the input_hint invariant) plus
+    * partition-level checksum/count agreement. Returns the list of
+    * human-readable violations (empty = valid). Cost: one narrow pass
+    * over the source + two small joins — safe to run before serving an
+    * index that may be stale or partially written. */
+  def validateIngest(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      workDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Seq[String] = {
+    val spark = docs.sparkSession
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    val manifest = spark.read.parquet(s"$workDir/manifest")
+    val current = docManifest(docs, cfg, idCol, textCol)
+      .select(col("doc_id"), col("content_sha256").as("sha_now"))
+    val stored = manifest.select(col("doc_id"),
+      col("content_sha256").as("sha_stored"))
+    val mismatched = stored.join(current, Seq("doc_id"), "full")
+      .filter(col("sha_now").isNull || col("sha_stored").isNull ||
+        col("sha_now") =!= col("sha_stored")).count()
+    if (mismatched > 0)
+      problems += s"$mismatched docs differ (added/removed/content-changed) vs manifest"
+    val lineage = spark.read.parquet(s"$workDir/lineage")
+      .filter(col("stage") === "ingest")
+    val lineageDocs = lineage.agg(sum("n_docs")).head().getLong(0)
+    val manifestDocs = manifest.count()
+    if (lineageDocs != manifestDocs)
+      problems += s"lineage doc count $lineageDocs != manifest $manifestDocs"
+    val badParts = ingestLineage(manifest).select(
+        col("partition_id"), col("checksum").as("chk_now"))
+      .join(lineage.select(col("partition_id"), col("checksum")),
+        Seq("partition_id"))
+      .filter(col("chk_now") =!= col("checksum")).count()
+    if (badParts > 0)
+      problems += s"$badParts partitions fail the lineage checksum"
+    problems.toSeq
+  }
+
   private def stageDone(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

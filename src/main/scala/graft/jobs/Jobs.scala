@@ -39,6 +39,9 @@ object JobArgs {
   def session(name: String): SparkSession = {
     val b = SparkSession.builder().appName(name)
       .config("spark.sql.adaptive.enabled", "true")
+      // index tables are write-once read-many: zstd trades a little build
+      // CPU for materially smaller storage + faster disk-bound scans
+      .config("spark.sql.parquet.compression.codec", "zstd")
     // default master only when not provided by spark-submit
     if (sys.props.get("spark.master").isEmpty &&
         sys.env.get("MASTER").isEmpty) b.master("local[*]")
@@ -75,6 +78,13 @@ object BuildIndexJob {
       ServingIndex.fromPostings(idx.postings, partitions),
       s"${a("output")}/serving")
     println(s"indexed ${idx.numDocs} docs, avgdl ${idx.avgdl}")
+    if (a.getOrElse("validate", "false").toBoolean) {
+      val problems = Spimi.validateIngest(docs, JobArgs.cfg(a), a("output"),
+        idCol = a.getOrElse("id-col", "doc_id"),
+        textCol = a.getOrElse("text-col", "text"))
+      if (problems.isEmpty) println("lineage validation: OK")
+      else { problems.foreach(p => System.err.println(s"lineage: $p")); sys.exit(2) }
+    }
     JobArgs.maybeStop(spark, a)
   }
 }

@@ -58,6 +58,14 @@ class SpimiWandSpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0)
     assert(ingestDocs == docs.count())
     assert(lineage.filter(col("stage") === "runs").count() > 0)
+
+    // validateIngest: clean against the true source, dirty against a
+    // tampered one
+    assert(Spimi.validateIngest(docs, cfg, work).isEmpty)
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 0, lit("TAMPERED")).otherwise(col("text")))
+    val problems = Spimi.validateIngest(tampered, cfg, work)
+    assert(problems.nonEmpty && problems.head.contains("1 docs differ"))
   }
 
   test("WAND over the compressed sharded index is rank-identical to join BM25") {
