@@ -2,12 +2,10 @@ package graft.index
 
 import scala.collection.mutable
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Typed rows flowing through the SPIMI pipeline. */
-final case class TokenRow(term: String, doc_id: Long, pos: Int, doc_len: Int)
+/** Reference-shaped positional posting (decoded form of PackedPosting). */
 final case class RunRow(term: String, doc_id: Long, tf: Int,
     positions: Array[Int], doc_len: Int)
 
@@ -35,10 +33,10 @@ final case class LineageRow(stage: String, partition_id: Int, n_rows: Long,
   *    the salt spreads each heavy term over `saltBuckets` partitions while
   *    keeping every (term, doc) pair — and therefore every position list —
   *    intact in exactly one partition (SURVEY §4 O5).
-  *  - Each partition builds posting runs in a bounded hash map and flushes
-  *    a sorted segment every `flushTokens` tokens; segments stream straight
-  *    into the shuffle writer, so memory stays bounded no matter how large
-  *    a partition gets (the reference's 10k-doc batches, generalized).
+  *  - Inversion is doc-at-a-time (memory bounded by one document); run
+  *    partitions sort with Spark's external sorter (spill-backed), so no
+  *    partition can exceed memory no matter how large it gets — the
+  *    reference's 10k-doc batches, generalized.
   *  - The merge is ONE range-repartition + partition-local sort + adjacent
   *    merge: Spark's external merge-sort (with spill) plays the role of the
   *    reference's hierarchical 5-way file merge (SURVEY §2 G3). Range
@@ -111,15 +109,6 @@ object Spimi {
       .repartition(numPartitions, bucketExpr(numPartitions, saltBuckets))
       .sortWithinPartitions(col("term"), col("doc_id"))
 
-  /** Exploded token rows (kept for tests/diagnostics of the exploded form). */
-  def tokenRows(docs: DataFrame, cfg: graft.analysis.TokenizerConfig,
-      idCol: String = "doc_id", textCol: String = "text"): Dataset[TokenRow] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    IndexBuilder.tokenRows(docs, cfg, idCol, textCol)
-      .select(col("term"), col("doc_id"), col("pos"), col("doc_len"))
-      .as[TokenRow]
-  }
 
   /** Stable, row-derivable salted bucket id: hash(term) spread over
     * `saltBuckets` doc-hash sub-buckets. Recomputable from any persisted
