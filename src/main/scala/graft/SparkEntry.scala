@@ -211,6 +211,14 @@ object SparkEntry {
           round(col("cosine"), 4).cast("double").as("cosine"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- similarity: IVF ANN (iterative k-means quantizer — not
+    //      SQL-expressible; rows-only driver check) ----
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"),
+          round(col("cosine"), 4).cast("double").as("cosine"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)

@@ -68,6 +68,79 @@ object Similarity {
         .as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic mini-k-means coarse
+    * quantizer partitions the corpus into `nCentroids` lists; a query
+    * probes its `nProbe` nearest lists and ranks by cosine only inside
+    * them. The scale path for billions of vectors: the assignment table
+    * is one narrow column, probing reads nProbe/nCentroids of the corpus,
+    * and centroids are a broadcast-sized table.
+    *
+    * Determinism: centroid seeds are the first `nCentroids` vectors in
+    * md5(vec_id) order, Lloyd assignment breaks distance ties by centroid
+    * id, and `iters` is fixed — the same clustering on any partitioning.
+    */
+  def ivfAssignments(embeddings: DataFrame, nCentroids: Int = 16,
+      iters: Int = 3): (DataFrame, DataFrame) = {
+    val e = exploded(embeddings).cache()
+    val seedIds = embeddings
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nCentroids)
+      .select(col("vec_id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seedDf = seedIds.map { case (v, i) => (v, i) }.toSeq
+      .toDF("vec_id", "cid")
+    var cent = e.join(broadcast(seedDf), Seq("vec_id"))
+      .select(col("cid"), col("dim"), col("v").as("cv"))
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      assign = e.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+      cent = e.join(assign, Seq("vec_id"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("v")).as("cv"))
+    }
+    (assign, cent)
+  }
+
+  /** IVF top-k: probe the query's `nProbe` nearest centroid lists. */
+  def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val (assign, cent) = ivfAssignments(embeddings, nCentroids, iters)
+    val e = exploded(embeddings)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_vec"), col("dim"), col("v").as("qv"))
+    val probes = q.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("query_vec"), col("cid"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_vec"))
+        .orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_vec"), col("cid"))
+    val candidates = probes.join(assign, Seq("cid"))
+      .select(col("query_vec"), col("vec_id"))
+    val agg = q.join(candidates.join(e, Seq("vec_id")), Seq("query_vec", "dim"))
+      .groupBy(col("query_vec"), col("vec_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("dn"),
+        sqrt(sum(col("qv") * col("qv"))).as("qn"))
+      .withColumn("cosine",
+        when(col("dn") > 0.0 && col("qn") > 0.0,
+          col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_vec"))
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: cosine top-k within the query's bucket only. */
   def lshTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int, numPlanes: Int = 8): DataFrame = {

@@ -103,6 +103,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: candidates come only from probed lists; self found; deterministic") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val pred = col("vec_id") % 250 === 0
+    val res = Similarity.ivfTopK(emb, pred, 10, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(res.nonEmpty)
+    // with nProbe covering the query's own list, the query finds itself
+    val (assign, _) = Similarity.ivfAssignments(emb, nCentroids = 8)
+    val cidOf = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((q, v, rank) <- res if rank == 1)
+      assert(v == q, s"query $q should find itself at rank 1 (own list probed)")
+    for ((q, v, _) <- res)
+      assert(cidOf.contains(v), "every candidate must be assigned to a list")
+    // deterministic across input partitioning
+    val res2 = Similarity.ivfTopK(emb.repartition(7), pred, 10,
+      nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(res.toSet == res2.toSet)
+  }
+
   test("LSH ANN returns a subset of brute-force candidates, same bucket only") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val pred = col("vec_id") % 250 === 0
