@@ -237,6 +237,16 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
 
+    // ---- utils.py:139-158 print_short_index_entries: rare-term
+    //      posting-list inspection ----
+    "q_short_entries" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val rare = idx.termStats
+        .orderBy(col("df").asc, col("term").asc).limit(3).select("term")
+      idx.postings.join(broadcast(rare), Seq("term"))
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
+    }),
+
     // ---- G10/P10: vocabulary with parallel-safe first-seen ids ----
     "q_vocab" -> ((s, dir) =>
       IndexBuilder.vocabulary(plans.tokenRows(s, dir))
@@ -567,6 +577,12 @@ object SparkEntry {
           |  FROM sh_arrays)""".stripMargin),
         "SELECT doc_id, min(md5(shingle)) AS fingerprint FROM doc_shingles" +
           " GROUP BY doc_id"),
+
+      "q_short_entries" -> withCtes(Seq(tokArrays, toks, doclen, postings,
+        stats, termstats),
+        """SELECT p.term, p.doc_id, p.tf FROM postings p
+          |WHERE p.term IN (SELECT term FROM termstats
+          |  ORDER BY df ASC, term ASC LIMIT 3)""".stripMargin),
 
       "q_vocab" -> withCtes(Seq(tokArrays, toks,
         """vocab AS (
