@@ -226,6 +226,10 @@ object SparkEntry {
           round(col("cosine"), 4).cast("double").as("cosine"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- W4: overlapping chunk windows (reference long-doc chunking) ----
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(docs(s, dir), chunkLen = 20, stride = 10)),
+
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_quality" -> ((s, dir) =>
@@ -518,6 +522,22 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
           |  ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
+
+      "q_chunks" ->
+        """WITH lt AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id, ts, unnest(range(0, len(ts), 10)) AS start,
+          |    generate_subscripts(range(0, len(ts), 10), 1) - 1 AS chunk_id
+          |  FROM lt WHERE len(ts) > 0),
+          |ch AS (
+          |  SELECT doc_id, chunk_id,
+          |    list_slice(ts, start + 1, start + 20) AS chunk
+          |  FROM st)
+          |SELECT doc_id, chunk_id, len(chunk) AS chunk_len,
+          |  chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
+          |FROM ch""".stripMargin,
 
       "q_lang_id" -> withCtes(Seq(
         "lt AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts" +

@@ -69,6 +69,27 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** W4: overlapping token-chunk windows — the reference chunks documents
+    * longer than the model limit with a stride (reference
+    * src/dataset.py:18,40-41,118-123: `while start < len: chunk =
+    * tokens[start:start+chunk_len]; start += stride`). Pure Catalyst:
+    * sequence(0, len-1, stride) starts + slice, exploded.
+    * Output: (doc_id, chunk_id, chunk_len, first_tok, last_tok). */
+  def chunkWindows(docs: DataFrame, chunkLen: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ts = rawTokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0), size(col("ts")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .withColumn("chunk", slice(col("ts"), col("start") + 1, lit(chunkLen)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"))
+  }
+
   /** Text normalization/cleaning: punctuation -> space, whitespace
     * collapse, trim, lowercase. ASCII-explicit character classes so the
     * SQL oracle (RE2) and Spark (java.util.regex) agree byte-for-byte. */
