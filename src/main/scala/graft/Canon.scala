@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, lit}
+
+/** Engine-portable canonical rounding.
+  *
+  * Spark's `round(x, d)` goes through BigDecimal HALF_UP on the double's
+  * exact decimal expansion, while DuckDB rounds in double arithmetic — at
+  * representation boundaries the two disagree, and DuckDB's can emit -0.0
+  * for tiny negative inputs where Spark's BigDecimal path never does
+  * (pandas `==` treats -0.0 == 0.0 but a byte-level hash does not — the
+  * exact failure mode of round-1 q_rerank).
+  *
+  * The portable form is `floor(x·10^d + 0.5) / 10^d` computed in double
+  * arithmetic: the identical IEEE-754 multiply/add/floor/divide sequence in
+  * both engines, and the floor result is an integer so the quotient can
+  * never be -0.0. (For negative x this is "round half toward +inf" rather
+  * than HALF_UP — a deliberate spec choice applied on BOTH sides.)
+  *
+  * Ranks are assigned over [[rankKey]] (6 decimals) so FP summation-order
+  * noise (~1e-15 rel.) cannot flip an order, with the same formula on the
+  * SQL oracle side via [[sql]]/[[sqlRankKey]].
+  */
+object Canon {
+
+  /** floor(x·10^d + 0.5)/10^d as a Column (double). */
+  def r(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Canonical ranking key: floor(x·1e6 + 0.5) (long). */
+  def rankKey(c: Column): Column = floor(c * lit(1e6) + lit(0.5))
+
+  /** Same canonical value, same arithmetic, in DuckDB SQL. */
+  def sql(expr: String, d: Int): String =
+    s"(floor(($expr) * 1e$d + 0.5) / 1e$d)"
+
+  def sqlRankKey(expr: String): String = s"floor(($expr) * 1e6 + 0.5)"
+}

@@ -9,9 +9,11 @@ import graft.fixtures.QuerySet
   * formula (k1=1.2, b=0.75 — reference src/bm25_search.py:52-53), same
   * canonical tie order (round(score,6) DESC, doc_id ASC).
   *
-  * Floating-point policy: every surfaced double is `CAST(round(x, d) AS
-  * DOUBLE)` on BOTH sides so summation-order noise (≈1e-15 rel.) can never
-  * produce a hash mismatch, and ranks are assigned over round(score, 6).
+  * Floating-point policy: every surfaced double that can go negative (and
+  * every ranking key) uses [[graft.Canon]]'s portable floor-based rounding
+  * — identical IEEE-754 arithmetic in both engines, never -0.0; remaining
+  * strictly-positive surfaced doubles are `CAST(round(x, d) AS DOUBLE)` on
+  * both sides so summation-order noise (≈1e-15 rel.) cannot flip a hash.
   */
 object OracleSql {
 
@@ -84,7 +86,7 @@ object OracleSql {
        |  SELECT query_id, doc_id, score, rank FROM (
        |    SELECT query_id, doc_id, score,
        |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+       |        ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
        |    FROM scored)
        |  WHERE rank <= $k)""".stripMargin
 
@@ -146,4 +148,61 @@ object OracleSql {
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings)""".stripMargin
+
+  /** Rerank chain over `ranked` + `e` (q_rerank semantics, mirrors
+    * [[graft.query.Rerank.rescore]]): ends in `rs` (query_id, doc_id,
+    * rscore). */
+  val rerankCtes: Seq[String] = Seq(
+    """t AS (
+      |  SELECT r.query_id, r.doc_id, r.score, r.rank, e.dim, e.v
+      |  FROM ranked r JOIN e ON r.doc_id = e.vec_id)""".stripMargin,
+    """qv AS (
+      |  SELECT query_id, dim, avg(v) AS qv FROM t
+      |  WHERE rank <= 10 GROUP BY 1, 2)""".stripMargin,
+    """ragg AS (
+      |  SELECT t.query_id, t.doc_id, sum(t.v * q.qv) AS dot,
+      |    sqrt(sum(t.v * t.v)) AS dn, sqrt(sum(q.qv * q.qv)) AS qn,
+      |    max(t.score) AS score
+      |  FROM t JOIN qv q ON t.query_id = q.query_id AND t.dim = q.dim
+      |  GROUP BY 1, 2)""".stripMargin,
+    "ms AS (SELECT query_id, max(score) AS ms FROM ragg GROUP BY 1)",
+    """rs AS (
+      |  SELECT a.query_id, a.doc_id,
+      |    0.7 * (CASE WHEN a.dn > 0 AND a.qn > 0
+      |      THEN a.dot / (a.dn * a.qn) ELSE 0 END)
+      |    + 0.3 * a.score / m.ms AS rscore
+      |  FROM ragg a JOIN ms m USING (query_id))""".stripMargin)
+
+  /** One Lloyd iteration (mirrors [[graft.ops.Similarity.ivfAssignments]]'s
+    * loop body): assignment against centroid CTE `cin` -> `aout`, then
+    * recomputed centroids -> `cout`. Tie-break (d2, cid) matches Spark's
+    * min(struct(d2, cid)). */
+  private def lloydIter(cin: String, aout: String, cout: String): Seq[String] =
+    Seq(
+      s"""$aout AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cid) AS rn
+         |    FROM (SELECT e.vec_id, c.cid,
+         |        sum((e.v - c.cv) * (e.v - c.cv)) AS d2
+         |      FROM e JOIN $cin c USING (dim) GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin,
+      s"""$cout AS (
+         |  SELECT a.cid, e.dim, avg(e.v) AS cv
+         |  FROM e JOIN $aout a USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+
+  /** IVF quantizer, 3 Lloyd iterations UNROLLED (a fixed iteration count
+    * is SQL-expressible even though "iterative k-means" in general is
+    * not): seeds = first 16 vec_ids in md5 order, then a1/c1..a3/c3.
+    * Final assignment CTE is `a3`, final centroids `c3`. */
+  val ivfCtes: Seq[String] = Seq(
+    """seeds AS (
+      |  SELECT vec_id, rn - 1 AS cid FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+      |    FROM embeddings)
+      |  WHERE rn <= 16)""".stripMargin,
+    "c0 AS (SELECT s.cid, e.dim, e.v AS cv FROM e JOIN seeds s USING (vec_id))"
+  ) ++ lloydIter("c0", "a1", "c1") ++ lloydIter("c1", "a2", "c2") ++
+    lloydIter("c2", "a3", "c3")
 }

@@ -115,7 +115,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, dir) =>
       plans.ranked(s, dir)
         .select(col("query_id"), col("doc_id"),
-          round(col("score"), 4).cast("double").as("score"),
+          graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
 
     // ---- W3: per-partition ranking window ----
@@ -163,7 +163,7 @@ object SparkEntry {
       Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
           QuerySet.df(s), cfg, TopK)
         .select(col("query_id"), col("doc_id"),
-          round(col("score"), 4).cast("double").as("score"),
+          graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))
     }),
 
@@ -171,8 +171,26 @@ object SparkEntry {
     "q_rerank" -> ((s, dir) =>
       Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
         .select(col("query_id"), col("doc_id"),
-          round(col("rscore"), 3).cast("double").as("rscore"),
+          graft.Canon.r(col("rscore"), 3).as("rscore"),
           col("rerank").cast("long").as("rerank"))),
+
+    // ---- the reference's headline claim, engine form: nDCG@10 of the
+    //      reranked list vs the BM25 list (reference README.md:73-77,
+    //      0.57 -> 0.65 lift) ----
+    "q_rerank_ndcg" -> ((s, dir) => {
+      val gold = plans.gold(s, dir)
+      val bm = Ndcg.perQuery(plans.ranked(s, dir, NdcgK), gold, NdcgK)
+        .select(col("query_id"),
+          round(col("ndcg"), 4).cast("double").as("ndcg_bm25"))
+      val rr = Ndcg.perQuery(
+        Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
+          .select(col("query_id"), col("doc_id"),
+            col("rerank").as("rank")),
+        gold, NdcgK)
+        .select(col("query_id"),
+          round(col("ndcg"), 4).cast("double").as("ndcg_rerank"))
+      bm.join(rr, Seq("query_id"))
+    }),
 
     // ---- dedup: exact (hash groupBy) over a corpus with injected dups ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -208,22 +226,22 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, dir),
           col("vec_id") % 100 === 0, 10)
         .select(col("query_vec"), col("vec_id"),
-          round(col("cosine"), 4).cast("double").as("cosine"),
+          graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))),
 
-    // ---- similarity: IVF ANN (iterative k-means quantizer — not
-    //      SQL-expressible; rows-only driver check) ----
+    // ---- similarity: IVF ANN (mini-k-means quantizer; the FIXED 3-round
+    //      Lloyd loop unrolls into chained oracle CTEs) ----
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
         .select(col("query_vec"), col("vec_id"),
-          round(col("cosine"), 4).cast("double").as("cosine"),
+          graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))),
 
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
         .select(col("query_vec"), col("vec_id"),
-          round(col("cosine"), 4).cast("double").as("cosine"),
+          graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))),
 
     // ---- W4: overlapping chunk windows (reference long-doc chunking) ----
@@ -311,7 +329,8 @@ object SparkEntry {
           " JOIN postings p USING (term)"),
 
       "q_bm25_topk" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
-        "SELECT query_id, doc_id, CAST(round(score, 4) AS DOUBLE) AS score," +
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score," +
           " rank FROM ranked"),
 
       "q_spimi_postings" -> withCtes(Seq(tokArrays, toks, postings),
@@ -321,7 +340,8 @@ object SparkEntry {
         "SELECT term, doc_id, tf FROM postings"),
 
       "q_wand_topk" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
-        "SELECT query_id, doc_id, CAST(round(score, 4) AS DOUBLE) AS score," +
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score," +
           " rank FROM ranked"),
 
       "q_rank_window" -> ("SELECT lang, doc_id, row_number() OVER " +
@@ -349,31 +369,54 @@ object SparkEntry {
           |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin),
 
       "q_rerank" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
-        embeddingExploded,
-        """t AS (
-          |  SELECT r.query_id, r.doc_id, r.score, r.rank, e.dim, e.v
-          |  FROM ranked r JOIN e ON r.doc_id = e.vec_id)""".stripMargin,
-        """qv AS (
-          |  SELECT query_id, dim, avg(v) AS qv FROM t
-          |  WHERE rank <= 10 GROUP BY 1, 2)""".stripMargin,
-        """ragg AS (
-          |  SELECT t.query_id, t.doc_id, sum(t.v * q.qv) AS dot,
-          |    sqrt(sum(t.v * t.v)) AS dn, sqrt(sum(q.qv * q.qv)) AS qn,
-          |    max(t.score) AS score
-          |  FROM t JOIN qv q ON t.query_id = q.query_id AND t.dim = q.dim
-          |  GROUP BY 1, 2)""".stripMargin,
-        "ms AS (SELECT query_id, max(score) AS ms FROM ragg GROUP BY 1)",
-        """rs AS (
-          |  SELECT a.query_id, a.doc_id,
-          |    0.7 * (CASE WHEN a.dn > 0 AND a.qn > 0
-          |      THEN a.dot / (a.dn * a.qn) ELSE 0 END)
-          |    + 0.3 * a.score / m.ms AS rscore
-          |  FROM ragg a JOIN ms m USING (query_id))""".stripMargin),
+        embeddingExploded) ++ rerankCtes,
         """SELECT query_id, doc_id,
-          |  CAST(round(rscore, 3) AS DOUBLE) AS rscore,
+          |  CAST(floor(rscore * 1e3 + 0.5) / 1e3 AS DOUBLE) AS rscore,
           |  row_number() OVER (PARTITION BY query_id
-          |    ORDER BY round(rscore, 6) DESC, doc_id ASC) AS rerank
+          |    ORDER BY floor(rscore * 1e6 + 0.5) DESC, doc_id ASC) AS rerank
           |FROM rs""".stripMargin),
+
+      "q_rerank_ndcg" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
+        embeddingExploded) ++ rerankCtes ++ Seq(gold,
+        "rb AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10)",
+        """rr AS (
+          |  SELECT query_id, doc_id, rerank AS rank FROM (
+          |    SELECT query_id, doc_id, row_number() OVER (
+          |      PARTITION BY query_id
+          |      ORDER BY floor(rscore * 1e6 + 0.5) DESC, doc_id ASC) AS rerank
+          |    FROM rs)
+          |  WHERE rerank <= 10)""".stripMargin,
+        """relsb AS (
+          |  SELECT r.query_id, r.rank,
+          |    CASE WHEN g.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+          |  FROM rb r LEFT JOIN gold g USING (query_id, doc_id))""".stripMargin,
+        """dcgb AS (
+          |  SELECT query_id,
+          |    sum(CASE WHEN rank = 1 THEN rel ELSE rel / log2(rank) END) AS dcg
+          |  FROM relsb GROUP BY query_id)""".stripMargin,
+        """relsr AS (
+          |  SELECT r.query_id, r.rank,
+          |    CASE WHEN g.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+          |  FROM rr r LEFT JOIN gold g USING (query_id, doc_id))""".stripMargin,
+        """dcgr AS (
+          |  SELECT query_id,
+          |    sum(CASE WHEN rank = 1 THEN rel ELSE rel / log2(rank) END) AS dcg
+          |  FROM relsr GROUP BY query_id)""".stripMargin,
+        "gsize AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY 1)",
+        s"""idcg AS (
+           |  SELECT query_id, list_sum([CASE WHEN i = 1 THEN 1.0
+           |    ELSE 1.0 / log2(i) END FOR i IN
+           |    range(1, least(n_gold, $NdcgK) + 1)]) AS idcg
+           |  FROM gsize)""".stripMargin),
+        """SELECT i.query_id,
+          |  CAST(round(CASE WHEN i.idcg > 0
+          |    THEN coalesce(b.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
+          |    AS ndcg_bm25,
+          |  CAST(round(CASE WHEN i.idcg > 0
+          |    THEN coalesce(r.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
+          |    AS ndcg_rerank
+          |FROM idcg i LEFT JOIN dcgb b USING (query_id)
+          |  LEFT JOIN dcgr r USING (query_id)""".stripMargin),
 
       "q_dedup_exact" -> withCtes(Seq(dupCorpus,
         "hashed AS (SELECT doc_id, sha256(text) AS content_sha FROM dup_corpus)",
@@ -484,10 +527,40 @@ object SparkEntry {
           |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
           |      AS cosine
           |  FROM agg)""".stripMargin),
-        """SELECT query_vec, vec_id, CAST(round(cosine, 4) AS DOUBLE)
-          |  AS cosine, rank
+        """SELECT query_vec, vec_id, CAST(floor(cosine * 1e4 + 0.5) / 1e4
+          |  AS DOUBLE) AS cosine, rank
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
-          |  ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank FROM cosined)
+          |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
+          |WHERE rank <= 10""".stripMargin),
+
+      "q_ann_ivf" -> withCtes(Seq(embeddingExploded) ++ ivfCtes ++ Seq(
+        "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +
+          " WHERE vec_id % 100 = 0)",
+        """probes AS (
+          |  SELECT query_vec, cid FROM (
+          |    SELECT query_vec, cid, row_number() OVER (
+          |      PARTITION BY query_vec ORDER BY d2, cid) AS pr
+          |    FROM (SELECT q.query_vec, c.cid,
+          |        sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+          |      FROM q JOIN c3 c USING (dim) GROUP BY 1, 2))
+          |  WHERE pr <= 4)""".stripMargin,
+        "cand AS (SELECT p.query_vec, a.vec_id FROM probes p" +
+          " JOIN a3 a USING (cid))",
+        """agg AS (
+          |  SELECT q.query_vec, c.vec_id, sum(q.qv * e.v) AS dot,
+          |    sqrt(sum(e.v * e.v)) AS dn, sqrt(sum(q.qv * q.qv)) AS qn
+          |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+          |  JOIN q ON q.query_vec = c.query_vec AND q.dim = e.dim
+          |  GROUP BY 1, 2)""".stripMargin,
+        """cosined AS (
+          |  SELECT query_vec, vec_id,
+          |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
+          |      AS cosine
+          |  FROM agg)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(floor(cosine * 1e4 + 0.5) / 1e4
+          |  AS DOUBLE) AS cosine, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
 
       "q_ann_lsh" -> withCtes(Seq(embeddingExploded,
@@ -517,10 +590,10 @@ object SparkEntry {
           |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
           |      AS cosine
           |  FROM agg)""".stripMargin),
-        """SELECT query_vec, vec_id, CAST(round(cosine, 4) AS DOUBLE)
-          |  AS cosine, rank
+        """SELECT query_vec, vec_id, CAST(floor(cosine * 1e4 + 0.5) / 1e4
+          |  AS DOUBLE) AS cosine, rank
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
-          |  ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank FROM cosined)
+          |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
 
       "q_chunks" ->
@@ -636,7 +709,8 @@ object SparkEntry {
           |      PARTITION BY q.query_id
           |      ORDER BY md5(q.query_id || ':' || d.doc_id), d.doc_id) AS rn
           |    FROM (SELECT DISTINCT query_id FROM ranked) q
-          |    CROSS JOIN (SELECT doc_id FROM documents) d
+          |    CROSS JOIN (SELECT doc_id FROM documents
+          |      WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '2') d
           |    WHERE NOT EXISTS (SELECT 1 FROM ranked r
           |      WHERE r.query_id = q.query_id AND r.doc_id = d.doc_id))
           |  WHERE rn <= 4)""".stripMargin),

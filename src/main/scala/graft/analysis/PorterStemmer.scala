@@ -77,7 +77,7 @@ object PorterStemmer extends Serializable {
   }
 
   def stem(input: String): String = {
-    var w = input.toLowerCase
+    var w = input.toLowerCase(java.util.Locale.ROOT)
     if (w.length <= 2) return w
     if (w.startsWith("'")) w = w.substring(1)
     exceptions1.get(w) match {

@@ -42,7 +42,10 @@ final class Tokenizer(val cfg: TokenizerConfig) extends Serializable {
     * the post-filter token list, src/data_processing.py:30). */
   def tokenize(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
-    val t = if (cfg.lowercase) text.toLowerCase else text
+    // Locale.ROOT: default-locale lowercasing diverges from Python
+    // str.lower() / Catalyst lower() under e.g. a Turkish JVM locale.
+    val t =
+      if (cfg.lowercase) text.toLowerCase(java.util.Locale.ROOT) else text
     val m = wordPattern.matcher(t)
     val out = Array.newBuilder[String]
     val stop = cfg.effectiveStopwords

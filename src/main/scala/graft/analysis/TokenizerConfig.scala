@@ -21,7 +21,8 @@ final case class TokenizerConfig(
     * tokenizer lowercases (reference lowercases the *set*, not each probe —
     * src/tokenizer.py:22-23). */
   val effectiveStopwords: Set[String] =
-    if (lowercase) stopwords.map(_.toLowerCase) else stopwords
+    if (lowercase) stopwords.map(_.toLowerCase(java.util.Locale.ROOT))
+    else stopwords
 }
 
 object TokenizerConfig {

@@ -102,17 +102,35 @@ object IndexBuilder {
     * reference assigns ids in Python-dict first-seen order
     * (src/tokenizer.py:57-64), which is not reproducible in parallel;
     * the parallel-safe definition is first occurrence = min (doc_id, pos)
-    * (SURVEY §2 G10). The ranking window is global but runs over
-    * vocabulary-sized data (terms, not tokens), so the single-partition
-    * window is fine at any corpus scale. */
+    * (SURVEY §2 G10).
+    *
+    * Ranking is two-phase so no single task ever sorts the whole
+    * vocabulary (a 100× code corpus has 10^8-10^9 distinct terms): a
+    * range-repartition on (first_occ, term) splits the total order across
+    * partitions, a per-partition window assigns local ranks, and
+    * partition offsets (one long per partition — bounded by the partition
+    * count, never the vocabulary) shift them to global ids. Range
+    * partitions are order-disjoint, so local rank + offset IS the global
+    * rank. PlanSpec asserts the plan has no SinglePartition exchange. */
   def vocabulary(tokenRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    tokenRows
+    val spark = tokenRows.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = tokenRows
       .groupBy(col("term"))
       .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_occ"))
-      .withColumn("term_id",
-        row_number().over(Window.orderBy(col("first_occ"), col("term"))))
-      .select(col("term"), col("term_id"))
+      .repartitionByRange(parts, col("first_occ"), col("term"))
+      .withColumn("pid", spark_partition_id())
+    val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offDf = spark.createDataFrame(offs.toIndexedSeq).toDF("pid", "off")
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("first_occ"), col("term"))
+    ranged.withColumn("lrn", row_number().over(localW))
+      .join(broadcast(offDf), Seq("pid"))
+      .select(col("term"), (col("lrn") + col("off")).as("term_id"))
   }
 
   /** (N, avgdl) — reference src/bm25_search.py:157-159. */

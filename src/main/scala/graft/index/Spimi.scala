@@ -249,7 +249,11 @@ object Spimi {
         .write.mode("append").parquet(s"$workDir/lineage")
     }
 
-    if (!stageDone(spark, s"$workDir/index/postings")) {
+    // Gate stage 3 on the LAST artifact it writes (term_stats): a crash
+    // after the postings commit but before the stats commits must re-run
+    // the stage, or resume would serve an index with missing/partial
+    // doc_stats/term_stats tables.
+    if (!stageDone(spark, s"$workDir/index/term_stats")) {
       import spark.implicits._
       val merged = merge(
         spark.read.parquet(s"$workDir/runs").as[PackedPosting],

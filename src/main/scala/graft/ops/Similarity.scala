@@ -44,7 +44,7 @@ object Similarity {
         when(col("dn") > 0.0 && col("qn") > 0.0,
           col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0)))
     val w = Window.partitionBy(col("query_vec"))
-      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+      .orderBy(graft.Canon.rankKey(col("cosine")).desc, col("vec_id").asc)
     agg.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))
@@ -135,7 +135,7 @@ object Similarity {
         when(col("dn") > 0.0 && col("qn") > 0.0,
           col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0)))
     val w = Window.partitionBy(col("query_vec"))
-      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+      .orderBy(graft.Canon.rankKey(col("cosine")).desc, col("vec_id").asc)
     agg.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))
@@ -158,7 +158,7 @@ object Similarity {
         when(col("dn") > 0.0 && col("qn") > 0.0,
           col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0)))
     val w = Window.partitionBy(col("query_vec"))
-      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+      .orderBy(graft.Canon.rankKey(col("cosine")).desc, col("vec_id").asc)
     agg.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))

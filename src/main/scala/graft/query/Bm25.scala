@@ -30,10 +30,11 @@ object Bm25 {
       b: Double = IndexBuilder.BDefault)
 
   /** Tie-break resolution for ranking: ranks are assigned over the score
-    * rounded to 6 decimals so that FP summation-order noise (≪ 1e-9) can
-    * never flip an order, then doc_id ascending — the canonical total order
-    * (the reference's tie order is unspecified: candidates come from a
-    * Python set, src/bm25_search.py:109; SURVEY §2 E1). */
+    * rounded to 6 decimals ([[graft.Canon.rankKey]] — portable floor-based
+    * rounding) so that FP summation-order noise (≪ 1e-9) can never flip an
+    * order, then doc_id ascending — the canonical total order (the
+    * reference's tie order is unspecified: candidates come from a Python
+    * set, src/bm25_search.py:109; SURVEY §2 E1). */
   val ScoreRoundForRank = 6
 
   /** (query_id, term, qtf) — query tokens with multiplicity, tokenized with
@@ -70,7 +71,7 @@ object Bm25 {
     * reference's per-query Python sort loop (src/bm25_search.py:178-224). */
   def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("score"), ScoreRoundForRank).desc, col("doc_id").asc)
+      .orderBy(graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -45,7 +45,7 @@ object Rerank {
       .withColumn("rscore",
         lit(w1) * cos + lit(w2) * col("score") / max(col("score")).over(ms))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("rscore"), 6).desc, col("doc_id").asc)
+      .orderBy(graft.Canon.rankKey(col("rscore")).desc, col("doc_id").asc)
     rescored
       .withColumn("rerank", row_number().over(w))
       .select(col("query_id"), col("doc_id"), col("rscore"), col("rerank"))

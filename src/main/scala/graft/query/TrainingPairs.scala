@@ -23,9 +23,14 @@ object TrainingPairs {
     * @param gold   (query_id, doc_id) — gold-standard labels
     * @param corpusIds single-column (doc_id) universe
     * @param negPerQuery hard/random negatives kept per query
+    * @param poolPrefix random-negative candidate pool = docs whose
+    *   md5(doc_id) hex prefix is < this string (fraction =
+    *   int(poolPrefix,16)/16^len) — the scale knob: at 10^9+ docs a longer
+    *   prefix keeps the pool broadcast-sized, so the per-query draw never
+    *   touches the full corpus
     * @return (query_id, doc_id, label, kind) */
   def build(ranked: DataFrame, gold: DataFrame, corpusIds: DataFrame,
-      negPerQuery: Int = 4): DataFrame = {
+      negPerQuery: Int = 4, poolPrefix: String = "2"): DataFrame = {
     val sampleOrder = Window.partitionBy(col("query_id"))
       .orderBy(md5(concat(col("query_id"), lit(":"),
         col("doc_id").cast("string")).cast("binary")), col("doc_id"))
@@ -42,12 +47,21 @@ object TrainingPairs {
       .select(col("query_id"), col("doc_id"),
         lit(0.0).as("label"), lit("hard_negative").as("kind"))
 
-    // corpus × queries universe minus the ranked docs (reference
-    // src/dataset.py:74-76); at 10^12-doc scale the universe would be
-    // pre-sampled per query before the anti-join — noted, not needed here
+    // Random negatives (reference src/dataset.py:74-76 samples the whole
+    // corpus). A full corpus × queries cartesian through a window sort is
+    // a scale-killer (10^9 docs × 10^4 queries = 10^13 window rows), so
+    // the draw is two-stage and still fully deterministic:
+    //   1. a query-INDEPENDENT md5(doc_id)-prefix pre-sample bounds the
+    //      candidate pool to a broadcastable fraction of the corpus;
+    //   2. the per-query md5(query_id:doc_id) order picks negPerQuery from
+    //      the broadcasted pool (BroadcastNestedLoopJoin, no
+    //      CartesianProduct node — asserted in PlanSpec).
+    val pool = corpusIds.select(col("doc_id"))
+      .filter(md5(col("doc_id").cast("string").cast("binary"))
+        .substr(1, poolPrefix.length) < poolPrefix)
     val queryIds = ranked.select("query_id").distinct()
     val randomNegatives = queryIds
-      .crossJoin(corpusIds.select(col("doc_id")))
+      .crossJoin(broadcast(pool))
       .join(ranked.select("query_id", "doc_id"), Seq("query_id", "doc_id"),
         "left_anti")
       .withColumn("rn", row_number().over(sampleOrder))

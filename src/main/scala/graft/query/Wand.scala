@@ -104,7 +104,7 @@ object Wand {
   }
 
   private final case class Cand(doc: Long, score: Double) {
-    def r6: Double = math.rint(score * 1e6) / 1e6
+    def r6: Double = math.floor(score * 1e6 + 0.5) / 1e6
   }
 
   /** Canonical-worst-first ordering: the PQ head is the candidate that the
@@ -183,7 +183,29 @@ object Wand {
     heap.toSeq
   }
 
+  /** One query's term list as it travels to the shards. (Public: Spark's
+    * codegen'd encoder deserializer cannot access private classes.) */
+  final case class QTerm(term: String, qtf: Int, idf: Double)
+  final case class ShardQuery(shard: Int, query_id: String,
+      terms: Seq[QTerm])
+
   /** Distributed WAND search.
+    *
+    * Query prep is fully distributed — no `.collect()`, no driver-held
+    * query map, so a production-sized query log (10^6+ queries) never
+    * materializes on the driver:
+    *  - per-query term rows (term, qtf, idf) fold to ONE compact row per
+    *    query;
+    *  - blocks are pruned to the terms any query uses via a broadcast
+    *    semi-join (replacing a driver-built IN literal that would grow
+    *    with the workload);
+    *  - each doc-shard must see every query (any shard's corpus slice can
+    *    hold top-k docs for any query), so the per-query rows are
+    *    replicated across shard ids with a BroadcastNestedLoopJoin over
+    *    the tiny shard-id list and cogrouped with the shard's blocks —
+    *    shard-side memory is the shard's pruned blocks plus ONE query at
+    *    a time (queries stream through the cogroup iterator).
+    *
     * @param blocks   serving index ([[graft.index.ServingIndex]])
     * @param termStats (term, df, idf) table
     * @param queries  (query_id, question) table
@@ -195,38 +217,32 @@ object Wand {
       p: Bm25.Params = Bm25.Params()): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-
-    // tiny driver-side query prep: terms + qtf + idf per query
-    val qt = Bm25.queryTerms(queries, cfg)
-      .join(termStats.select("term", "idf"), Seq("term"))
-      .select("query_id", "term", "qtf", "idf").collect()
-    val perQuery: Map[String, Map[String, TermInfo]] = qt
-      .groupBy(_.getString(0))
-      .map { case (qid, rows) =>
-        qid -> rows.map(r =>
-          r.getString(1) -> TermInfo(r.getInt(2), r.getDouble(3))).toMap
-      }
-    if (perQuery.isEmpty)
-      return spark.emptyDataFrame
-        .withColumn("query_id", lit("")).withColumn("doc_id", lit(0L))
-        .withColumn("score", lit(0.0)).withColumn("rank", lit(0L))
-        .limit(0)
-    val allTerms = perQuery.values.flatMap(_.keys).toSeq.distinct
-    val bQueries = spark.sparkContext.broadcast(perQuery)
     val (k1, b) = (p.k1, p.b)
 
-    val candidates = blocks
-      .filter(col("term").isin(allTerms: _*)) // parquet predicate pushdown
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) =>
-        val byTerm = rows.toArray.groupBy(_.term)
+    val qt = Bm25.queryTerms(queries, cfg)
+      .join(termStats.select("term", "idf"), Seq("term"))
+    val qAgg = qt
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("term"), col("qtf"), col("idf")))
+        .as("terms"))
+    val relevant = blocks
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .as[BlockRow]
+    val shardIds = relevant.select(col("shard")).distinct()
+    val shardQueries = qAgg.crossJoin(broadcast(shardIds))
+      .select(col("shard"), col("query_id"), col("terms"))
+      .as[ShardQuery]
+
+    val candidates = relevant.groupByKey(_.shard)
+      .cogroup(shardQueries.groupByKey(_.shard)) { (_, blockIt, queryIt) =>
+        val byTerm = blockIt.toArray.groupBy(_.term)
           .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
-        bQueries.value.iterator.flatMap { case (qid, terms) =>
-          val present = terms.toSeq.flatMap { case (t, ti) =>
-            byTerm.get(t).map(bs => (ti, bs)) }
+        queryIt.flatMap { sq =>
+          val present = sq.terms.flatMap(q =>
+            byTerm.get(q.term).map(bs => (TermInfo(q.qtf, q.idf), bs)))
           if (present.isEmpty) Iterator.empty
           else wandOne(present, k, k1, b, avgdl).iterator
-            .map(c => (qid, c.doc, c.score))
+            .map(c => (sq.query_id, c.doc, c.score))
         }
       }
       .toDF("query_id", "doc_id", "score")

@@ -60,6 +60,27 @@ class PlanSpec extends SparkSpec {
       s"payload columns must be pruned from a metadata-only read:\n$np")
   }
 
+  test("training-pair random negatives avoid an unbounded CartesianProduct") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val ranked = Bm25.search(idx, QuerySet.df(spark), cfg, 20)
+      .select("query_id", "doc_id", "rank")
+    val gold = QuerySet.gold(spark, docs, cfg)
+    val p = plan(graft.query.TrainingPairs.build(ranked, gold,
+      docs.select(col("doc_id"))))
+    assert(!p.contains("CartesianProduct"),
+      s"random negatives must draw from a bounded broadcast pool, not a " +
+        s"corpus cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast pool cross:\n$p")
+  }
+
+  test("vocabulary ranking never sorts the whole vocabulary in one task") {
+    val p = plan(IndexBuilder.vocabulary(IndexBuilder.tokenRows(docs, cfg)))
+    assert(!p.contains("SinglePartition"),
+      s"vocabulary ranking must be two-phase (range partitions + local " +
+        s"rank + offsets), not a single-partition global window:\n$p")
+  }
+
   test("postings aggregation keys on (term, doc_id) — skew-free by construction") {
     val p = plan(IndexBuilder.postings(IndexBuilder.tokenRows(docs, cfg)))
     // one hash-partitioned exchange on both keys, with partial aggregation

@@ -61,8 +61,7 @@ class PorterStemmerSpec extends AnyFunSuite {
       "computation", "adjustment", "merging", "nationally", "dependent")
     for (w <- words) {
       val once = PorterStemmer.stem(w)
-      assert(PorterStemmer.stem(once) == PorterStemmer.stem(once),
-        s"non-deterministic for $w")
+      assert(PorterStemmer.stem(once) == once, s"not idempotent for $w")
     }
   }
 }

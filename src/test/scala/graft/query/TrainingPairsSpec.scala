@@ -12,7 +12,11 @@ class TrainingPairsSpec extends SparkSpec {
     val gold = Seq(("q1", 2L), ("q1", 99L)).toDF("query_id", "doc_id")
     val corpus = (1L to 10L).toDF("doc_id")
 
-    val pairs = TrainingPairs.build(ranked, gold, corpus, negPerQuery = 2)
+    // poolPrefix "g" > any hex char: keep the whole 10-doc toy corpus in
+    // the random-negative pool (the md5 pre-sample is for scale, tested
+    // separately below)
+    val pairs = TrainingPairs.build(ranked, gold, corpus, negPerQuery = 2,
+      poolPrefix = "g")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getString(3)))
 
@@ -28,10 +32,29 @@ class TrainingPairsSpec extends SparkSpec {
 
     // determinism across partitioning
     val pairs2 = TrainingPairs.build(ranked.repartition(7), gold,
-      corpus.repartition(3), negPerQuery = 2)
+      corpus.repartition(3), negPerQuery = 2, poolPrefix = "g")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getString(3)))
     assert(pairs.toSet == pairs2.toSet)
+  }
+
+  test("random-negative pool pre-sample is a deterministic md5-prefix subset") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ranked = Seq(("q1", 100001L, 1)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq.empty[(String, Long)].toDF("query_id", "doc_id")
+    val corpus = (1L to 200L).toDF("doc_id")
+    val expectedPool = corpus
+      .filter(md5(col("doc_id").cast("string").cast("binary"))
+        .substr(1, 1) < "4").collect().map(_.getLong(0)).toSet
+    val rand = TrainingPairs.build(ranked, gold, corpus,
+        negPerQuery = 1000, poolPrefix = "4")
+      .filter(col("kind") === "random_negative")
+      .collect().map(_.getLong(1)).toSet
+    // with a quota larger than the pool, the draw IS the pool
+    assert(rand == expectedPool,
+      s"pool mismatch: got ${rand.size}, want ${expectedPool.size}")
+    assert(expectedPool.size < 200, "prefix filter must actually subsample")
   }
 
   test("neededDocs prunes the corpus to referenced docs (J6)") {

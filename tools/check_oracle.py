@@ -48,7 +48,23 @@ def main(sf_dir, out_dir):
             n_fail += 1
         else:
             eq = got.equals(want)
-            if not eq:
+            if eq:
+                # pandas == treats -0.0 == 0.0 and is blind to float byte
+                # identity; the driver hashes BYTES, so check float columns
+                # bitwise too (this is exactly how round-1 q_rerank passed
+                # locally but failed the driver's hash: one -0.0 in the
+                # DuckDB round() output).
+                import numpy as np
+                for c in got.columns:
+                    if got[c].dtype.kind == "f" and want[c].dtype.kind == "f":
+                        if not np.array_equal(
+                                got[c].to_numpy().view("uint64"),
+                                want[c].to_numpy().view("uint64")):
+                            eq = False
+                            print(f"FAIL {name}: column {c} differs at the "
+                                  f"byte level (e.g. -0.0 vs 0.0)")
+                            break
+            else:
                 # tolerate dtype mismatch only if values match as strings
                 eq = got.astype(str).equals(want.astype(str))
             if eq:
