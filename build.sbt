@@ -15,6 +15,11 @@ run / fork := true
 // line with [info], which broke machine-parsing of Bench's JSON metrics
 // line in round 1 (BENCH_r01.json "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// local-cluster[...] scaling runs launch REAL executor JVMs; the Spark
+// launcher needs these to build the executor command line.
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

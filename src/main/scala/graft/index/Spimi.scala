@@ -225,8 +225,16 @@ object Spimi {
       saltBuckets: Int = DefaultSaltBuckets,
       idCol: String = "doc_id", textCol: String = "text"): InvertedIndex = {
     val spark = docs.sparkSession
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.get("SPARK_GRAFT_STAGE_TIMING").contains("1"))
+        System.err.println(
+          f"[spimi] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
 
-    if (!stageDone(spark, s"$workDir/manifest")) {
+    if (!stageDone(spark, s"$workDir/manifest")) t("stage1") {
       docManifest(docs, cfg, idCol, textCol)
         .write.mode("overwrite").parquet(s"$workDir/manifest")
       ingestLineage(spark.read.parquet(s"$workDir/manifest"))
@@ -234,11 +242,13 @@ object Spimi {
     }
 
     if (!stageDone(spark, s"$workDir/runs")) {
-      runs(docPostings(docs, cfg, idCol, textCol), numPartitions, saltBuckets)
-        .write.mode("overwrite").parquet(s"$workDir/runs")
+      t("stage2-runs") {
+        runs(docPostings(docs, cfg, idCol, textCol), numPartitions, saltBuckets)
+          .write.mode("overwrite").parquet(s"$workDir/runs")
+      }
       // run-stage lineage: per-bucket row counts (bucket id recomputed from
       // the persisted rows — a pure function of (term, doc_id))
-      spark.read.parquet(s"$workDir/runs")
+      t("stage2-lin") { spark.read.parquet(s"$workDir/runs")
         .groupBy(bucketExpr(numPartitions, saltBuckets)
           .cast("int").as("partition_id"))
         .agg(count(lit(1)).as("n_rows"),
@@ -246,7 +256,7 @@ object Spimi {
         .select(lit("runs").as("stage"), col("partition_id"),
           col("n_rows"), col("n_docs"), lit(0L).as("checksum"),
           lit("done").as("status"))
-        .write.mode("append").parquet(s"$workDir/lineage")
+        .write.mode("append").parquet(s"$workDir/lineage") }
     }
 
     // Gate stage 3 on the LAST artifact it writes (term_stats): a crash
@@ -258,7 +268,8 @@ object Spimi {
       val merged = merge(
         spark.read.parquet(s"$workDir/runs").as[PackedPosting],
         numPartitions)
-      merged.toDF().write.mode("overwrite").parquet(s"$workDir/index/postings")
+      t("stage3-merge") { merged.toDF().write.mode("overwrite")
+        .parquet(s"$workDir/index/postings") }
       val post = spark.read.parquet(s"$workDir/index/postings")
       // doc stats come from the manifest (already tokenized once at
       // ingest) so zero-token documents still count toward N/avgdl,
@@ -266,16 +277,23 @@ object Spimi {
       // records every doc) — and the corpus is never tokenized twice.
       val ds = spark.read.parquet(s"$workDir/manifest")
         .select(col("doc_id"), col("doc_len"))
-      ds.write.mode("overwrite").parquet(s"$workDir/index/doc_stats")
-      val n = spark.read.parquet(s"$workDir/index/doc_stats").count()
-      IndexBuilder.termStats(post, n)
-        .write.mode("overwrite").parquet(s"$workDir/index/term_stats")
+      t("stage3-ds") {
+        ds.write.mode("overwrite").parquet(s"$workDir/index/doc_stats") }
+      // N comes from the tiny ingest-lineage table (sum of per-partition
+      // doc counts) rather than a count() pass over doc_stats — one less
+      // job in the barrier-dominated tail of the build.
+      val n = t("stage3-count") {
+        spark.read.parquet(s"$workDir/lineage")
+          .filter(col("stage") === "ingest")
+          .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0) }
+      t("stage3-ts") { IndexBuilder.termStats(post, n)
+        .write.mode("overwrite").parquet(s"$workDir/index/term_stats") }
     }
 
     val post = spark.read.parquet(s"$workDir/index/postings")
     val ds = spark.read.parquet(s"$workDir/index/doc_stats")
     val ts = spark.read.parquet(s"$workDir/index/term_stats")
-    val (n, avgdl) = IndexBuilder.corpusStats(ds)
+    val (n, avgdl) = t("final-stats") { IndexBuilder.corpusStats(ds) }
     InvertedIndex(post, ds, ts, n, avgdl)
   }
 }

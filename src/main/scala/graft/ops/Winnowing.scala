@@ -9,9 +9,11 @@ final case class DocFingerprints(doc_id: Long, fingerprints: Array[Long])
   * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
   * Karp-Rabin rolling hash over token k-grams, then the minimum hash per
   * sliding window — guarantees any shared run of ≥ window+k−1 tokens
-  * yields a shared fingerprint. Not SQL-expressible (stateful rolling
-  * hash), so this operator gets a rows-only driver check; its invariants
-  * are covered by ScalaTest instead.
+  * yields a shared fingerprint. The 61-bit Mersenne Karp-Rabin arithmetic
+  * is reproduced exactly by the DuckDB oracle in HUGEINT (the rolling
+  * update is congruent mod M to the direct Horner chain the oracle uses),
+  * so q_winnow is fully oracle-checked; invariants are additionally
+  * covered by ScalaTest.
   */
 object Winnowing {
 

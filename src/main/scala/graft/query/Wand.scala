@@ -214,7 +214,7 @@ object Wand {
   def search(blocks: Dataset[BlockRow], termStats: DataFrame,
       numDocs: Long, avgdl: Double, queries: DataFrame,
       cfg: graft.analysis.TokenizerConfig, k: Int = 100,
-      p: Bm25.Params = Bm25.Params()): DataFrame = {
+      p: Bm25.Params = Bm25.Params(), numShards: Int = -1): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val (k1, b) = (p.k1, p.b)
@@ -228,7 +228,13 @@ object Wand {
     val relevant = blocks
       .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
       .as[BlockRow]
-    val shardIds = relevant.select(col("shard")).distinct()
+    // Callers that know the shard count pass it and skip a
+    // discover-the-shards scan; a shard id with no blocks just yields an
+    // empty cogroup side. Fallback: one distinct() pass over the pruned
+    // blocks.
+    val shardIds =
+      if (numShards > 0) spark.range(numShards).select(col("id").cast("int").as("shard"))
+      else relevant.select(col("shard")).distinct()
     val shardQueries = qAgg.crossJoin(broadcast(shardIds))
       .select(col("shard"), col("query_id"), col("terms"))
       .as[ShardQuery]
