@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.analysis.{Tokenizer, TokenizerConfig}
+
+/** One term's live statistics, updated as documents stream in. */
+final case class TermStat(term: String, df: Long, ttf: Long)
+
+/** Incremental index maintenance over an unbounded document stream — the
+  * streaming counterpart of the batch build (SURVEY §2 H, "documents
+  * arrive continuously" generalization of the reference's one-shot
+  * `index_documents`, reference src/data_processing.py:56-94).
+  *
+  * Two complementary pieces:
+  *
+  *  - [[termStats]]: per-term running (df, total tf) kept in keyed
+  *    streaming state via `flatMapGroupsWithState` — the custom-state
+  *    surface. State is ONE small record per distinct term (bounded by
+  *    vocabulary, not corpus), each micro-batch touches only the terms it
+  *    contains, and every update emits the refreshed row, so a downstream
+  *    sink always holds the current stats table (the streaming form of the
+  *    batch G4/G5 term-stats computation that BM25 idf reads).
+  *
+  *  - [[ingestStats]]: event-time windowed ingestion telemetry with a
+  *    watermark — doc and token throughput per window; late documents
+  *    beyond the watermark are dropped and the window state is reclaimed,
+  *    so state stays bounded on an unbounded stream.
+  *
+  * At scale both run per-executor-partitioned: state for term t lives on
+  * the partition owning hash(t); nothing global grows with stream length.
+  */
+object IndexStream {
+
+  /** Per-document (term, tf) pairs — doc-at-a-time, narrow (the same
+    * inversion shape as [[graft.index.Spimi.docPostings]], minus
+    * positions, which windowed serving does not need). */
+  def termTfRows(docStream: DataFrame, cfg: TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[(String, Int)] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val tok = Tokenizer(cfg)
+    docStream.select(col(textCol).as("text")).as[String]
+      .flatMap { text =>
+        val tokens = tok.tokenize(if (text == null) "" else text)
+        val byTerm = new java.util.HashMap[String, Integer]()
+        tokens.foreach { t =>
+          val c = byTerm.get(t)
+          byTerm.put(t, if (c == null) 1 else c + 1)
+        }
+        import scala.jdk.CollectionConverters._
+        byTerm.asScala.iterator.map { case (t, c) => (t, c.intValue()) }
+      }
+  }
+
+  /** Running (df, ttf) per term over the stream. Each emitted row is the
+    * term's CURRENT totals; sinks that upsert by term hold the live
+    * stats table. */
+  def termStats(docStream: DataFrame,
+      cfg: TokenizerConfig): Dataset[TermStat] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    termTfRows(docStream, cfg)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), TermStat](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (term: String, rows: Iterator[(String, Int)],
+            state: GroupState[(Long, Long)]) =>
+          var (df, ttf) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, tf) => df += 1; ttf += tf }
+          state.update((df, ttf))
+          Iterator.single(TermStat(term, df, ttf))
+      }
+  }
+
+  /** Event-time-windowed ingestion stats with a watermark: (window, docs,
+    * tokens) per `windowDur`, tolerating events up to `lateness` late.
+    * The required schema adds an `event_time` timestamp column. */
+  def ingestStats(docStream: DataFrame, cfg: TokenizerConfig,
+      windowDur: String = "10 seconds", lateness: String = "30 seconds",
+      textCol: String = "text"): DataFrame =
+    docStream
+      .withColumn("doc_len",
+        size(graft.index.IndexBuilder.tokens(col(textCol), cfg)))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(count(lit(1)).as("docs"), sum(col("doc_len")).as("tokens"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("docs"), col("tokens"))
+}

@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
       s"expected a broadcast pool cross:\n$p")
   }
 
+  test("WAND query replication is a bounded broadcast cross, not a CartesianProduct") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val blocks = ServingIndex.fromPostings(idx.postings, 4)
+    val p = plan(graft.query.Wand.search(blocks, idx.termStats, idx.numDocs,
+      idx.avgdl, QuerySet.df(spark), cfg, 10, numShards = 4))
+    assert(!p.contains("CartesianProduct"),
+      s"shard replication must broadcast the tiny shard-id list:\n$p")
+    assert(!p.contains("collect()"), p) // documentation of intent
+  }
+
   test("vocabulary ranking never sorts the whole vocabulary in one task") {
     val p = plan(IndexBuilder.vocabulary(IndexBuilder.tokenRows(docs, cfg)))
     assert(!p.contains("SinglePartition"),

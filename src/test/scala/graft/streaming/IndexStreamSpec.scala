@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+
+class IndexStreamSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  test("streaming term stats converge to the batch term stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val docStream = source.toDF().toDF("doc_id", "text")
+
+    val q = IndexStream.termStats(docStream, cfg)
+      .writeStream.format("memory").queryName("live_stats")
+      .outputMode("update").start()
+    try {
+      source.addData((1L, "merge sort merge"), (2L, "sort network"))
+      q.processAllAvailable()
+      source.addData((3L, "merge network network partition"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last emission per term = current totals
+    val live = spark.table("live_stats")
+      .groupBy("term").agg(max(struct(col("df"), col("ttf"))).as("s"))
+      .select(col("term"), col("s.df"), col("s.ttf"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+
+    // batch truth over the union of all arrived docs
+    val docs = Seq((1L, "merge sort merge"), (2L, "sort network"),
+      (3L, "merge network network partition")).toDF("doc_id", "text")
+    val batch = graft.index.IndexBuilder
+      .tokenRows(docs, cfg)
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ttf"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(live == batch,
+      s"streaming stats $live must equal batch stats $batch")
+  }
+
+  test("watermarked windowed ingest stats aggregate per event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val docStream = source.toDF().toDF("doc_id", "text", "event_time")
+
+    val q = IndexStream.ingestStats(docStream, cfg, "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("ingest_stats")
+      .outputMode("update").start()
+    try {
+      source.addData(
+        (1L, "merge sort merge", new Timestamp(t0 + 1000)),
+        (2L, "sort network", new Timestamp(t0 + 4000)),
+        (3L, "partition shuffle spill", new Timestamp(t0 + 12000)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("ingest_stats")
+      .groupBy("win_start").agg(max("docs").as("docs"), max("tokens").as("tokens"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, (r.getLong(1), r.getLong(2))))
+      .toMap
+    // window [t0, t0+10s): docs 1+2 -> 5 tokens; [t0+10s, t0+20s): doc 3 -> 3
+    assert(rows(t0) == (2L, 5L), s"first window wrong: $rows")
+    assert(rows(t0 + 10000) == (1L, 3L), s"second window wrong: $rows")
+  }
+}
