@@ -76,6 +76,30 @@ object Bm25 {
       .filter(col("rank") <= k)
   }
 
+  /** Rank-identical, skew-safe top-k for pathological queries whose
+    * candidate set approaches the whole corpus (a stopword-ish query at
+    * 10^12 docs would pin one reducer under [[topK]]'s per-query window).
+    *
+    * Phase 1 splits each query's candidates into `fanout` doc-hash
+    * sub-groups and takes the canonical top-k within each — the heavy
+    * sort now spreads over queries × fanout partitions, each sub-group
+    * necessarily containing every global-top-k doc that hashes into it.
+    * Phase 2 ranks the surviving ≤ fanout·k rows per query — bounded
+    * input regardless of corpus size. Output is row-identical to
+    * [[topK]] (Bm25ConformanceSpec asserts equality). */
+  def topKSkewSafe(scored: DataFrame, k: Int, fanout: Int = 32): DataFrame = {
+    val key = graft.Canon.rankKey(col("score"))
+    val sub = Window.partitionBy(col("query_id"),
+        pmod(col("doc_id"), lit(fanout)))
+      .orderBy(key.desc, col("doc_id").asc)
+    val pruned = scored.withColumn("srank", row_number().over(sub))
+      .filter(col("srank") <= k).drop("srank")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(key.desc, col("doc_id").asc)
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Full pipeline: queries table -> ranked results. */
   def search(index: InvertedIndex, queries: DataFrame, cfg: TokenizerConfig,
       k: Int = 100, p: Params = Params()): DataFrame =

@@ -19,6 +19,8 @@ class EdgeCaseSpec extends SparkSpec {
     val blocks = ServingIndex.fromPostings(idx.postings, 2)
     assert(Wand.search(blocks, idx.termStats, 0, 0.0,
       QuerySet.df(spark), cfg, 10).count() == 0)
+    assert(IndexBuilder.vocabulary(
+      IndexBuilder.tokenRows(empty, cfg)).count() == 0)
   }
 
   test("docs with empty/null/sub-min-length-only text count toward N but produce no postings") {

@@ -92,6 +92,21 @@ class Bm25ConformanceSpec extends SparkSpec {
     }
   }
 
+  test("skew-safe two-phase top-k is row-identical to the single-window top-k") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = IndexBuilder.build(docs, cfg)
+    val scored = Bm25.score(idx, Bm25.queryTerms(QuerySet.df(spark), cfg))
+    val a = Bm25.topK(scored, 50)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    for (fanout <- Seq(2, 7, 32)) {
+      val b = Bm25.topKSkewSafe(scored, 50, fanout)
+        .select("query_id", "doc_id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(b == a, s"fanout=$fanout diverges from canonical top-k")
+    }
+  }
+
   test("empty and unknown queries return no results") {
     val docsDf = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val index = IndexBuilder.build(docsDf, cfg)
