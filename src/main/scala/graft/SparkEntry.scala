@@ -259,6 +259,11 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
 
+    // ---- positional phrase query over the positional posting lists
+    //      (G1/W1 positions, exercised at query level) ----
+    "q_phrase" -> ((s, dir) =>
+      graft.query.Phrase.search(plans.index(s, dir), "merge order", cfg)),
+
     // ---- utils.py:139-158 print_short_index_entries: rare-term
     //      posting-list inspection ----
     "q_short_entries" -> ((s, dir) => {
@@ -673,6 +678,19 @@ object SparkEntry {
           |  FROM sh_arrays)""".stripMargin),
         "SELECT doc_id, min(md5(shingle)) AS fingerprint FROM doc_shingles" +
           " GROUP BY doc_id"),
+
+      "q_phrase" -> withCtes(Seq(tokArrays, toks,
+        """plist AS (
+          |  SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+          |  FROM toks GROUP BY 1, 2)""".stripMargin,
+        "pa AS (SELECT doc_id, positions FROM plist WHERE term = 'merge')",
+        "pb AS (SELECT doc_id, positions FROM plist WHERE term = 'order')",
+        """pm AS (
+          |  SELECT pa.doc_id,
+          |    list_intersect([p + 1 FOR p IN pa.positions], pb.positions)
+          |      AS mp
+          |  FROM pa JOIN pb USING (doc_id))""".stripMargin),
+        "SELECT doc_id, len(mp) AS n_matches FROM pm WHERE len(mp) > 0"),
 
       "q_short_entries" -> withCtes(Seq(tokArrays, toks, doclen, postings,
         stats, termstats),

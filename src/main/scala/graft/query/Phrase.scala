@@ -1,0 +1,46 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Tokenizer, TokenizerConfig}
+import graft.index.InvertedIndex
+
+/** Positional phrase search — the query-side capability the positional
+  * posting lists exist for. The reference STORES positions
+  * (src/data_processing.py:25-31, "term -> doc -> [positions]") but never
+  * exposes a phrase query; this closes that loop over the same data
+  * (SURVEY §2 G1/W1).
+  *
+  * Plan shape: one postings fetch per phrase term (a term-filtered scan —
+  * predicate-pushdown-friendly), then doc_id equi-joins chained
+  * left-to-right. Adjacency is pure Catalyst array arithmetic:
+  * `(match_pos + 1) ∩ next_positions` carries the surviving end positions
+  * of the partial phrase forward, so a k-term phrase is k-1 joins with no
+  * explode and no UDF; rows leave the pipeline as soon as the
+  * intersection empties. Match count per doc = |surviving positions|
+  * (overlapping matches count individually, e.g. "a a" in "a a a" = 2).
+  */
+object Phrase {
+
+  /** @return (doc_id, n_matches) for documents containing the phrase. */
+  def search(index: InvertedIndex, phrase: String,
+      cfg: TokenizerConfig): DataFrame = {
+    val terms = Tokenizer(cfg).tokenize(phrase).toSeq
+    require(terms.nonEmpty, "phrase tokenizes to no terms")
+    var cur = index.postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("positions").as("match_pos"))
+    for (t <- terms.tail) {
+      val next = index.postings.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as("next_pos"))
+      cur = cur.join(next, Seq("doc_id"))
+        .withColumn("match_pos",
+          array_intersect(
+            transform(col("match_pos"), p => p + 1), col("next_pos")))
+        .filter(size(col("match_pos")) > 0)
+        .select(col("doc_id"), col("match_pos"))
+    }
+    cur.select(col("doc_id"),
+      size(col("match_pos")).cast("long").as("n_matches"))
+  }
+}

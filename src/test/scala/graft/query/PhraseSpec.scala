@@ -1,0 +1,40 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+class PhraseSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  test("phrase search counts exact adjacent matches, including overlaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort merge sort merge sort"), // "merge sort" at pos 1 and 3
+      (3L, "merge an sort"), // "an" < min length is dropped, so merge/sort
+                             // ARE adjacent in the post-filter position
+                             // space the positional index records
+      (4L, "sort then merge"),
+      (5L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(docs, cfg)
+
+    val ms = Phrase.search(idx, "merge sort", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 3: min-length filter drops "and", making merge/sort adjacent in
+    // the POST-FILTER position space — same semantics as the reference's
+    // positional index, which records post-filter positions
+    assert(ms == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"got $ms")
+
+    val aa = Phrase.search(idx, "aaa aaa", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aa == Map(5L -> 2L), s"overlapping matches must both count: $aa")
+
+    val three = Phrase.search(idx, "sort merge sort", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(three == Map(2L -> 2L), s"3-term phrase: $three")
+
+    assert(Phrase.search(idx, "bubble merge", cfg).count() == 0)
+  }
+}
