@@ -382,61 +382,70 @@ object Bench {
       Attempt(n, tN / (4.0 * t4), qN / (4.0 * q4))
     }
 
+    def bestN: Int = attempts.maxBy(a => math.min(a.ie, a.qe)).n
+
+    /** Full metrics JSON for the best pair measured so far. */
+    def currentJson(): String = {
+      val n = bestN
+      val (tSm, qSm) = (runsN(n).map(_._1).min, runsN(n).map(_._2).min)
+      val (tBg, qBg) = (runs4N(n).map(_._1).min, runs4N(n).map(_._2).min)
+      val indexEff = tSm / (4.0 * tBg)
+      val queryEff = qSm / (4.0 * qBg)
+      val scaleDocs = docsOf(n)
+      val total = results.values.sum
+      val qs = results.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val attemptsJson = attempts.map(a =>
+          s"""{"n":${a.n},"index_eff":${a.ie},"query_eff":${a.qe}}""")
+        .mkString("[", ",", "]")
+      val scaling =
+        s"""{"n_small":$n,"n_big":${4 * n},""" +
+        s""""effective_cores_probe":$eff,"attempts":$attemptsJson,""" +
+        s""""index_build_sec_n":$tSm,"index_build_sec_4n":$tBg,""" +
+        s""""index_scaling_efficiency":$indexEff,""" +
+        s""""query_wand_sec_n":$qSm,"query_wand_sec_4n":$qBg,""" +
+        s""""query_scaling_efficiency":$queryEff,""" +
+        s""""docs":$scaleDocs,"queries":${scaleReps * 25},""" +
+        s""""docs_per_sec_n":${scaleDocs / tSm},""" +
+        s""""docs_per_sec_4n":${scaleDocs / tBg}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","n_docs":$nDocs,"index_docs_per_sec":$docsPerSec,""" +
+      s""""sec_per_query":${tJoin / QuerySet.queries.size},""" +
+      s""""scaling":$scaling}"""
+    }
+    // Belt-and-braces for the harness: the JSON lands in a file after
+    // EVERY attempt (so a harness-side timeout mid-run still leaves the
+    // best-so-far metrics), and a log-prefixing wrapper can never make
+    // the final stdout line unparseable (round-1 BENCH_r01.json had
+    // "parsed": null).
+    def writeJson(): Unit =
+      Files.writeString(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
+        currentJson())
+
     var chosenN = -1
     var i = 0
     while (i < candidates.length && chosenN < 0 &&
         (i == 0 || elapsed + pairCost * 1.1 < budgetSec * 0.75)) {
       val a = runPair(candidates(i))
       attempts += a
+      writeJson()
       if (math.min(a.ie, a.qe) >= target) chosenN = a.n
       i += 1
     }
     if (chosenN < 0) // nothing cleared the target inside budget: best seen
-      chosenN = attempts.maxBy(a => math.min(a.ie, a.qe)).n
+      chosenN = bestN
     // extra repeats of the chosen pair while budget allows: min-of-R is
     // the standard noise-robust estimator on this multi-tenant host
     var r = runsN(chosenN).size
     while (r < repeats && elapsed + pairCost * 1.2 < budgetSec) {
       attempts += runPair(chosenN)
+      writeJson()
       r += 1
     }
-
-    val (tSm, qSm) =
-      (runsN(chosenN).map(_._1).min, runsN(chosenN).map(_._2).min)
-    val (tBg, qBg) =
-      (runs4N(chosenN).map(_._1).min, runs4N(chosenN).map(_._2).min)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(corpusPath).getParentFile)
-
-    val indexEff = tSm / (4.0 * tBg)
-    val queryEff = qSm / (4.0 * qBg)
-    val scaleDocs = docsOf(chosenN)
-
-    val total = results.values.sum
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val attemptsJson = attempts.map(a =>
-        s"""{"n":${a.n},"index_eff":${a.ie},"query_eff":${a.qe}}""")
-      .mkString("[", ",", "]")
-    val scaling =
-      s"""{"n_small":$chosenN,"n_big":${4 * chosenN},""" +
-      s""""effective_cores_probe":$eff,"attempts":$attemptsJson,""" +
-      s""""index_build_sec_n":$tSm,"index_build_sec_4n":$tBg,""" +
-      s""""index_scaling_efficiency":$indexEff,""" +
-      s""""query_wand_sec_n":$qSm,"query_wand_sec_4n":$qBg,""" +
-      s""""query_scaling_efficiency":$queryEff,""" +
-      s""""docs":$scaleDocs,"queries":${scaleReps * 25},""" +
-      s""""docs_per_sec_n":${scaleDocs / tSm},""" +
-      s""""docs_per_sec_4n":${scaleDocs / tBg}}"""
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","n_docs":$nDocs,"index_docs_per_sec":$docsPerSec,""" +
-      s""""sec_per_query":${tJoin / QuerySet.queries.size},""" +
-      s""""scaling":$scaling}"""
-    println(json)
-    // Belt-and-braces for the harness: the JSON also lands in a file, so
-    // a log-prefixing wrapper can never make the metrics unparseable
-    // again (round-1 BENCH_r01.json had "parsed": null).
-    Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json)
+    println(currentJson())
+    writeJson()
   }
 }
