@@ -206,6 +206,22 @@ object SparkEntry {
     // ---- dedup: 16-bit SimHash fingerprints ----
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
 
+    // ---- dedup: embedding-cosine near-dup pairs (LSH-bucketed; corpus
+    //      with injected exact + perturbed duplicate vectors) ----
+    "q_dedup_embed" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dup = e
+        .union(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        .union(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.05f))
+              .as("embedding")))
+      Similarity.embedNearDupPairs(dup, threshold = 0.9)
+        .select(col("vec_a"), col("vec_b"),
+          graft.Canon.r(col("cosine"), 4).as("cosine"))
+    }),
+
     // ---- dedup: near-dup clustering (connected components over pairs) ----
     "q_dedup_clusters" -> ((s, dir) => {
       val corpus = plans.dupCorpus(s, dir)
@@ -460,6 +476,48 @@ object SparkEntry {
           |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin),
         "SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard" +
           " FROM jac WHERE jaccard >= 0.5"),
+
+      "q_dedup_embed" -> withCtes(Seq(
+        """dup_emb AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+          |    WHERE vec_id % 20 = 0
+          |  UNION ALL SELECT vec_id + 200000,
+          |    [x + 0.05::FLOAT FOR x IN embedding]
+          |  FROM embeddings WHERE vec_id % 30 = 0)""".stripMargin,
+        """e AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+          |         CAST(unnest(embedding) AS DOUBLE) AS v
+          |  FROM dup_emb)""".stripMargin,
+        """planes AS (
+          |  SELECT p, dim,
+          |    CASE WHEN substr(md5(p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+          |      >= '8' THEN 1 ELSE -1 END AS w
+          |  FROM (SELECT unnest(range(8)) AS p)
+          |  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim))""".stripMargin,
+        """proj AS (
+          |  SELECT e.vec_id, pl.p, sum(pl.w * e.v) AS proj
+          |  FROM e JOIN planes pl USING (dim) GROUP BY 1, 2)""".stripMargin,
+        """buckets AS (
+          |  SELECT vec_id, sum(CASE WHEN proj > 0
+          |    THEN (1::BIGINT << p::INT) ELSE 0 END) AS bucket
+          |  FROM proj GROUP BY 1)""".stripMargin,
+        "eb AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id))",
+        """pairs AS (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na,
+          |    sqrt(sum(b.v * b.v)) AS nb
+          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.dim = b.dim
+          |    AND a.vec_id < b.vec_id
+          |  GROUP BY 1, 2)""".stripMargin,
+        """cosd AS (
+          |  SELECT vec_a, vec_b,
+          |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END
+          |      AS cosine
+          |  FROM pairs)""".stripMargin),
+        """SELECT vec_a, vec_b, CAST(floor(cosine * 1e4 + 0.5) / 1e4
+          |  AS DOUBLE) AS cosine
+          |FROM cosd WHERE cosine >= 0.9""".stripMargin),
 
       "q_dedup_clusters" -> ("WITH RECURSIVE " + Seq(dupCorpus, shingleRows,
         minhashCtes,

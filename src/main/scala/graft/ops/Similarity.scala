@@ -141,6 +141,33 @@ object Similarity {
       .select(col("query_vec"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS — the dedup-flavored use of
+    * the vector index (brief: "embedding-cosine near-dup"): every
+    * same-bucket pair of vectors whose cosine clears `threshold`. The
+    * O(n²) pair space is never materialized — candidates come from the
+    * hyperplane-LSH bucket self-join (expected bucket size n/2^planes),
+    * the same scale argument as [[graft.ops.Dedup.minhashPairs]]. */
+  def embedNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+      numPlanes: Int = 8): DataFrame = {
+    val b = buckets(embeddings, numPlanes)
+    val e = exploded(embeddings).join(b, Seq("vec_id"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("dim"),
+      col("v").as("va"))
+    val c = e.select(col("bucket"), col("vec_id").as("vec_b"), col("dim"),
+      col("v").as("vb"))
+    a.join(c, Seq("bucket", "dim"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(sum(col("va") * col("vb")).as("dot"),
+        sqrt(sum(col("va") * col("va"))).as("na"),
+        sqrt(sum(col("vb") * col("vb"))).as("nb"))
+      .withColumn("cosine",
+        when(col("na") > 0.0 && col("nb") > 0.0,
+          col("dot") / (col("na") * col("nb"))).otherwise(lit(0.0)))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: cosine top-k within the query's bucket only. */
   def lshTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int, numPlanes: Int = 8): DataFrame = {
