@@ -130,7 +130,7 @@ object SparkEntry {
     "q_ndcg" -> ((s, dir) =>
       Ndcg.perQuery(plans.ranked(s, dir, NdcgK), plans.gold(s, dir), NdcgK)
         .select(col("query_id"),
-          round(col("ndcg"), 4).cast("double").as("ndcg"))),
+          graft.Canon.r(col("ndcg"), 4).as("ndcg"))),
 
     // ---- A4/G1/G3: SPIMI runs + merge path (same result as q_postings —
     //      the shared oracle IS the equivalence proof) ----
@@ -181,14 +181,14 @@ object SparkEntry {
       val gold = plans.gold(s, dir)
       val bm = Ndcg.perQuery(plans.ranked(s, dir, NdcgK), gold, NdcgK)
         .select(col("query_id"),
-          round(col("ndcg"), 4).cast("double").as("ndcg_bm25"))
+          graft.Canon.r(col("ndcg"), 4).as("ndcg_bm25"))
       val rr = Ndcg.perQuery(
         Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
           .select(col("query_id"), col("doc_id"),
             col("rerank").as("rank")),
         gold, NdcgK)
         .select(col("query_id"),
-          round(col("ndcg"), 4).cast("double").as("ndcg_rerank"))
+          graft.Canon.r(col("ndcg"), 4).as("ndcg_rerank"))
       bm.join(rr, Seq("query_id"))
     }),
 
@@ -387,9 +387,9 @@ object SparkEntry {
            |    ELSE 1.0 / log2(i) END FOR i IN
            |    range(1, least(n_gold, $NdcgK) + 1)]) AS idcg
            |  FROM gsize)""".stripMargin),
-        """SELECT i.query_id, CAST(round(CASE WHEN i.idcg > 0
-          |  THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
-          |  AS ndcg
+        """SELECT i.query_id, CAST(floor((CASE WHEN i.idcg > 0
+          |  THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END) * 1e4 + 0.5)
+          |  / 1e4 AS DOUBLE) AS ndcg
           |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin),
 
       "q_rerank" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
@@ -433,12 +433,12 @@ object SparkEntry {
            |    range(1, least(n_gold, $NdcgK) + 1)]) AS idcg
            |  FROM gsize)""".stripMargin),
         """SELECT i.query_id,
-          |  CAST(round(CASE WHEN i.idcg > 0
-          |    THEN coalesce(b.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
-          |    AS ndcg_bm25,
-          |  CAST(round(CASE WHEN i.idcg > 0
-          |    THEN coalesce(r.dcg, 0.0) / i.idcg ELSE 0.0 END, 4) AS DOUBLE)
-          |    AS ndcg_rerank
+          |  CAST(floor((CASE WHEN i.idcg > 0
+          |    THEN coalesce(b.dcg, 0.0) / i.idcg ELSE 0.0 END) * 1e4 + 0.5)
+          |    / 1e4 AS DOUBLE) AS ndcg_bm25,
+          |  CAST(floor((CASE WHEN i.idcg > 0
+          |    THEN coalesce(r.dcg, 0.0) / i.idcg ELSE 0.0 END) * 1e4 + 0.5)
+          |    / 1e4 AS DOUBLE) AS ndcg_rerank
           |FROM idcg i LEFT JOIN dcgb b USING (query_id)
           |  LEFT JOIN dcgr r USING (query_id)""".stripMargin),
 
@@ -789,7 +789,10 @@ object SparkEntry {
           |      ORDER BY md5(q.query_id || ':' || d.doc_id), d.doc_id) AS rn
           |    FROM (SELECT DISTINCT query_id FROM ranked) q
           |    CROSS JOIN (SELECT doc_id FROM documents
-          |      WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '2') d
+          |      WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+          |        (SELECT CASE WHEN 400.0 / count(*) >= 1.0 THEN 'g'
+          |         ELSE printf('%08x', CAST(floor(400.0 / count(*)
+          |           * 4294967296.0) AS BIGINT)) END FROM documents)) d
           |    WHERE NOT EXISTS (SELECT 1 FROM ranked r
           |      WHERE r.query_id = q.query_id AND r.doc_id = d.doc_id))
           |  WHERE rn <= 4)""".stripMargin),

@@ -105,31 +105,66 @@ object IndexBuilder {
     * (SURVEY §2 G10).
     *
     * Ranking is two-phase so no single task ever sorts the whole
-    * vocabulary (a 100× code corpus has 10^8-10^9 distinct terms): a
-    * range-repartition on (first_occ, term) splits the total order across
-    * partitions, a per-partition window assigns local ranks, and
-    * partition offsets (one long per partition — bounded by the partition
-    * count, never the vocabulary) shift them to global ids. Range
-    * partitions are order-disjoint, so local rank + offset IS the global
-    * rank. PlanSpec asserts the plan has no SinglePartition exchange. */
+    * vocabulary (a 100× code corpus has 10^8-10^9 distinct terms): terms
+    * are assigned to order-preserving range BUCKETS, a per-bucket window
+    * assigns local ranks, and bucket offsets (one long per bucket —
+    * bounded by the bucket count, never the vocabulary) shift them to
+    * global ids. Buckets are order-disjoint, so local rank + offset IS
+    * the global rank. PlanSpec asserts the plan has no SinglePartition
+    * exchange.
+    *
+    * The bucket of a term is a PURE FUNCTION of the row — the count of
+    * boundary keys ≤ (first_occ, term), with boundaries drawn from a
+    * deterministic md5-ordered sample — never of the physical
+    * partitioning. (`repartitionByRange` + `spark_partition_id` would
+    * re-sample boundaries per execution, so the offsets frozen from one
+    * job could disagree with the partitioning a later job gets,
+    * producing duplicate/gapped ids; Spark's own docs flag
+    * repartitionByRange output as possibly inconsistent.) Every action
+    * over the returned plan therefore sees identical buckets — no
+    * persist needed for correctness (only for speed; callers looping
+    * over the result should cache upstream `tokenRows`). Bucket(k) is
+    * monotone in the (first_occ, term) order by construction, so bucket
+    * balance — not correctness — is all the sample quality affects. */
   def vocabulary(tokenRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = tokenRows.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ranged = tokenRows
+    val agg = tokenRows
       .groupBy(col("term"))
       .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_occ"))
-      .repartitionByRange(parts, col("first_occ"), col("term"))
-      .withColumn("pid", spark_partition_id())
-    val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    // Deterministic boundary sample: the first parts*40 terms in
+    // md5(term) order (a uniform, execution-independent pseudo-sample;
+    // TakeOrdered — never a global sort). Quantiles of the sample become
+    // the parts-1 bucket boundaries.
+    val sample = agg
+      .select(col("first_occ"), col("term"))
+      .orderBy(md5(col("term").cast("binary")), col("term"))
+      .limit(parts * 40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(identity)
+    val bounds: Seq[(Long, String)] =
+      if (sample.isEmpty) Nil
+      else (1 until parts).map { i =>
+        sample(math.min(((i.toLong * sample.length) / parts).toInt,
+          sample.length - 1))
+      }.distinct
+    val key = struct(col("first_occ"), col("term"))
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b =>
+          when(key >= struct(lit(b._1), lit(b._2)), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = agg.withColumn("bkt", bucketCol)
+    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val offs = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
-    val offDf = spark.createDataFrame(offs.toIndexedSeq).toDF("pid", "off")
-    val localW = Window.partitionBy(col("pid"))
+    val offs = counts.map { case (bkt, n) => val o = (bkt, acc); acc += n; o }
+    val offDf = spark.createDataFrame(offs.toIndexedSeq).toDF("bkt", "off")
+    val localW = Window.partitionBy(col("bkt"))
       .orderBy(col("first_occ"), col("term"))
-    ranged.withColumn("lrn", row_number().over(localW))
-      .join(broadcast(offDf), Seq("pid"))
+    bucketed.withColumn("lrn", row_number().over(localW))
+      .join(broadcast(offDf), Seq("bkt"))
       .select(col("term"), (col("lrn") + col("off")).as("term_id"))
   }
 

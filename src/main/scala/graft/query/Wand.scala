@@ -240,7 +240,18 @@ object Wand {
       .as[ShardQuery]
 
     val candidates = relevant.groupByKey(_.shard)
-      .cogroup(shardQueries.groupByKey(_.shard)) { (_, blockIt, queryIt) =>
+      .cogroup(shardQueries.groupByKey(_.shard)) { (shard, blockIt, queryIt) =>
+        // Contract check: with an explicit numShards, queries are only
+        // replicated to shards 0..numShards-1 — a block on a higher shard
+        // id would cogroup with an empty query side and its documents
+        // would silently never be scored (incomplete top-k, no error).
+        // The cogroup key itself witnesses the violation, so this costs
+        // nothing on the happy path.
+        if (numShards > 0 && shard >= numShards)
+          throw new IllegalArgumentException(
+            s"Wand.search: blocks contain shard id $shard but numShards=" +
+            s"$numShards — pass the ServingIndex's exact shard count " +
+            "(or numShards <= 0 to discover shards from the blocks)")
         val byTerm = blockIt.toArray.groupBy(_.term)
           .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
         queryIt.flatMap { sq =>

@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
       s"expected a broadcast pool cross:\n$p")
   }
 
+  test("exact dedup is one scan + one shuffle: window form, no self-join") {
+    val p = plan(graft.ops.Dedup.exact(docs))
+    assert(p.contains("Window"), s"expected analytic-window form:\n$p")
+    assert(!p.contains("Join"),
+      s"exact dedup must not re-scan/re-hash the corpus through a " +
+        s"self-join:\n$p")
+    // one sha256 evaluation site, not one per join side
+    assert("sha2".r.findAllIn(p).size <= 1, s"corpus hashed twice:\n$p")
+  }
+
   test("WAND query replication is a bounded broadcast cross, not a CartesianProduct") {
     val idx = IndexBuilder.build(docs, cfg)
     val blocks = ServingIndex.fromPostings(idx.postings, 4)

@@ -57,7 +57,25 @@ class SpimiWandSpec extends SparkSpec {
     val ingestDocs = lineage.filter(col("stage") === "ingest")
       .agg(sum("n_docs")).head().getLong(0)
     assert(ingestDocs == docs.count())
-    assert(lineage.filter(col("stage") === "runs").count() > 0)
+    assert(spark.read.parquet(s"$work/lineage_runs")
+      .filter(col("stage") === "runs").count() > 0)
+
+    // crash-window resume: losing stage 1's LAST artifact (the ingest
+    // lineage) after the manifest committed must re-run stage 1, not
+    // resume with N=0 (ADVICE r2) — same for stage 3's term_stats
+    def rmMarker(sub: String): Unit = {
+      val f = new java.io.File(s"$work/$sub/_SUCCESS")
+      assert(f.exists()); assert(f.delete())
+    }
+    rmMarker("lineage"); rmMarker("index/term_stats")
+    val idx3 = Spimi.buildCheckpointed(docs, cfg, work, numPartitions = 6)
+    assert(unpacked(idx3.postings) == canonPostings(fresh.postings))
+    assert(idx3.numDocs == fresh.numDocs)
+    val ts3 = idx3.termStats.select(col("term"), col("idf"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val tsF = fresh.termStats.select(col("term"), col("idf"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ts3 == tsF)
 
     // validateIngest: clean against the true source, dirty against a
     // tampered one

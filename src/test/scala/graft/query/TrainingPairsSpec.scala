@@ -12,11 +12,11 @@ class TrainingPairsSpec extends SparkSpec {
     val gold = Seq(("q1", 2L), ("q1", 99L)).toDF("query_id", "doc_id")
     val corpus = (1L to 10L).toDF("doc_id")
 
-    // poolPrefix "g" > any hex char: keep the whole 10-doc toy corpus in
-    // the random-negative pool (the md5 pre-sample is for scale, tested
-    // separately below)
+    // poolTarget >= corpus size degenerates the threshold to "g" (> any
+    // hex char): the whole 10-doc toy corpus stays in the random-negative
+    // pool (the md5 pre-sample is for scale, tested separately below)
     val pairs = TrainingPairs.build(ranked, gold, corpus, negPerQuery = 2,
-      poolPrefix = "g")
+      poolTarget = 100)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getString(3)))
 
@@ -32,29 +32,61 @@ class TrainingPairsSpec extends SparkSpec {
 
     // determinism across partitioning
     val pairs2 = TrainingPairs.build(ranked.repartition(7), gold,
-      corpus.repartition(3), negPerQuery = 2, poolPrefix = "g")
+      corpus.repartition(3), negPerQuery = 2, poolTarget = 100)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getString(3)))
     assert(pairs.toSet == pairs2.toSet)
   }
 
-  test("random-negative pool pre-sample is a deterministic md5-prefix subset") {
+  test("random-negative pool pre-sample is a deterministic md5-threshold subset") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val ranked = Seq(("q1", 100001L, 1)).toDF("query_id", "doc_id", "rank")
     val gold = Seq.empty[(String, Long)].toDF("query_id", "doc_id")
     val corpus = (1L to 200L).toDF("doc_id")
+    val thr = TrainingPairs.poolThresholdHex(200L, 50)
     val expectedPool = corpus
       .filter(md5(col("doc_id").cast("string").cast("binary"))
-        .substr(1, 1) < "4").collect().map(_.getLong(0)).toSet
+        .substr(1, 8) < thr).collect().map(_.getLong(0)).toSet
     val rand = TrainingPairs.build(ranked, gold, corpus,
-        negPerQuery = 1000, poolPrefix = "4")
+        negPerQuery = 1000, poolTarget = 50)
       .filter(col("kind") === "random_negative")
       .collect().map(_.getLong(1)).toSet
     // with a quota larger than the pool, the draw IS the pool
     assert(rand == expectedPool,
       s"pool mismatch: got ${rand.size}, want ${expectedPool.size}")
-    assert(expectedPool.size < 200, "prefix filter must actually subsample")
+    assert(expectedPool.size < 200, "threshold filter must actually subsample")
+    // the expected pool size tracks the absolute target, corpus-size-free
+    assert(math.abs(expectedPool.size - 50) <= 25,
+      s"pool ${expectedPool.size} should approximate the 50-doc target")
+  }
+
+  test("pool threshold adapts to corpus size (absolute target, not a fraction)") {
+    // tiny corpus: accept-everything sentinel
+    assert(TrainingPairs.poolThresholdHex(10L, 400) == "g")
+    assert(TrainingPairs.poolThresholdHex(400L, 400) == "g")
+    // big corpora: expected pool stays ~poolTarget as n grows 100×
+    val t1 = java.lang.Long.parseLong(
+      TrainingPairs.poolThresholdHex(1000000L, 400), 16)
+    val t2 = java.lang.Long.parseLong(
+      TrainingPairs.poolThresholdHex(100000000L, 400), 16)
+    assert(math.abs(t1.toDouble / 4294967296.0 * 1000000L - 400.0) < 1.0)
+    assert(math.abs(t2.toDouble / 4294967296.0 * 100000000L - 400.0) < 1.0)
+  }
+
+  test("broadcast pool row count stays bounded near poolTarget on a large corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(200000L).select(col("id").as("doc_id"))
+    val thr = TrainingPairs.poolThresholdHex(200000L, 400)
+    val poolSize = corpus
+      .filter(md5(col("doc_id").cast("string").cast("binary"))
+        .substr(1, 8) < thr).count()
+    // binomial(200k, 400/200k): ±5σ ≈ ±100 — the pool is an absolute
+    // size, not a corpus fraction (200k docs at the old 1/8 rule would
+    // have broadcast 25k rows)
+    assert(poolSize > 300 && poolSize < 500,
+      s"pool $poolSize should be ~400 regardless of corpus size")
   }
 
   test("neededDocs prunes the corpus to referenced docs (J6)") {
