@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Similarity
+
 /** Deterministic batch re-score pass over the BM25 top-k shortlist — the
   * north_star-sanctioned re-expression of the reference's neural reranker
   * (reference notebooks/reranking_model_training.ipynb cell 1c0851d3: the
@@ -14,8 +16,13 @@ import org.apache.spark.sql.functions._
   * embeddings table (SURVEY §7.6):
   *   query vector  = mean embedding of the query's top-`qTop` BM25 docs
   *   rescore(q, d) = w1 · cosine(emb(d), qvec(q)) + w2 · bm25 / max_bm25(q)
-  * followed by the same re-sort the reference does (E3) — all expressed in
-  * Catalyst column arithmetic (one explode + two aggregations), no UDF.
+  * followed by the same re-sort the reference does (E3).
+  *
+  * Vector arithmetic is array-native (`zip_with`/`aggregate` folds via
+  * [[graft.ops.Similarity.dot]]): the shortlist joins the embeddings table
+  * once on doc_id and each (query, doc) row scores in place — the only
+  * exploded step left is the per-dimension mean that builds the query
+  * vector, bounded by queries × qTop × dims.
   */
 object Rerank {
 
@@ -25,25 +32,29 @@ object Rerank {
   def rescore(topk: DataFrame, embeddings: DataFrame, w1: Double = 0.7,
       w2: Double = 0.3, qTop: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id").as("doc_id"),
-      posexplode(col("embedding")).as(Seq("dim", "v")))
-      .withColumn("v", col("v").cast("double"))
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("dn", Similarity.norm(col("emb")))
     val t = topk.join(e, Seq("doc_id"))
+    // query vector: per-dimension mean over the top-qTop docs, re-packed
+    // to an array (bounded: queries × dims rows in, one array row out)
     val qv = t.filter(col("rank") <= qTop)
+      .select(col("query_id"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("query_id"), col("dim"))
       .agg(avg(col("v")).as("qv"))
-    val agg = t.join(qv, Seq("query_id", "dim"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(
-        sum(col("v") * col("qv")).as("dot"),
-        sqrt(sum(col("v") * col("v"))).as("dn"),
-        sqrt(sum(col("qv") * col("qv"))).as("qn"),
-        max(col("score")).as("score")) // G8-style max-over-group
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("qv")))),
+        s => s.getField("qv")).as("qemb"))
+      .withColumn("qn", Similarity.norm(col("qemb")))
+    val scoredPairs = t.join(qv, Seq("query_id"))
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dot(col("emb"), col("qemb")),
+          col("dn"), col("qn")))
     val ms = Window.partitionBy(col("query_id"))
-    val cos = when(col("dn") > 0.0 && col("qn") > 0.0,
-      col("dot") / (col("dn") * col("qn"))).otherwise(lit(0.0))
-    val rescored = agg
+    val rescored = scoredPairs
       .withColumn("rscore",
-        lit(w1) * cos + lit(w2) * col("score") / max(col("score")).over(ms))
+        lit(w1) * col("cos") +
+          lit(w2) * col("score") / max(col("score")).over(ms))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(graft.Canon.rankKey(col("rscore")).desc, col("doc_id").asc)
     rescored
