@@ -149,6 +149,43 @@ object OracleSql {
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings)""".stripMargin
 
+  /** Hyperplane-LSH bucket chain over `e` (mirrors
+    * [[graft.ops.Similarity.buckets]]): md5-derived ±1 planes -> signed
+    * projections -> bucket bitmap; ends in `eb` = e + bucket. */
+  val lshBucketCtes: Seq[String] = Seq(
+    """planes AS (
+      |  SELECT p, dim,
+      |    CASE WHEN substr(md5(p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+      |      >= '8' THEN 1 ELSE -1 END AS w
+      |  FROM (SELECT unnest(range(8)) AS p)
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim))""".stripMargin,
+    """proj AS (
+      |  SELECT e.vec_id, pl.p, sum(pl.w * e.v) AS proj
+      |  FROM e JOIN planes pl USING (dim) GROUP BY 1, 2)""".stripMargin,
+    """buckets AS (
+      |  SELECT vec_id, sum(CASE WHEN proj > 0
+      |    THEN (1::BIGINT << p::INT) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY 1)""".stripMargin,
+    "eb AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id))")
+
+  /** Cosine + canonical rank<=k tail over a (query_vec, vec_id, qv, v)
+    * pair source — emits `top_<name>` (query_vec, vec_id). */
+  def annTopCtes(name: String, pairsFromJoin: String, k: Int): Seq[String] =
+    Seq(
+      s"""agg_$name AS (
+         |  SELECT query_vec, vec_id, sum(qv * v) AS dot,
+         |    sqrt(sum(v * v)) AS dn, sqrt(sum(qv * qv)) AS qn
+         |  $pairsFromJoin GROUP BY 1, 2)""".stripMargin,
+      s"""top_$name AS (
+         |  SELECT query_vec, vec_id FROM (
+         |    SELECT query_vec, vec_id, row_number() OVER (
+         |      PARTITION BY query_vec
+         |      ORDER BY floor((CASE WHEN dn > 0 AND qn > 0
+         |        THEN dot / (dn * qn) ELSE 0 END) * 1e6 + 0.5) DESC,
+         |        vec_id ASC) AS rank
+         |    FROM agg_$name)
+         |  WHERE rank <= $k)""".stripMargin)
+
   /** Rerank chain over `ranked` + `e` (q_rerank semantics, mirrors
     * [[graft.query.Rerank.rescore]]): ends in `rs` (query_id, doc_id,
     * rscore). */

@@ -260,6 +260,41 @@ object SparkEntry {
           graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- similarity: recall@10 of the two ANN paths vs the exact
+    //      baseline — the quality number an ANN user asks first (per-query
+    //      rows + a query_vec = -1 micro-average row; every recall is an
+    //      int/int division, so the doubles are bit-identical across
+    //      engines with no rounding) ----
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val pred = col("vec_id") % 100 === 0
+      def ids(df: DataFrame) = df.select(col("query_vec"), col("vec_id"))
+      val bf = ids(Similarity.bruteForceTopK(e, pred, 10))
+      val lsh = ids(Similarity.lshTopK(e, pred, 10))
+      val ivf = ids(Similarity.ivfTopK(e, pred, 10))
+      val nx = bf.groupBy(col("query_vec")).agg(count(lit(1)).as("n"))
+      val hl = bf.join(lsh, Seq("query_vec", "vec_id"), "left_semi")
+        .groupBy(col("query_vec")).agg(count(lit(1)).as("hit_lsh"))
+      val hi = bf.join(ivf, Seq("query_vec", "vec_id"), "left_semi")
+        .groupBy(col("query_vec")).agg(count(lit(1)).as("hit_ivf"))
+      val perq = nx
+        .join(hl, Seq("query_vec"), "left")
+        .join(hi, Seq("query_vec"), "left")
+        .select(col("query_vec"),
+          coalesce(col("hit_lsh"), lit(0L)).as("hit_lsh"),
+          coalesce(col("hit_ivf"), lit(0L)).as("hit_ivf"), col("n"))
+      val per = perq.select(col("query_vec"),
+        (col("hit_lsh").cast("double") / col("n")).as("recall_lsh"),
+        (col("hit_ivf").cast("double") / col("n")).as("recall_ivf"))
+      val micro = perq
+        .agg(sum(col("hit_lsh")).as("sl"), sum(col("hit_ivf")).as("si"),
+          sum(col("n")).as("sn"))
+        .select(lit(-1L).as("query_vec"),
+          (col("sl").cast("double") / col("sn")).as("recall_lsh"),
+          (col("si").cast("double") / col("sn")).as("recall_ivf"))
+      per.union(micro)
+    }),
+
     // ---- W4: overlapping chunk windows (reference long-doc chunking) ----
     "q_chunks" -> ((s, dir) =>
       TextAnalysis.chunkWindows(docs(s, dir), chunkLen = 20, stride = 10)),
@@ -279,6 +314,30 @@ object SparkEntry {
     //      (G1/W1 positions, exercised at query level) ----
     "q_phrase" -> ((s, dir) =>
       graft.query.Phrase.search(plans.index(s, dir), "merge order", cfg)),
+
+    // ---- 3-term phrase: exercises the chained adjacency join (k-1 joins
+    //      for a k-term phrase), not just the 2-term base case ----
+    "q_phrase3" -> ((s, dir) =>
+      graft.query.Phrase.search(plans.index(s, dir), "small query line", cfg)),
+
+    // ---- A5 resume in the driver contract: build checkpointed, lose the
+    //      LAST artifact of stages 1 and 3 (the crash windows the stage
+    //      gates exist for), resume, and emit the postings — the shared
+    //      oracle with q_spimi_postings proves resume ≡ fresh ----
+    "q_spimi_resume" -> ((s, dir) => {
+      val work = System.getProperty("java.io.tmpdir") +
+        "/graft-resume-" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      Spimi.buildCheckpointed(docs(s, dir), cfg, work, numPartitions = 8)
+      new java.io.File(s"$work/lineage/_SUCCESS").delete()
+      new java.io.File(s"$work/index/term_stats/_SUCCESS").delete()
+      val idx = Spimi.buildCheckpointed(docs(s, dir), cfg, work,
+        numPartitions = 8)
+      idx.postings.select(col("term"), col("doc_id"),
+        col("tf").cast("long").as("tf"),
+        col("first_pos").cast("long").as("first_pos"),
+        col("last_pos").cast("long").as("last_pos"))
+    }),
 
     // ---- utils.py:139-158 print_short_index_entries: rare-term
     //      posting-list inspection ----
@@ -358,6 +417,11 @@ object SparkEntry {
           " rank FROM ranked"),
 
       "q_spimi_postings" -> withCtes(Seq(tokArrays, toks, postings),
+        "SELECT term, doc_id, tf, first_pos, last_pos FROM postings"),
+
+      // resume ≡ fresh: the resumed checkpointed build must reproduce the
+      // exact postings the from-scratch oracle derives
+      "q_spimi_resume" -> withCtes(Seq(tokArrays, toks, postings),
         "SELECT term, doc_id, tf, first_pos, last_pos FROM postings"),
 
       "q_codec_roundtrip" -> withCtes(Seq(tokArrays, toks, postings),
@@ -629,21 +693,7 @@ object SparkEntry {
           |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
 
-      "q_ann_lsh" -> withCtes(Seq(embeddingExploded,
-        """planes AS (
-          |  SELECT p, dim,
-          |    CASE WHEN substr(md5(p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
-          |      >= '8' THEN 1 ELSE -1 END AS w
-          |  FROM (SELECT unnest(range(8)) AS p)
-          |  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim))""".stripMargin,
-        """proj AS (
-          |  SELECT e.vec_id, pl.p, sum(pl.w * e.v) AS proj
-          |  FROM e JOIN planes pl USING (dim) GROUP BY 1, 2)""".stripMargin,
-        """buckets AS (
-          |  SELECT vec_id, sum(CASE WHEN proj > 0
-          |    THEN (1::BIGINT << p::INT) ELSE 0 END) AS bucket
-          |  FROM proj GROUP BY 1)""".stripMargin,
-        "eb AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id))",
+      "q_ann_lsh" -> withCtes(Seq(embeddingExploded) ++ lshBucketCtes ++ Seq(
         "qb AS (SELECT vec_id AS query_vec, bucket, dim, v AS qv FROM eb" +
           " WHERE vec_id % 100 = 0)",
         """agg AS (
@@ -661,6 +711,51 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
           |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
+
+      "q_ann_recall" -> withCtes(
+        Seq(embeddingExploded) ++ lshBucketCtes ++ ivfCtes ++ Seq(
+          "qr AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +
+            " WHERE vec_id % 100 = 0)",
+          "qb AS (SELECT vec_id AS query_vec, bucket, dim, v AS qv FROM eb" +
+            " WHERE vec_id % 100 = 0)") ++
+        annTopCtes("bf", "FROM (SELECT q.query_vec, e.vec_id, q.qv, e.v" +
+          " FROM qr q JOIN e USING (dim))", 10) ++
+        annTopCtes("lsh", "FROM (SELECT q.query_vec, e2.vec_id, q.qv, e2.v" +
+          " FROM qb q JOIN eb e2 ON q.bucket = e2.bucket" +
+          " AND q.dim = e2.dim)", 10) ++ Seq(
+          """probes AS (
+            |  SELECT query_vec, cid FROM (
+            |    SELECT query_vec, cid, row_number() OVER (
+            |      PARTITION BY query_vec ORDER BY d2, cid) AS pr
+            |    FROM (SELECT q.query_vec, c.cid,
+            |        sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+            |      FROM qr q JOIN c3 c USING (dim) GROUP BY 1, 2))
+            |  WHERE pr <= 4)""".stripMargin,
+          "cand AS (SELECT p.query_vec, a.vec_id FROM probes p" +
+            " JOIN a3 a USING (cid))") ++
+        annTopCtes("ivf", "FROM (SELECT c.query_vec, c.vec_id, q.qv, e.v" +
+          " FROM cand c JOIN e ON e.vec_id = c.vec_id" +
+          " JOIN qr q ON q.query_vec = c.query_vec AND q.dim = e.dim)",
+          10) ++ Seq(
+          "nx AS (SELECT query_vec, count(*) AS n FROM top_bf GROUP BY 1)",
+          """hl AS (
+            |  SELECT b.query_vec, count(*) AS h FROM top_bf b
+            |  JOIN top_lsh USING (query_vec, vec_id) GROUP BY 1)""".stripMargin,
+          """hi AS (
+            |  SELECT b.query_vec, count(*) AS h FROM top_bf b
+            |  JOIN top_ivf USING (query_vec, vec_id) GROUP BY 1)""".stripMargin,
+          """perq AS (
+            |  SELECT nx.query_vec, coalesce(hl.h, 0) AS hit_lsh,
+            |    coalesce(hi.h, 0) AS hit_ivf, nx.n
+            |  FROM nx LEFT JOIN hl USING (query_vec)
+            |  LEFT JOIN hi USING (query_vec))""".stripMargin),
+        """SELECT query_vec, CAST(hit_lsh AS DOUBLE) / n AS recall_lsh,
+          |  CAST(hit_ivf AS DOUBLE) / n AS recall_ivf FROM perq
+          |UNION ALL
+          |SELECT CAST(-1 AS BIGINT) AS query_vec,
+          |  CAST(sum(hit_lsh) AS DOUBLE) / sum(n) AS recall_lsh,
+          |  CAST(sum(hit_ivf) AS DOUBLE) / sum(n) AS recall_ivf
+          |FROM perq""".stripMargin),
 
       "q_chunks" ->
         """WITH lt AS (
@@ -749,6 +844,25 @@ object SparkEntry {
           |      AS mp
           |  FROM pa JOIN pb USING (doc_id))""".stripMargin),
         "SELECT doc_id, len(mp) AS n_matches FROM pm WHERE len(mp) > 0"),
+
+      "q_phrase3" -> withCtes(Seq(tokArrays, toks,
+        """plist AS (
+          |  SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+          |  FROM toks GROUP BY 1, 2)""".stripMargin,
+        "pa AS (SELECT doc_id, positions FROM plist WHERE term = 'small')",
+        "pb AS (SELECT doc_id, positions FROM plist WHERE term = 'query')",
+        "pc AS (SELECT doc_id, positions FROM plist WHERE term = 'line')",
+        """pm AS (
+          |  SELECT pa.doc_id,
+          |    list_intersect([p + 1 FOR p IN pa.positions], pb.positions)
+          |      AS mp
+          |  FROM pa JOIN pb USING (doc_id))""".stripMargin,
+        """pm2 AS (
+          |  SELECT pm.doc_id,
+          |    list_intersect([p + 1 FOR p IN pm.mp], pc.positions) AS mp
+          |  FROM pm JOIN pc USING (doc_id)
+          |  WHERE len(pm.mp) > 0)""".stripMargin),
+        "SELECT doc_id, len(mp) AS n_matches FROM pm2 WHERE len(mp) > 0"),
 
       "q_short_entries" -> withCtes(Seq(tokArrays, toks, doclen, postings,
         stats, termstats),
