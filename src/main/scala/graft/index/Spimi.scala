@@ -257,15 +257,20 @@ object Spimi {
         runs(docPostings(docs, cfg, idCol, textCol), numPartitions, saltBuckets)
           .write.mode("overwrite").parquet(s"$workDir/runs")
       }
-      // run-stage lineage: per-bucket row counts (bucket id recomputed from
-      // the persisted rows — a pure function of (term, doc_id))
+      // run-stage lineage: per-bucket row counts plus an order-insensitive
+      // xxhash64 XOR checksum over (term, doc_id) — bucket id recomputed
+      // from the persisted rows (a pure function of (term, doc_id)).
+      // One agg pass, no extra shuffle beyond the bucket groupBy; the
+      // earlier countDistinct(doc_id) here forced a dedup shuffle of
+      // every posting row and cost ~14% of a whole 2-core build for a
+      // WEAKER invariant (doc counts already live in the ingest lineage).
       t("stage2-lin") { spark.read.parquet(s"$workDir/runs")
         .groupBy(bucketExpr(numPartitions, saltBuckets)
           .cast("int").as("partition_id"))
         .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("doc_id")).as("n_docs"))
+          expr("bit_xor(xxhash64(term, doc_id))").as("checksum"))
         .select(lit("runs").as("stage"), col("partition_id"),
-          col("n_rows"), col("n_docs"), lit(0L).as("checksum"),
+          col("n_rows"), lit(0L).as("n_docs"), col("checksum"),
           lit("done").as("status"))
         .write.mode("overwrite").parquet(s"$workDir/lineage_runs") }
     }
