@@ -203,6 +203,13 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 4).cast("double").as("jaccard"))),
 
+    // ---- dedup: EXACT n-gram Jaccard join (prefix-filtered AllPairs —
+    //      no LSH false negatives; same dup corpus as MinHash) ----
+    "q_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoin(plans.dupCorpus(s, dir))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).cast("double").as("jaccard"))),
+
     // ---- dedup: 16-bit SimHash fingerprints ----
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
 
@@ -536,6 +543,40 @@ object SparkEntry {
           |      AS jaccard
           |  FROM cand c
           |  LEFT JOIN inter i USING (doc_a, doc_b)
+          |  JOIN sizes za ON za.doc_id = c.doc_a
+          |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin),
+        "SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard" +
+          " FROM jac WHERE jaccard >= 0.5"),
+
+      "q_jaccard_join" -> withCtes(Seq(dupCorpus, shingleRows,
+        "dfreq AS (SELECT shingle, count(*) AS df FROM shingle_rows" +
+          " GROUP BY 1)",
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shingle_rows" +
+          " GROUP BY 1)",
+        """prefix AS (
+          |  SELECT doc_id, shingle FROM (
+          |    SELECT s.doc_id, s.shingle, z.n,
+          |      row_number() OVER (PARTITION BY s.doc_id
+          |        ORDER BY d.df, s.shingle) AS rk
+          |    FROM shingle_rows s
+          |    JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id))
+          |  WHERE rk <= n - ceil(0.5 * n) + 1)""".stripMargin,
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM prefix a JOIN prefix b
+          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin,
+        """inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
+          |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
+          |    AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)""".stripMargin,
+        """jac AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter) AS jaccard
+          |  FROM cand c
+          |  JOIN inter i USING (doc_a, doc_b)
           |  JOIN sizes za ON za.doc_id = c.doc_a
           |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin),
         "SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard" +

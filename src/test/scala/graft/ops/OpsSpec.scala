@@ -36,6 +36,30 @@ class OpsSpec extends SparkSpec {
     assert(pairs.keySet.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
   }
 
+  test("jaccard join is EXACT: equals brute-force all-pairs over threshold") {
+    import spark.implicits._
+    // 60 real docs + injected exact/near dups — enough that the prefix
+    // filter actually prunes (brute force here is the test oracle only)
+    val base = docs.limit(60).select(col("doc_id"), col("text"))
+    val corpus = base
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id") + 10000, col("text")))
+      .union(base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 20000, concat(col("text"), lit(" tail tok"))))
+    val got = Dedup.jaccardJoin(corpus, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = Dedup.shingleSets(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got == brute, s"exact join mismatch: got ${got.size}, " +
+      s"brute ${brute.size}")
+    assert(brute.nonEmpty && brute.values.exists(_ < 1.0),
+      "fixture must exercise both exact and near duplicates")
+  }
+
   test("simhash: identical docs equal; near docs within small hamming distance") {
     import spark.implicits._
     val t = "spark index merge shuffle partition sort join hash scan filter"
