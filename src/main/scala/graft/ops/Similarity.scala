@@ -73,24 +73,24 @@ object Similarity {
 
   /** Sign-random-projection bucket id per vector: bit p of the bucket is
     * the sign of ⟨v, plane_p⟩ with plane_p[dim] = ±1 from md5(p ":" dim).
-    * One row per (vector, plane) — the projection itself is an array
-    * fold, not a 64-row-per-plane aggregation. */
+    * Fully NARROW — both the per-plane projection and the bucket bitmap
+    * are array folds over the vector's own row; no explode, no shuffle
+    * (the old shape pushed numPlanes× rows through a groupBy). */
   def buckets(embeddings: DataFrame, numPlanes: Int = 8): DataFrame =
     embeddings
       .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("emb"),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
-      .withColumn("proj", aggregate(
-        zip_with(col("emb"),
-          sequence(lit(1), size(col("emb"))),
-          (x, d) => when(md5(concat(col("p").cast("string"), lit(":"),
-              d.cast("string")).cast("binary")).substr(1, 1) >= "8",
-            x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("bit", when(col("proj") > 0.0, lit(1L)).otherwise(lit(0L)))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), p)"))
-        .as("bucket"))
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .select(col("vec_id"),
+        (0 until numPlanes).map { p =>
+          val proj = aggregate(
+            zip_with(col("emb"),
+              sequence(lit(1), size(col("emb"))),
+              (x, d) => when(md5(concat(lit(p.toString), lit(":"),
+                  d.cast("string")).cast("binary")).substr(1, 1) >= "8",
+                x).otherwise(-x)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _).as("bucket"))
 
   /** IVF (inverted-file) ANN: a deterministic mini-k-means coarse
     * quantizer partitions the corpus into `nCentroids` lists; a query
@@ -119,6 +119,10 @@ object Similarity {
       .toDF("vec_id", "cid")
     var cent = e.join(broadcast(seedDf), Seq("vec_id"))
       .select(col("cid"), col("emb").as("cemb"))
+    // one bounded probe of the embedding width so the centroid update can
+    // aggregate per-dimension STATICALLY (64 avg columns, map-side
+    // combined) instead of exploding N×dims rows every Lloyd round
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
     var assign: DataFrame = null
     for (_ <- 0 until iters) {
       // assignment: N×C pair rows (centroids broadcast), one d2 fold each
@@ -129,17 +133,16 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
-      // centroid update: the one per-dimension aggregation left (a mean
-      // across rows needs an explode); output re-packs to arrays, and
-      // both the explode and the repack are bounded by nCentroids × dims
+      // centroid update: one groupBy(cid) over N single rows; the shuffle
+      // carries partial (sum, count) pairs per dimension — partitions ×
+      // nCentroids rows — and the output repacks to one array per centroid
+      val avgs = (0 until dims).map(d =>
+        avg(element_at(col("emb"), d + 1)).as(s"c$d"))
       cent = e.join(assign, Seq("vec_id"))
-        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("v")).as("cv"))
         .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cv")))),
-          s => s.getField("cv")).as("cemb"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("cid"),
+          array((0 until dims).map(d => col(s"c$d")): _*).as("cemb"))
     }
     (assign, cent)
   }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for training-data pipelines: language ID
   * (marker-token heuristic), quality scoring, token counting, and
   * md5-min document fingerprinting. All pure Catalyst; all narrow
-  * (per-document, no shuffle) except the explode-based fingerprint.
+  * (per-document, no shuffle) — chunkWindows explodes only because
+  * chunks ARE its output rows.
   */
 object TextAnalysis {
 
@@ -105,11 +106,11 @@ object TextAnalysis {
   /** md5-min shingle fingerprint: the lexicographic minimum of
     * md5(shingle) over the doc's 3-word shingles — a stable, locality-
     * sensitive document signature ([[Winnowing]] holds the rolling-hash
-    * variant). */
+    * variant). Narrow: the min is an array fold over the doc's own
+    * shingles, not an explode + groupBy. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(Dedup.shingles(col(textCol))).as("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"))
+      array_min(transform(Dedup.shingles(col(textCol)),
+        s => md5(s.cast("binary")))).as("fingerprint"))
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.ops.Dedup
+
+/** One streamed document's exact-dedup verdict. `keeper` is the id that
+  * FIRST reached the engine with this content (arrival order — the
+  * streaming analogue of batch [[graft.ops.Dedup.exact]]'s min-id rule;
+  * within one micro-batch ties break by ascending doc_id so replays are
+  * deterministic). */
+final case class StreamDedupVerdict(doc_id: Long, content_sha: String,
+    keeper: Long, is_dup: Boolean)
+
+/** A near-duplicate candidate pair surfaced by streaming LSH banding;
+  * `doc_a` arrived before `doc_b`. Downstream confirms with exact
+  * Jaccard over the stored texts (same contract as the batch
+  * [[graft.ops.Dedup.minhashPairs]] confirm stage). */
+final case class StreamCandidatePair(doc_a: Long, doc_b: Long)
+
+/** Streaming deduplication over an unbounded document stream — the
+  * training-pipeline filter that keeps only first-seen content as a
+  * corpus is ingested (SURVEY §2 H; the streaming face of `ops/Dedup`).
+  *
+  *  - [[exact]]: content-sha keyed state, one Long per distinct content —
+  *    state is bounded by DISTINCT corpus content, each micro-batch
+  *    touches only the hashes it contains, and the key is the shuffle
+  *    key, so state for hash h lives on the partition owning h. Emits a
+  *    verdict per arriving doc (Update mode).
+  *
+  *  - [[nearDupCandidates]]: the MinHash/LSH band projection is narrow
+  *    (see [[graft.ops.Dedup.minhashSignatureArrays]]), so each arriving
+  *    doc's band hashes are computed in-stream; state per (band, hash)
+  *    bucket holds up to `maxBucket` earlier doc ids. A real pipeline
+  *    confirms the emitted pairs against stored text; the cap keeps one
+  *    degenerate bucket (e.g. the empty-document band) from growing
+  *    state without bound — overflow docs are dropped from the bucket
+  *    and the drop is by construction limited to intra-bucket pairs
+  *    beyond the cap, the standard streaming-LSH memory/recall trade.
+  */
+object DedupStream {
+
+  /** Exact streaming dedup: verdict per arriving doc, first-seen keeper.
+    * State: one (sha -> keeper id) entry per distinct content. */
+  def exact(docStream: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[StreamDedupVerdict] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    docStream
+      .select(col(idCol).cast("long").as("doc_id"),
+        sha2(col(textCol), 256).as("content_sha"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, StreamDedupVerdict](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (sha: String, rows: Iterator[(Long, String)],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val keeper = state.getOption.getOrElse(ids.head)
+          state.update(keeper)
+          ids.iterator.map(id =>
+            StreamDedupVerdict(id, sha, keeper, id != keeper))
+      }
+  }
+
+  /** Streaming LSH near-dup candidates: (earlier doc, new doc) pairs that
+    * collide on ≥ 1 MinHash band. Pairs may repeat across bands — sinks
+    * dedup by (doc_a, doc_b) (Update-mode upsert), exactly like the batch
+    * path's DISTINCT over band collisions. */
+  def nearDupCandidates(docStream: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 12, rowsPerBand: Int = 3,
+      shingleWidth: Int = 3, maxBucket: Int = 64): Dataset[StreamCandidatePair] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatureArrays(
+        Dedup.shingleSets(docStream, idCol, textCol, shingleWidth),
+        numHashes),
+      numHashes, rowsPerBand)
+    bands.select(col("doc_id"),
+        concat_ws(":", col("band_id"), col("band_hash")).as("bucket"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Array[Long], StreamCandidatePair](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, rows: Iterator[(Long, String)],
+            state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val arrived = rows.map(_._1).toArray.sorted
+          val seen = state.getOption.getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[StreamCandidatePair]()
+          var members = seen
+          arrived.foreach { id =>
+            members.foreach { m =>
+              if (m != id) out += StreamCandidatePair(math.min(m, id),
+                math.max(m, id))
+            }
+            if (members.length < maxBucket) members = members :+ id
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+}

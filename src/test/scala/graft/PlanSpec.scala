@@ -84,6 +84,29 @@ class PlanSpec extends SparkSpec {
     assert("sha2".r.findAllIn(p).size <= 1, s"corpus hashed twice:\n$p")
   }
 
+  test("signature stages are narrow: no Exchange in minhash/LSH-bucket/fingerprint") {
+    // a doc's (or vector's) signature is a function of its own row — the
+    // whole stage must compile to a single exchange-free projection
+    val sig = graft.ops.Dedup.minhashSignatureArrays(
+      graft.ops.Dedup.shingleSets(docs))
+    assert(!plan(sig).contains("Exchange"),
+      s"minhash signatures must not shuffle:\n${plan(sig)}")
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val b = graft.ops.Similarity.buckets(emb)
+    assert(!plan(b).contains("Exchange"),
+      s"LSH buckets must not shuffle:\n${plan(b)}")
+    val fp = graft.ops.TextAnalysis.fingerprint(docs)
+    assert(!plan(fp).contains("Exchange"),
+      s"fingerprint must not shuffle:\n${plan(fp)}")
+  }
+
+  test("simhash is two exchanges: tf groupBy + per-doc partial-sum groupBy") {
+    val p = plan(graft.ops.Dedup.simhash(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"simhash must shuffle exactly twice — the bit dimension must " +
+        s"never become rows (static agg columns, not a 16x explode):\n$p")
+  }
+
   test("WAND query replication is a bounded broadcast cross, not a CartesianProduct") {
     val idx = IndexBuilder.build(docs, cfg)
     val blocks = ServingIndex.fromPostings(idx.postings, 4)

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupStreamSpec extends SparkSpec {
+
+  test("streaming exact dedup: first-seen keeper across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DedupStream.exact(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_live")
+      .outputMode("update").start()
+    try {
+      source.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      // batch 2: dup of doc 1, dup of doc 2, and a fresh doc
+      source.addData((3L, "alpha beta"), (4L, "gamma delta"), (5L, "epsilon"))
+      q.processAllAvailable()
+      // batch 3: a dup that must still resolve to the ORIGINAL keeper
+      source.addData((6L, "alpha beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_live")
+      .select("doc_id", "keeper", "is_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((2L, false)), 3L -> ((1L, true)),
+      4L -> ((2L, true)), 5L -> ((5L, false)), 6L -> ((1L, true))),
+      s"unexpected verdicts: $got")
+  }
+
+  test("streaming exact dedup: same-batch ties break by min doc_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DedupStream.exact(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_tie")
+      .outputMode("update").start()
+    try {
+      source.addData((9L, "same text"), (7L, "same text"), (8L, "same text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_tie")
+      .select("doc_id", "keeper", "is_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(7L -> ((7L, false)), 8L -> ((7L, true)),
+      9L -> ((7L, true))), s"tie-break must be deterministic: $got")
+  }
+
+  test("streaming LSH candidates match the batch band-collision pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq((1L, t), (2L, t), (3L, t + " extra"),
+      (4L, "completely different words describing other things entirely"))
+    val source = MemoryStream[(Long, String)]
+    val q = DedupStream.nearDupCandidates(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cand_live")
+      .outputMode("update").start()
+    try {
+      source.addData(docs.take(2): _*); q.processAllAvailable()
+      source.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cand_live").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth: pairs sharing >= 1 band over the SAME corpus
+    val bands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minhashSignatureArrays(
+        graft.ops.Dedup.shingleSets(docs.toDF("doc_id", "text"))))
+    val batch = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed candidates $streamed != batch band collisions $batch")
+    assert(batch.contains((1L, 2L)), "exact dup pair must collide")
+  }
+}
