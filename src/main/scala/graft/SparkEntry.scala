@@ -91,6 +91,17 @@ object SparkEntry {
         round(col("idf"), 6).cast("double").as("idf"))
     }),
 
+    // ---- incremental ingest: merge of two half-corpus indexes must
+    //      reproduce the fresh-build term stats (df re-summed, idf
+    //      re-derived against the merged N — same oracle as q_termstats) ----
+    "q_index_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = IndexBuilder.build(d.filter(col("doc_id") % 2 === 0), cfg)
+      val b = IndexBuilder.build(d.filter(col("doc_id") % 2 =!= 0), cfg)
+      IndexBuilder.merge(a, b).termStats.select(col("term"), col("df"),
+        round(col("idf"), 6).cast("double").as("idf"))
+    }),
+
     // ---- G6: corpus stats ----
     "q_corpus_stats" -> ((s, dir) => {
       val ds = IndexBuilder.docStats(docs(s, dir), cfg)
@@ -212,6 +223,12 @@ object SparkEntry {
 
     // ---- dedup: 16-bit SimHash fingerprints ----
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+
+    // ---- dedup: SimHash near-dup pairs — 32-bit signatures, pigeonhole
+    //      block join, Hamming <= 3 confirm (same dup corpus) ----
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(plans.dupCorpus(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))),
 
     // ---- dedup: embedding-cosine near-dup pairs (LSH-bucketed; corpus
     //      with injected exact + perturbed duplicate vectors) ----
@@ -403,6 +420,12 @@ object SparkEntry {
         "SELECT term, doc_id, tf, first_pos, last_pos FROM postings"),
 
       "q_termstats" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats),
+        "SELECT term, df, CAST(round(idf, 6) AS DOUBLE) AS idf FROM termstats"),
+
+      // merge(build(evens), build(odds)) ≡ build(all): same oracle as a
+      // fresh-build term-stat table over the whole corpus
+      "q_index_merge" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
         termstats),
         "SELECT term, df, CAST(round(idf, 6) AS DOUBLE) AS idf FROM termstats"),
 
@@ -685,6 +708,35 @@ object SparkEntry {
           |  GROUP BY doc_id, b)""".stripMargin),
         "SELECT doc_id, CAST(sum(bit * (1::BIGINT << b::INT)) AS BIGINT)" +
           " AS simhash FROM bits GROUP BY doc_id"),
+
+      // 32-bit SimHash over dup_corpus; pigeonhole blocks (4 x 8 bits:
+      // Hamming <= 3 forces exact agreement on >= 1 block), Hamming
+      // confirm via bit_count(xor) on candidates only.
+      "q_simhash_pairs" -> withCtes(Seq(dupCorpus,
+        """tfh32 AS (
+          |  SELECT doc_id, t AS term, count(*) AS tf, md5(t) AS h FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+'))
+          |      AS t FROM dup_corpus)
+          |  GROUP BY doc_id, t)""".stripMargin,
+        """bits32 AS (
+          |  SELECT doc_id, b,
+          |    CASE WHEN sum(CASE WHEN substr(h, (b + 1)::INT, 1) >= '8'
+          |      THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS bit
+          |  FROM tfh32 CROSS JOIN (SELECT unnest(range(32)) AS b)
+          |  GROUP BY doc_id, b)""".stripMargin,
+        """sh32 AS (
+          |  SELECT doc_id, CAST(sum(bit * (1::BIGINT << b::INT)) AS BIGINT)
+          |    AS simhash FROM bits32 GROUP BY doc_id)""".stripMargin,
+        """shblocks AS (
+          |  SELECT doc_id, simhash, b AS block_id,
+          |    (simhash >> (b * 8)::INT) & 255 AS block_val
+          |  FROM sh32 CROSS JOIN (SELECT unnest(range(4)) AS b))""".stripMargin),
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM shblocks a JOIN shblocks b
+          |  ON a.block_id = b.block_id AND a.block_val = b.block_val
+          |  AND a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
       "q_ann_cosine" -> withCtes(Seq(embeddingExploded,
         "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +

@@ -184,6 +184,33 @@ object IndexBuilder {
     val (n, avgdl) = corpusStats(ds)
     InvertedIndex(post, ds, termStats(post, n), n, avgdl)
   }
+
+  /** Merge two indexes built over DISJOINT doc-id sets — the incremental
+    * ingest path: index a new document batch alone, then merge it into
+    * the standing index WITHOUT re-scanning old postings. Postings and
+    * doc stats are plain unions (disjoint doc ids ⇒ no per-(term, doc)
+    * conflicts, and positions live inside each doc's own row); the only
+    * re-aggregation is the VOCABULARY-sized term-stat table — df adds
+    * across sides and idf is re-derived against the merged N, exactly
+    * the [[termStats]] formula, so merge(build(A), build(B)) ≡
+    * build(A ∪ B) row-for-row (IndexSpec asserts it; q_index_merge
+    * oracle-checks the merged stats against a fresh-build oracle).
+    *
+    * At 100 TB: the postings union is metadata-only (no shuffle, no IO
+    * until an action), and the one shuffle is over |vocab| ≪ |postings|
+    * rows — vs. a full rebuild's scan of every historical document. */
+  def merge(a: InvertedIndex, b: InvertedIndex): InvertedIndex = {
+    val ds = a.docStats.unionByName(b.docStats)
+    // integer doc_len sum ⇒ corpusStats is exact, so merged avgdl is
+    // bit-identical to a fresh build over the union
+    val (n, avgdl) = corpusStats(ds)
+    val ts = a.termStats.select(col("term"), col("df"))
+      .unionByName(b.termStats.select(col("term"), col("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    InvertedIndex(a.postings.unionByName(b.postings), ds, ts, n, avgdl)
+  }
 }
 
 /** The built index: all distributed tables plus the two scalars every

@@ -225,33 +225,77 @@ object Dedup {
     labels
   }
 
-  /** 16-bit SimHash over the tf-weighted term set: bit b of md5(term)'s
+  /** SimHash over the tf-weighted term set: bit b of md5(term)'s
     * b-th hex nibble (≥ 8 ⇒ +tf else −tf), majority vote per bit.
+    * `bits` ≤ 32 (md5 has 32 nibbles); default 16 preserves the original
+    * fingerprint contract, [[simhashPairs]] uses 32 for a collision rate
+    * low enough to mine pairs from.
     *
-    * One shuffle total: the (doc, term) tf aggregation. Each tf row then
-    * carries its 16 signed weights as array elements, and the per-doc
-    * majority vote is 16 static `sum` columns in a single partial-agg
-    * friendly groupBy — the bit dimension never becomes rows (the old
-    * shape exploded 16× rows through two more shuffles).
+    * Two exchanges total: the (doc, term) tf aggregation, then a per-doc
+    * groupBy whose shuffle carries only map-side partial sums. Each tf
+    * row carries its `bits` signed weights as array elements and the
+    * majority vote is `bits` static `sum` columns — the bit dimension
+    * never becomes rows (the old shape exploded 16× rows through an
+    * extra (doc, bit) shuffle).
     * Output: (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"simhash bits must be in [1,32]: $bits")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(regexp_extract_all(lower(col(textCol)), lit("(?U)\\w+"), lit(0)))
         .as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("term").cast("binary")))
-      .withColumn("ws", transform(sequence(lit(0), lit(15)),
+      .withColumn("ws", transform(sequence(lit(0), lit(bits - 1)),
         b => when(col("h").substr(b + 1, lit(1)) >= "8", col("tf"))
           .otherwise(-col("tf"))))
-    val sums = (0 until 16).map(b =>
+    val sums = (0 until bits).map(b =>
       sum(element_at(col("ws"), b + 1)).as(s"s$b"))
     tf.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(b =>
+        (0 until bits).map(b =>
             when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`,
+    * mined with pigeonhole blocking (Manku et al., WWW'07 — public
+    * algorithm): split the `bits`-bit signature into `maxDist + 1`
+    * blocks; two signatures within Hamming distance d must agree
+    * EXACTLY on at least one block, so candidates come from an
+    * equi-join on (block_id, block_value) — the O(n²) pair space is
+    * never materialized — and the confirm is `bit_count(xor) ≤ d` on
+    * the candidate rows only. No false negatives.
+    *
+    * Scale: block width = bits/(maxDist+1) caps each bucket's expected
+    * size at n/2^width; at web scale raise `bits` (and block width) so
+    * buckets stay small — the standard simhash table layout. The
+    * signature stage is [[simhash]]'s two exchanges; blocking adds one
+    * self-join shuffle on the block key.
+    * Output: (doc_a, doc_b, hamming) with doc_a < doc_b. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(bits % nBlocks == 0,
+      s"bits ($bits) must divide into maxDist+1 ($nBlocks) equal blocks")
+    val w = bits / nBlocks
+    val mask = (1L << w) - 1
+    val blocks = simhash(docs, idCol, textCol, bits)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until nBlocks).map(b =>
+          shiftrightunsigned(col("simhash"), b * w)
+            .bitwiseAND(lit(mask))): _*)).as(Seq("block_id", "block_val")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block_id") === col("b.block_id") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -45,6 +45,29 @@ class IndexInvariantsSpec extends SparkSpec {
       i1.head > i2.head }, "idf must decrease as df increases")
   }
 
+  test("merge of disjoint half-indexes ≡ fresh build over the union") {
+    val a = IndexBuilder.build(docs.filter(col("doc_id") % 2 === 0), cfg)
+    val b = IndexBuilder.build(docs.filter(col("doc_id") % 2 =!= 0), cfg)
+    val merged = IndexBuilder.merge(a, b)
+    val fresh = IndexBuilder.build(docs, cfg)
+    assert(merged.numDocs == fresh.numDocs)
+    assert(merged.avgdl == fresh.avgdl, "avgdl must be bit-identical " +
+      "(integer doc_len sum makes the mean exact)")
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(merged.postings, "term", "doc_id", "tf", "positions") ==
+      rows(fresh.postings, "term", "doc_id", "tf", "positions"))
+    assert(rows(merged.termStats, "term", "df", "idf") ==
+      rows(fresh.termStats, "term", "df", "idf"),
+      "df must re-sum and idf re-derive bit-identically")
+    // and the merged index must SERVE identically
+    val qs = graft.fixtures.QuerySet.df(spark)
+    assert(rows(graft.query.Bm25.search(merged, qs, cfg, 20),
+        "query_id", "doc_id", "rank") ==
+      rows(graft.query.Bm25.search(fresh, qs, cfg, 20),
+        "query_id", "doc_id", "rank"))
+  }
+
   test("index build is partition-count invariant (1 vs 8 partitions)") {
     val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 300, partitions = 1))
     val synth8 = SynthCorpus.withDocId(SynthCorpus.df(spark, 300, partitions = 8))

@@ -74,6 +74,31 @@ class OpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
   }
 
+  test("simhash pairs: pigeonhole blocking is EXACT vs brute-force hamming") {
+    import spark.implicits._
+    // real corpus slice + injected exact/near dups: the blocking join must
+    // return PRECISELY the pairs a brute-force 32-bit hamming scan finds
+    val base = docs.select(col("doc_id"), col("text")).limit(60)
+    val corpus = base
+      .union(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .union(base.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" tail tweak")).as("text")))
+    val got = Dedup.simhashPairs(corpus, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhash(corpus, bits = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute, s"blocking missed/invented pairs: got ${got.size}, " +
+      s"brute ${brute.size}")
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 > 0),
+      "fixture must exercise exact (h=0) and near (h>0) duplicates")
+  }
+
   test("connected components: chains collapse to min label, singletons stay") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("doc_id")
