@@ -102,6 +102,18 @@ object SparkEntry {
         round(col("idf"), 6).cast("double").as("idf"))
     }),
 
+    // ---- incremental delete: hard-deleting every doc_id % 5 == 0 from
+    //      the standing index must reproduce a fresh build over the
+    //      remaining corpus (oracle = termstats CTEs over the filtered
+    //      documents table) ----
+    "q_index_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = IndexBuilder.build(d, cfg)
+      val del = d.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      IndexBuilder.delete(idx, del).termStats.select(col("term"), col("df"),
+        round(col("idf"), 6).cast("double").as("idf"))
+    }),
+
     // ---- G6: corpus stats ----
     "q_corpus_stats" -> ((s, dir) => {
       val ds = IndexBuilder.docStats(docs(s, dir), cfg)
@@ -427,6 +439,14 @@ object SparkEntry {
       // fresh-build term-stat table over the whole corpus
       "q_index_merge" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
         termstats),
+        "SELECT term, df, CAST(round(idf, 6) AS DOUBLE) AS idf FROM termstats"),
+
+      // delete(build(all), multiples-of-5) ≡ build(remaining): the
+      // fresh-build CTE chain over the FILTERED corpus
+      "q_index_delete" -> withCtes(Seq(
+        "del_corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)",
+        tokArrays.replace("FROM documents)", "FROM del_corpus)"),
+        toks, doclen, postings, stats, termstats),
         "SELECT term, df, CAST(round(idf, 6) AS DOUBLE) AS idf FROM termstats"),
 
       "q_corpus_stats" -> withCtes(Seq(tokArrays, doclen),

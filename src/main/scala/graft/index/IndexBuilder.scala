@@ -211,6 +211,34 @@ object IndexBuilder {
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
     InvertedIndex(a.postings.unionByName(b.postings), ds, ts, n, avgdl)
   }
+
+  /** Hard-delete a set of documents from a standing index — the
+    * right-to-be-forgotten path, dual of [[merge]]: the corpus is never
+    * re-tokenized. Postings and doc stats anti-join the delete set
+    * (broadcast — delete batches are bounded request lists, so both
+    * joins are shuffle-free map-side passes); term stats are CORRECTED
+    * from the removed postings alone (df −= per-term removed-doc count,
+    * a vocabulary-sized result; idf re-derived against the shrunk N;
+    * terms whose df reaches 0 drop out) — so delete(build(A ∪ B), B) ≡
+    * build(A) row-for-row, bit-exactly (IndexInvariantsSpec;
+    * q_index_delete oracle-checks against a fresh build over the
+    * remaining corpus). */
+  def delete(idx: InvertedIndex, docIds: DataFrame): InvertedIndex = {
+    val del = broadcast(docIds.select(col("doc_id")).distinct())
+    val post = idx.postings.join(del, Seq("doc_id"), "left_anti")
+    val ds = idx.docStats.join(del, Seq("doc_id"), "left_anti")
+    // integer doc_len sum ⇒ exact, matching a fresh build (see merge)
+    val (n, avgdl) = corpusStats(ds)
+    val removed = idx.postings.join(del, Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df_removed"))
+    val ts = idx.termStats.join(removed, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("df_removed"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    InvertedIndex(post, ds, ts, n, avgdl)
+  }
 }
 
 /** The built index: all distributed tables plus the two scalars every

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.TokenizerConfig
 import graft.fixtures.QuerySet
-import graft.index.{IndexBuilder, ServingIndex}
+import graft.index.{IndexBuilder, InvertedIndex, ServingIndex}
 import graft.query.Bm25
 
 /** Physical-plan shape assertions — the properties that make the engine
@@ -105,6 +105,41 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
       s"simhash must shuffle exactly twice — the bit dimension must " +
         s"never become rows (static agg columns, not a 16x explode):\n$p")
+  }
+
+  test("persisted-index merge: one vocab-sized exchange, postings never re-aggregated") {
+    // the incremental-ingest shape: both halves already on disk; merging
+    // their term stats must be ONE groupBy over the two small term-stat
+    // scans — the (huge) postings tables must not appear in the stats plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-plan")
+      .toString
+    val a = IndexBuilder.build(docs.filter(col("doc_id") % 2 === 0), cfg)
+    val b = IndexBuilder.build(docs.filter(col("doc_id") % 2 =!= 0), cfg)
+    a.write(s"$dir/a"); b.write(s"$dir/b")
+    val merged = IndexBuilder.merge(
+      InvertedIndex.read(spark, s"$dir/a"), InvertedIndex.read(spark, s"$dir/b"))
+    val p = plan(merged.termStats)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"merged term stats must be one vocab-sized shuffle:\n$p")
+    assert(!p.contains("postings"),
+      s"merged term stats must not scan the postings tables:\n$p")
+    assert(!plan(merged.postings).contains("Exchange"),
+      "merged postings must be a shuffle-free union of the two scans")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("index delete: broadcast anti/semi joins, no shuffle of the postings") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val del = docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+    val after = IndexBuilder.delete(idx, del)
+    val pPost = plan(after.postings)
+    // a shuffled anti-join would surface as SortMergeJoin/ShuffledHashJoin
+    // LeftAnti; broadcast keeps the delete a map-side pass over postings
+    assert("BroadcastHashJoin \\[doc_id.*LeftAnti".r.findFirstIn(pPost).isDefined,
+      s"delete must anti-join via broadcast:\n$pPost")
+    assert(!pPost.contains("SortMergeJoin") &&
+      !pPost.contains("ShuffledHashJoin"),
+      s"the delete anti-join must not shuffle the postings:\n$pPost")
   }
 
   test("WAND query replication is a bounded broadcast cross, not a CartesianProduct") {

@@ -68,6 +68,27 @@ class IndexInvariantsSpec extends SparkSpec {
         "query_id", "doc_id", "rank"))
   }
 
+  test("delete of a doc subset ≡ fresh build over the remaining corpus") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val del = docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+    val after = IndexBuilder.delete(idx, del)
+    val fresh = IndexBuilder.build(docs.filter(col("doc_id") % 5 =!= 0), cfg)
+    assert(after.numDocs == fresh.numDocs)
+    assert(after.avgdl == fresh.avgdl)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(after.postings, "term", "doc_id", "tf", "positions") ==
+      rows(fresh.postings, "term", "doc_id", "tf", "positions"))
+    assert(rows(after.termStats, "term", "df", "idf") ==
+      rows(fresh.termStats, "term", "df", "idf"),
+      "df must decrement and idf re-derive bit-identically; df=0 terms drop")
+    val qs = graft.fixtures.QuerySet.df(spark)
+    assert(rows(graft.query.Bm25.search(after, qs, cfg, 20),
+        "query_id", "doc_id", "rank") ==
+      rows(graft.query.Bm25.search(fresh, qs, cfg, 20),
+        "query_id", "doc_id", "rank"))
+  }
+
   test("index build is partition-count invariant (1 vs 8 partitions)") {
     val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 300, partitions = 1))
     val synth8 = SynthCorpus.withDocId(SynthCorpus.df(spark, 300, partitions = 8))
