@@ -52,6 +52,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(hits == Set(("u1", 1L), ("u2", 1L)))
   }
 
+  test("merge with an empty side is the identity; delete of nothing / of everything") {
+    import spark.implicits._
+    val docs = Seq((1L, "merge sort order"), (2L, "hash join probe"),
+      (3L, "merge order preserved")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(docs, cfg)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    // merge(idx, build(∅)) ≡ idx
+    val m = IndexBuilder.merge(idx, IndexBuilder.build(empty, cfg))
+    assert(m.numDocs == idx.numDocs && m.avgdl == idx.avgdl)
+    assert(rows(m.termStats, "term", "df", "idf") ==
+      rows(idx.termStats, "term", "df", "idf"))
+    // delete(idx, ∅) ≡ idx
+    val d0 = IndexBuilder.delete(idx, empty.select($"doc_id"))
+    assert(d0.numDocs == idx.numDocs &&
+      rows(d0.postings, "term", "doc_id") == rows(idx.postings, "term", "doc_id"))
+    // delete(idx, everything) ≡ empty index — no division blowups, no
+    // stray terms with df = 0
+    val dAll = IndexBuilder.delete(idx, docs.select($"doc_id"))
+    assert(dAll.numDocs == 0 && dAll.avgdl == 0.0)
+    assert(dAll.postings.count() == 0 && dAll.termStats.count() == 0)
+    assert(Bm25.search(dAll, QuerySet.df(spark), cfg, 10).count() == 0)
+  }
+
+  test("simhash pair mining on a dup-free corpus returns nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "entirely distinct vocabulary about compilers and lexers"),
+      (2L, "unrelated narrative concerning gardens and rainfall patterns"),
+      (3L, "numerical linear algebra with sparse factorization methods"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.simhashPairs(docs, maxDist = 3).count() == 0)
+  }
+
   test("query longer than any document and k larger than corpus") {
     import spark.implicits._
     val docs = Seq((1L, "merge"), (2L, "sort")).toDF("doc_id", "text")
