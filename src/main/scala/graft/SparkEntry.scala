@@ -346,6 +346,14 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
 
+    // ---- the COMPOSED curation pipeline over the dup-injected corpus:
+    //      exact dedup -> language -> quality -> length, one exchange
+    //      end-to-end (what a pre-training corpus actually runs) ----
+    "q_curate" -> ((s, dir) =>
+      graft.ops.Curation.curate(plans.dupCorpus(s, dir))
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          round(col("quality"), 6).cast("double").as("quality"))),
+
     // ---- positional phrase query over the positional posting lists
     //      (G1/W1 positions, exercised at query level) ----
     "q_phrase" -> ((s, dir) =>
@@ -904,6 +912,44 @@ object SparkEntry {
           |    ELSE 'fr' END AS pred_lang,
           |  greatest(s_en, s_de, s_es, s_fr) AS score
           |FROM ls""".stripMargin),
+
+      // composed curation: dedup window -> features over keepers only ->
+      // stacked filters; thresholds compare RAW doubles (identical
+      // IEEE-754 expressions both sides), the surfaced quality rounds
+      "q_curate" -> withCtes(Seq(dupCorpus,
+        """ckeep AS (
+          |  SELECT doc_id, text FROM (
+          |    SELECT doc_id, text,
+          |      min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+          |    FROM dup_corpus)
+          |  WHERE doc_id = keeper)""".stripMargin,
+        "clt AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts" +
+          " FROM ckeep)",
+        s"""cls AS (
+           |  SELECT doc_id, len(ts) AS n_tokens,
+           |    CASE WHEN len(ts) > 0 THEN
+           |      len(list_filter(ts, x -> length(x) < 3))::DOUBLE / len(ts)
+           |      ELSE 0 END AS short_ratio,
+           |    len(list_filter(ts, x -> x IN (${markerSql("en")}))) AS s_en,
+           |    len(list_filter(ts, x -> x IN (${markerSql("de")}))) AS s_de,
+           |    len(list_filter(ts, x -> x IN (${markerSql("es")}))) AS s_es,
+           |    len(list_filter(ts, x -> x IN (${markerSql("fr")}))) AS s_fr
+           |  FROM clt)""".stripMargin,
+        """cfeat AS (
+          |  SELECT doc_id,
+          |    CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+          |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+          |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+          |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+          |      ELSE 'fr' END AS pred_lang,
+          |    n_tokens,
+          |    least(1.0, n_tokens / 100.0) * (1.0 - short_ratio) AS quality
+          |  FROM cls)""".stripMargin),
+        """SELECT doc_id, pred_lang, n_tokens,
+          |  CAST(round(quality, 6) AS DOUBLE) AS quality
+          |FROM cfeat
+          |WHERE pred_lang = 'en' AND quality >= 0.4
+          |  AND n_tokens BETWEEN 20 AND 5000""".stripMargin),
 
       "q_quality" -> withCtes(Seq(
         "lt AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts" +

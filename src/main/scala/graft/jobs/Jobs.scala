@@ -133,3 +133,25 @@ object EvalJob {
     JobArgs.maybeStop(spark, a)
   }
 }
+
+/** Corpus curation for training-data preparation: exact dedup + language
+  * / quality / length filters ([[graft.ops.Curation.curate]] — one
+  * exchange end-to-end), writing the surviving (doc_id, pred_lang,
+  * n_tokens, quality) table. */
+object CurateJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-curate")
+    val docs = JobArgs.readDocs(spark, a("input"))
+    val out = graft.ops.Curation.curate(docs,
+      langs = a.getOrElse("langs", "en").split(",").toSeq,
+      minQuality = a.getOrElse("min-quality", "0.4").toDouble,
+      minTokens = a.getOrElse("min-tokens", "20").toInt,
+      maxTokens = a.getOrElse("max-tokens", "5000").toInt,
+      idCol = a.getOrElse("id-col", "doc_id"),
+      textCol = a.getOrElse("text-col", "text"))
+    out.write.mode("overwrite").parquet(a("output"))
+    println(s"curated ${spark.read.parquet(a("output")).count()} docs")
+    JobArgs.maybeStop(spark, a)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — what a 100 TB corpus
+  * actually runs before pre-training: exact dedup, then language /
+  * quality / length filters, emitting the surviving documents with
+  * their curation features.
+  *
+  * Plan shape: ONE exchange end-to-end. The dedup keeper rule is the
+  * same content-sha window as [[Dedup.exact]] (min doc_id per sha — the
+  * window partition is bounded by one content's duplicate multiplicity),
+  * computed with the text still in the row, so every downstream feature
+  * (language prediction, quality, token count) is a narrow projection of
+  * the survivor's own row and every filter stacks into the same stage.
+  * Nothing re-scans the corpus, nothing joins.
+  */
+object Curation {
+
+  /** Curate a raw corpus: first-seen-content survivors with
+    * pred_lang ∈ `langs`, quality ≥ `minQuality`, and word-token count
+    * in [`minTokens`, `maxTokens`].
+    * Output: (doc_id, pred_lang, n_tokens, quality). */
+  def curate(docs: DataFrame, langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.4, minTokens: Int = 20, maxTokens: Int = 5000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bySha = Window.partitionBy(col("content_sha"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"),
+        sha2(col(textCol), 256).as("content_sha"))
+      .withColumn("keeper", min(col("doc_id")).over(bySha))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"),
+        TextAnalysis.langColumn(col("text")).as("pred_lang"),
+        TextAnalysis.nTokensColumn(col("text")).as("n_tokens"),
+        TextAnalysis.qualityColumn(col("text")).as("quality"))
+      .filter(col("pred_lang").isInCollection(langs) &&
+        col("quality") >= minQuality &&
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+  }
+}

@@ -22,23 +22,49 @@ object TextAnalysis {
   private def rawTokens(textCol: Column): Column =
     regexp_extract_all(lower(textCol), lit("(?U)\\w+"), lit(0))
 
-  /** (doc_id, pred_lang, score): argmax of marker hits, 'und' when no
-    * marker matches. */
-  def languageId(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = rawTokens(col(textCol))
+  /** Language prediction as a COLUMN (argmax of marker hits, first list
+    * wins ties, 'und' when nothing matches) — reusable inside composed
+    * one-pass pipelines ([[Curation]]). */
+  def langColumn(textCol: Column): Column = {
+    val toks = rawTokens(textCol)
     val scores = markers.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isInCollection(words)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // chained whens evaluate in order, so the FIRST list wins ties
-    val predFirstWins = scores
-      .foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-        when(s === best && best > 0, lit(lang)).otherwise(acc)
-      }
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      predFirstWins.as("pred_lang"), best.cast("long").as("score"))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
   }
+
+  /** Marker-hit count of the winning language, as a column. */
+  def langScoreColumn(textCol: Column): Column =
+    markers.map { case (_, words) =>
+      size(filter(rawTokens(textCol), t => t.isInCollection(words)))
+    }.reduce((a, b) => greatest(a, b))
+
+  def nTokensColumn(textCol: Column): Column =
+    size(rawTokens(textCol)).cast("long")
+
+  def shortRatioColumn(textCol: Column): Column = {
+    val toks = rawTokens(textCol)
+    when(size(toks) > 0,
+      size(filter(toks, t => length(t) < 3)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality = min(1, n_tokens/100) · (1 − short_ratio). */
+  def qualityColumn(textCol: Column): Column =
+    least(lit(1.0), nTokensColumn(textCol) / 100.0) *
+      (lit(1.0) - shortRatioColumn(textCol))
+
+  /** (doc_id, pred_lang, score): argmax of marker hits, 'und' when no
+    * marker matches. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      langColumn(col(textCol)).as("pred_lang"),
+      langScoreColumn(col(textCol)).cast("long").as("score"))
 
   /** Per-document quality features + a deterministic composite score:
     * quality = min(1, n_tokens/100) · (1 − short_ratio). */
@@ -46,12 +72,10 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = rawTokens(col(textCol))
     val nTokens = size(toks)
-    val nShort = size(filter(toks, t => length(t) < 3))
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       nTokens.cast("long").as("n_tokens"),
-      when(nTokens > 0, nShort.cast("double") / nTokens)
-        .otherwise(lit(0.0)).as("short_ratio"),
+      shortRatioColumn(col(textCol)).as("short_ratio"),
       when(nTokens > 0,
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
           / nTokens).otherwise(lit(0.0)).as("mean_token_len"))

@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
       s"fingerprint must not shuffle:\n${plan(fp)}")
   }
 
+  test("curation pipeline is ONE exchange end-to-end") {
+    // dedup window + language + quality + length filters must all stack
+    // into the single content-sha shuffle — no joins, no corpus re-scan
+    val p = plan(graft.ops.Curation.curate(docs))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"curate must shuffle exactly once (the dedup window):\n$p")
+    assert(!p.contains("Join"), s"curate must not join:\n$p")
+  }
+
   test("simhash is two exchanges: tf groupBy + per-doc partial-sum groupBy") {
     val p = plan(graft.ops.Dedup.simhash(docs))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,

@@ -99,6 +99,26 @@ class OpsSpec extends SparkSpec {
       "fixture must exercise exact (h=0) and near (h>0) duplicates")
   }
 
+  test("curation: dups dropped first-seen, then lang/quality/length filters stack") {
+    import spark.implicits._
+    val good = ("the cat and the dog sat in the garden of the house " +
+      "and looked at the birds flying over the green trees today") // en, long, quality high
+    val corpus = Seq(
+      (1L, good),
+      (2L, good), // exact dup of 1 -> dropped (keeper = 1)
+      (3L, "der hund und die katze nicht das haus und der garten heute"), // de
+      (4L, "a of to in is it at on an by " * 4), // en markers but all short tokens -> quality 0
+      (5L, "the quick brown fox is jumping over the lazy sleeping dog"))
+      .toDF("doc_id", "text")
+    val got = Curation.curate(corpus, minQuality = 0.09, minTokens = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L), s"expected keepers {1,5}, got $got")
+    // doc 4 survives only if the quality bar drops below its short-ratio
+    val loose = Curation.curate(corpus, minQuality = 0.0, minTokens = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 4L, 5L))
+  }
+
   test("connected components: chains collapse to min label, singletons stay") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("doc_id")
