@@ -364,6 +364,45 @@ object SparkEntry {
     "q_phrase3" -> ((s, dir) =>
       graft.query.Phrase.search(plans.index(s, dir), "small query line", cfg)),
 
+    // ---- proximity: unordered within-window co-occurrence over the same
+    //      positional postings (phrase search's slop relaxation) ----
+    "q_proximity" -> ((s, dir) =>
+      graft.query.Phrase.proximity(plans.index(s, dir), "merge", "order",
+        window = 5, cfg = cfg)),
+
+    // ---- boolean retrieval: conjunctive AND + NOT exclusion, BM25-ranked
+    //      (the reference's candidate generation is pure-OR) ----
+    "q_bool" -> ((s, dir) =>
+      graft.query.BooleanSearch.search(plans.index(s, dir),
+        must = Seq("merge", "sort"), mustNot = Seq("window"), cfg = cfg,
+        k = TopK)
+        .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- faceted result counts over the ranked top-k (lang + source) ----
+    "q_facets" -> ((s, dir) =>
+      graft.query.Facets.counts(plans.ranked(s, dir), docs(s, dir),
+        Seq("lang", "source"))),
+
+    // ---- more-like-this: document-as-query retrieval (top-5 tf-idf
+    //      expansion terms per seed, BM25-ranked, seed excluded) ----
+    "q_mlt" -> ((s, dir) =>
+      graft.query.MoreLikeThis.search(plans.index(s, dir),
+        col("doc_id") % 250 === 0)
+        .select(col("seed_doc"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- snippets: highest-hit chunk window per (query, top-3 doc) —
+    //      the highlighting step after ranking ----
+    "q_snippets" -> ((s, dir) =>
+      graft.query.Snippets.best(plans.ranked(s, dir), docs(s, dir),
+        Bm25.queryTerms(QuerySet.df(s), cfg))),
+
+    // ---- one-row index health summary (north_rule metrics surface) ----
+    "q_index_stats" -> ((s, dir) =>
+      IndexBuilder.summary(plans.index(s, dir))),
+
     // ---- A5 resume in the driver contract: build checkpointed, lose the
     //      LAST artifact of stages 1 and 3 (the crash windows the stage
     //      gates exist for), resume, and emit the postings — the shared
@@ -1022,6 +1061,138 @@ object SparkEntry {
           |  FROM pm JOIN pc USING (doc_id)
           |  WHERE len(pm.mp) > 0)""".stripMargin),
         "SELECT doc_id, len(mp) AS n_matches FROM pm2 WHERE len(mp) > 0"),
+
+      // proximity: min pairwise |pa - pb| over the two terms' position
+      // lists (pure-integer arithmetic — bit-exact cross-engine)
+      "q_proximity" -> withCtes(Seq(tokArrays, toks,
+        """plist AS (
+          |  SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+          |  FROM toks GROUP BY 1, 2)""".stripMargin,
+        "pra AS (SELECT doc_id, positions FROM plist WHERE term = 'merge')",
+        "prb AS (SELECT doc_id, positions FROM plist WHERE term = 'order')",
+        """prd AS (
+          |  SELECT a.doc_id,
+          |    list_min(flatten([[abs(x - y) FOR y IN b.positions]
+          |                     FOR x IN a.positions])) AS min_dist
+          |  FROM pra a JOIN prb b USING (doc_id))""".stripMargin),
+        "SELECT doc_id, min_dist FROM prd WHERE min_dist <= 5"),
+
+      // boolean AND/NOT: one pass over the must-term postings computes the
+      // conjunction count and the BM25 sum together (mirrors
+      // BooleanSearch.search); postings have one row per (term, doc) so
+      // count(*) IS the distinct-term count
+      "q_bool" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        """bscore AS (
+          |  SELECT p.doc_id, count(*) AS nt,
+          |    sum(t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS score
+          |  FROM postings p JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+          |  WHERE p.term IN ('merge', 'sort')
+          |  GROUP BY p.doc_id)""".stripMargin,
+        """bfilt AS (
+          |  SELECT doc_id, score FROM bscore
+          |  WHERE nt = 2 AND doc_id NOT IN
+          |    (SELECT doc_id FROM postings WHERE term = 'window'))""".stripMargin),
+        """SELECT doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE)
+          |  AS score, rank
+          |FROM (SELECT doc_id, score, row_number() OVER (
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM bfilt)
+          |WHERE rank <= 100""".stripMargin),
+
+      // faceted counts over the ranked top-k, by lang and source
+      "q_facets" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
+        """SELECT r.query_id, f.facet,
+          |  CASE f.facet WHEN 'lang' THEN d.lang ELSE d.source END AS value,
+          |  count(*) AS n
+          |FROM ranked r JOIN documents d USING (doc_id)
+          |CROSS JOIN (SELECT unnest(['lang', 'source']) AS facet) f
+          |GROUP BY 1, 2, 3""".stripMargin),
+
+      // more-like-this: top-5 tf*idf expansion terms per seed doc (tie:
+      // term asc), then the standard BM25 chain with the seed excluded
+      "q_mlt" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        """mseed AS (
+          |  SELECT seed_doc, term FROM (
+          |    SELECT p.doc_id AS seed_doc, p.term,
+          |      row_number() OVER (PARTITION BY p.doc_id
+          |        ORDER BY floor(p.tf * t.idf * 1e6 + 0.5) DESC, p.term ASC)
+          |        AS trk
+          |    FROM postings p JOIN termstats t USING (term)
+          |    WHERE p.doc_id % 250 = 0)
+          |  WHERE trk <= 5)""".stripMargin,
+        """mscore AS (
+          |  SELECT m.seed_doc, p.doc_id,
+          |    sum(t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS score
+          |  FROM mseed m JOIN postings p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+          |  WHERE p.doc_id <> m.seed_doc
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT seed_doc, doc_id,
+          |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank
+          |FROM (SELECT seed_doc, doc_id, score, row_number() OVER (
+          |    PARTITION BY seed_doc
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM mscore)
+          |WHERE rank <= 10""".stripMargin),
+
+      // snippets: same chunk-window definition as q_chunks, restricted to
+      // each query's top-3 docs; best chunk = max query-term hits, tie to
+      // the earliest chunk
+      "q_snippets" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
+        "snt AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 3)",
+        """snd AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |  FROM documents
+          |  WHERE doc_id IN (SELECT doc_id FROM snt))""".stripMargin,
+        """sns AS (
+          |  SELECT doc_id, ts, unnest(range(0, len(ts), 10)) AS start,
+          |    generate_subscripts(range(0, len(ts), 10), 1) - 1 AS chunk_id
+          |  FROM snd WHERE len(ts) > 0)""".stripMargin,
+        """snc AS (
+          |  SELECT doc_id, chunk_id,
+          |    list_slice(ts, start + 1, start + 20) AS chunk
+          |  FROM sns)""".stripMargin,
+        "snq AS (SELECT query_id, list(DISTINCT term) AS qset FROM qterms" +
+          " GROUP BY 1)",
+        """snh AS (
+          |  SELECT t.query_id, t.doc_id, c.chunk_id,
+          |    len(list_filter(c.chunk, x -> list_contains(q.qset, x)))
+          |      AS n_hits
+          |  FROM snt t JOIN snc c USING (doc_id)
+          |  JOIN snq q USING (query_id))""".stripMargin),
+        """SELECT query_id, doc_id, chunk_id, n_hits FROM (
+          |  SELECT query_id, doc_id, chunk_id, n_hits, row_number() OVER (
+          |    PARTITION BY query_id, doc_id
+          |    ORDER BY n_hits DESC, chunk_id ASC) AS rn
+          |  FROM snh)
+          |WHERE rn = 1 AND n_hits > 0""".stripMargin),
+
+      // one-row index summary (counts are exact integers; avgdl follows
+      // the q_corpus_stats round-6 policy)
+      "q_index_stats" -> withCtes(Seq(tokArrays, toks, doclen, postings,
+        stats, termstats,
+        """itagg AS (
+          |  SELECT count(*) AS n_terms, max(df) AS max_df,
+          |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS hapax_terms
+          |  FROM termstats)""".stripMargin,
+        """ipagg AS (
+          |  SELECT count(*) AS n_postings,
+          |    CAST(sum(tf) AS BIGINT) AS total_tokens
+          |  FROM postings)""".stripMargin,
+        """idagg AS (
+          |  SELECT count(*) AS n_docs,
+          |    CAST(round(avg(doc_len), 6) AS DOUBLE) AS avgdl
+          |  FROM doclen)""".stripMargin),
+        "SELECT * FROM itagg, ipagg, idagg"),
 
       "q_short_entries" -> withCtes(Seq(tokArrays, toks, doclen, postings,
         stats, termstats),

@@ -212,6 +212,26 @@ object IndexBuilder {
     InvertedIndex(a.postings.unionByName(b.postings), ds, ts, n, avgdl)
   }
 
+  /** One-row index health summary — the metrics side of the north rule's
+    * "lineage + metrics": vocabulary size, posting count, token volume,
+    * heaviest term df, hapax count, corpus size and avgdl. Three tiny
+    * full-table aggregates (each a partial/final HashAggregate — one
+    * shuffle of one row per partition) cross-joined into one row; cheap
+    * enough to emit after every build/merge/delete as a drift check. */
+  def summary(idx: InvertedIndex): DataFrame = {
+    val ts = idx.termStats.agg(
+      count(lit(1)).as("n_terms"),
+      max(col("df")).as("max_df"),
+      sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax_terms"))
+    val ps = idx.postings.agg(
+      count(lit(1)).as("n_postings"),
+      sum(col("tf").cast("long")).as("total_tokens"))
+    val ds = idx.docStats.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("doc_len")), 6).cast("double").as("avgdl"))
+    ts.crossJoin(ps).crossJoin(ds)
+  }
+
   /** Hard-delete a set of documents from a standing index — the
     * right-to-be-forgotten path, dual of [[merge]]: the corpus is never
     * re-tokenized. Postings and doc stats anti-join the delete set

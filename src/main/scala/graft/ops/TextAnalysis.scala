@@ -19,7 +19,11 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "de"),
     "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
 
-  private def rawTokens(textCol: Column): Column =
+  /** Lowercased `\w+` token array — the unfiltered tokenization every
+    * per-document analysis here shares (also reused by
+    * [[graft.query.Snippets]] so snippets window the same token stream as
+    * [[chunkWindows]]). */
+  def rawTokens(textCol: Column): Column =
     regexp_extract_all(lower(textCol), lit("(?U)\\w+"), lit(0))
 
   /** Language prediction as a COLUMN (argmax of marker hits, first list

@@ -1,0 +1,67 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Tokenizer, TokenizerConfig}
+import graft.index.InvertedIndex
+
+/** Boolean retrieval over the inverted index: conjunctive `must` terms
+  * (AND), optional `mustNot` exclusions (NOT), ranked by BM25 over the
+  * `must` terms. The reference's candidate generation is pure-OR (union of
+  * posting key sets, src/bm25_search.py:98-113); AND/NOT is the boolean
+  * query surface every fulltext index grows next.
+  *
+  * Plan shape: ONE term-filtered scan of the postings (`term IN must` — a
+  * pushdown-friendly filter over a term-partitioned table) feeds a single
+  * per-doc aggregate that computes the conjunction test (count of distinct
+  * matched terms == |must|) AND the BM25 sum together; `mustNot` is a
+  * second term-filtered scan anti-joined on doc_id. Nothing here scales
+  * with corpus size except the posting rows of the named terms themselves.
+  * The final top-k is TakeOrderedAndProject (no global sort); rank
+  * assignment then runs over only k surviving rows.
+  */
+object BooleanSearch {
+
+  /** @return (doc_id, score, rank) — top-k docs containing ALL `must`
+    *         terms and NONE of `mustNot`, BM25-ranked (canonical order:
+    *         rounded-score desc, doc_id asc). */
+  def search(index: InvertedIndex, must: Seq[String], mustNot: Seq[String],
+      cfg: TokenizerConfig, k: Int = 100,
+      p: Bm25.Params = Bm25.Params()): DataFrame = {
+    val tok = Tokenizer(cfg)
+    val mustTerms = must.flatMap(tok.tokenize(_)).distinct
+    val notTerms = mustNot.flatMap(tok.tokenize(_)).distinct
+    require(mustTerms.nonEmpty, "boolean query needs at least one must term")
+
+    val ts = broadcast(
+      index.termStats.filter(col("term").isin(mustTerms: _*))
+        .select(col("term"), col("idf")))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    val conj = index.postings.filter(col("term").isin(mustTerms: _*))
+      .join(ts, Seq("term"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(p.k1 + 1.0)) /
+          (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("doc_id"))
+      .agg(count(col("term")).as("nt"), sum(col("term_score")).as("score"))
+      // postings hold one row per (term, doc): matched-row count IS the
+      // distinct-term count, so the conjunction test needs no second agg
+      .filter(col("nt") === mustTerms.length)
+      .select(col("doc_id"), col("score"))
+    val filtered =
+      if (notTerms.isEmpty) conj
+      else conj.join(
+        index.postings.filter(col("term").isin(notTerms: _*))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val top = filtered
+      .orderBy(graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)
+      .limit(k) // TakeOrderedAndProject — per-partition heaps, no sort
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(
+        graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Faceted result counts — per query, how many of its ranked results fall
+  * in each value of each document metadata column (the aggregation behind
+  * every search UI's facet sidebar). The reference returns a bare ranked
+  * list (src/bm25_search.py:178-224); facets are the first aggregation a
+  * served index adds on top of it.
+  *
+  * Plan shape: the ranked result set is bounded (|queries| × k) and is
+  * BROADCAST into the join against the corpus-sized metadata table, so the
+  * big side is never shuffled; all requested facet columns then explode
+  * from one map literal so the joined rows are scanned ONCE for any number
+  * of facets, and the final groupBy aggregates a bounded input.
+  */
+object Facets {
+
+  /** @param results (query_id, doc_id, ...) ranked results
+    * @param docs    document metadata table
+    * @param facets  metadata column names to facet on
+    * @return (query_id, facet, value, n) — one row per non-empty facet
+    *         value per query. */
+  def counts(results: DataFrame, docs: DataFrame,
+      facets: Seq[String]): DataFrame = {
+    require(facets.nonEmpty, "need at least one facet column")
+    val meta = docs.select(
+      (col("doc_id") +: facets.map(col)): _*)
+    val joined = meta.join(
+      broadcast(results.select(col("query_id"), col("doc_id"))),
+      Seq("doc_id"))
+    val kvs = facets.flatMap(f => Seq(lit(f), col(f).cast("string")))
+    joined
+      .select(col("query_id"),
+        explode(map(kvs: _*)).as(Seq("facet", "value")))
+      .groupBy(col("query_id"), col("facet"), col("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.InvertedIndex
+
+/** More-like-this: retrieval with a DOCUMENT as the query (Lucene's MLT).
+  * Each seed document's `m` highest tf·idf terms become its query terms
+  * (qtf = 1 each), scored with the same BM25 formula and canonical ranking
+  * as [[Bm25]]; the seed itself is excluded from its own results.
+  *
+  * Plan shape: seed-term selection reads only the seed docs' posting rows
+  * (a doc-predicate-filtered scan) plus a vocabulary-sized idf join and a
+  * window over |seeds| × |seed doc_len| rows. The expansion-term table is
+  * bounded (|seeds| × m) and is BROADCAST into the scoring join, so the
+  * full postings table is scanned once and never shuffled by the join —
+  * identical shape to [[Bm25.score]] with seed_doc standing in for
+  * query_id. Works for bounded seed batches (the serving case: "similar
+  * documents" for a result page); an all-pairs corpus-wide MLT is the
+  * near-dup join family's job ([[graft.ops.Dedup]]), not this one's.
+  */
+object MoreLikeThis {
+
+  /** @param seedPred predicate over doc_id selecting the seed documents
+    * @param m        expansion terms per seed (top tf·idf, tie: term asc)
+    * @param k        results per seed
+    * @return (seed_doc, doc_id, score, rank). */
+  def search(index: InvertedIndex, seedPred: Column, m: Int = 5,
+      k: Int = 10, p: Bm25.Params = Bm25.Params()): DataFrame = {
+    val tw = Window.partitionBy(col("seed_doc"))
+      .orderBy(graft.Canon.rankKey(col("w")).desc, col("term").asc)
+    val seedTerms = index.postings.filter(seedPred)
+      .select(col("doc_id").as("seed_doc"), col("term"), col("tf"))
+      .join(index.termStats.select(col("term"), col("idf")), Seq("term"))
+      .withColumn("w", col("tf") * col("idf"))
+      .withColumn("trk", row_number().over(tw))
+      .filter(col("trk") <= m)
+      .select(col("seed_doc"), col("term"))
+    val st = broadcast(
+      seedTerms.join(index.termStats.select(col("term"), col("idf")),
+        Seq("term")))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    val scored = index.postings.join(st, Seq("term"))
+      .filter(col("doc_id") =!= col("seed_doc"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(p.k1 + 1.0)) /
+          (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("seed_doc"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    val rw = Window.partitionBy(col("seed_doc"))
+      .orderBy(graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+}

@@ -43,4 +43,35 @@ object Phrase {
     cur.select(col("doc_id"),
       size(col("match_pos")).cast("long").as("n_matches"))
   }
+
+  /** Unordered within-window proximity search — phrase search's relaxation
+    * (Lucene's slop / `NEAR` operator): documents where SOME occurrence of
+    * `termA` and SOME occurrence of `termB` lie within `window` positions
+    * of each other, in either order.
+    *
+    * Plan shape: two term-filtered posting scans (pushdown-friendly, like
+    * [[search]]) equi-joined on doc_id, then the minimum pairwise distance
+    * as a narrow per-row array fold — no explode, no extra shuffle. The
+    * fold is O(tf_a · tf_b) within one row; both position lists are
+    * per-document so the product is bounded by doc_len², never by corpus
+    * size (a two-pointer merge over the sorted lists would be O(tf_a +
+    * tf_b) but needs a UDF — the Catalyst form keeps whole-stage codegen).
+    *
+    * @return (doc_id, min_dist) for documents where min_dist <= window.
+    */
+  def proximity(index: InvertedIndex, termA: String, termB: String,
+      window: Int, cfg: TokenizerConfig): DataFrame = {
+    val ts = Tokenizer(cfg).tokenize(termA + " " + termB).toSeq
+    require(ts.length == 2, s"proximity needs two surviving terms, got $ts")
+    val a = index.postings.filter(col("term") === ts.head)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = index.postings.filter(col("term") === ts(1))
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_min(flatten(transform(col("pa"),
+          x => transform(col("pb"), y => abs(x - y)))))
+          .cast("long").as("min_dist"))
+      .filter(col("min_dist") <= window)
+  }
 }

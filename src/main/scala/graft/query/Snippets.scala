@@ -1,0 +1,58 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Snippet selection — for each (query, result doc), the token-chunk
+  * window containing the most query-term occurrences (ties: earliest
+  * chunk). This is the highlighting/preview step a served search result
+  * needs after ranking; it reuses the SAME overlapping chunk-window
+  * definition as [[graft.ops.TextAnalysis.chunkWindows]] (reference
+  * long-doc chunking, src/dataset.py:118-123).
+  *
+  * Plan shape: the corpus is first cut down by a BROADCAST semi-join to
+  * only the result docs (bounded: |queries| × topN), chunking is narrow
+  * per-doc Catalyst (sequence + slice, as chunkWindows), the query-term
+  * sets are a broadcast map-side join, and hit counting is a per-row
+  * array fold — after the semi-join nothing scales with corpus size.
+  */
+object Snippets {
+
+  /** @param results ranked results with (query_id, doc_id, rank)
+    * @param docs    corpus with (doc_id, text)
+    * @param queryTerms (query_id, term) — [[Bm25.queryTerms]] output
+    * @param topN    snippet only the first topN results per query
+    * @return (query_id, doc_id, chunk_id, n_hits) — the best chunk per
+    *         (query, doc), only where it contains at least one hit. */
+  def best(results: DataFrame, docs: DataFrame, queryTerms: DataFrame,
+      chunkLen: Int = 20, stride: Int = 10, topN: Int = 3): DataFrame = {
+    val top = results.filter(col("rank") <= topN)
+      .select(col("query_id"), col("doc_id"))
+    val hit = docs.join(broadcast(top.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val chunks = hit
+      .select(col("doc_id"), TextAnalysis.rawTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0), size(col("ts")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ts"), col("start") + 1, lit(chunkLen)).as("chunk"))
+    val qsets = queryTerms.groupBy(col("query_id"))
+      .agg(collect_set(col("term")).as("qset"))
+    val scored = chunks
+      .join(broadcast(top), Seq("doc_id"))
+      .join(broadcast(qsets), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        size(filter(col("chunk"), t => array_contains(col("qset"), t)))
+          .cast("long").as("n_hits"))
+    val w = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("n_hits").desc, col("chunk_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("n_hits") > 0)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("n_hits"))
+  }
+}

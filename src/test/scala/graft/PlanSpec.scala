@@ -174,4 +174,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(term"), p)
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
+
+  test("facet counts broadcast the bounded result side; corpus never shuffled by the join") {
+    import spark.implicits._
+    val results = Seq(("q1", 1L), ("q2", 2L)).toDF("query_id", "doc_id")
+    val p = plan(graft.query.Facets.counts(results, docs,
+      Seq("lang", "source")))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"facet join must not shuffle the corpus:\n$p")
+    // all facets explode from one scan of the joined rows — exactly one
+    // Generate (the explode), not one join branch per facet
+    assert("Generate".r.findAllIn(p).size == 1, s"one explode expected:\n$p")
+  }
+
+  test("boolean top-k is TakeOrderedAndProject, never a global sort") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(graft.query.BooleanSearch.search(idx, Seq("merge", "sort"),
+      Seq("window"), cfg))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf lookup and NOT-exclusion must broadcast:\n$p")
+  }
+
+  test("more-like-this broadcasts the expansion terms into the scoring join") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(graft.query.MoreLikeThis.search(idx,
+      col("doc_id") % 50 === 0))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"MLT scoring must not shuffle the postings:\n$p")
+  }
 }

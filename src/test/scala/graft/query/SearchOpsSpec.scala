@@ -1,0 +1,134 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+/** Serving-layer search operators beyond ranked OR-retrieval: proximity,
+  * boolean AND/NOT, facets, more-like-this, snippets, index summary.
+  * Each is checked against a hand-computable fixture or a brute-force
+  * recomputation in local Scala. */
+class SearchOpsSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "merge sort beats bubble sort", "en", "web"),
+      (2L, "sort things then merge them", "en", "web"),
+      (3L, "merge words here and there plus order", "en", "book"),
+      (4L, "order first merge", "en", "book"),
+      (5L, "nothing relevant here", "de", "web"),
+      (6L, "order order order distant words words words words merge", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+  private lazy val idx = IndexBuilder.build(docs, cfg)
+
+  test("proximity finds pairs within the window, either order, min dist") {
+    // post-filter token positions (min length 3 drops "and"):
+    // doc 3: merge@0 ... order@6 -> dist 6; doc 4: order@0 merge@2 -> 2
+    // doc 6: order@{0,1,2} merge@8 -> min dist 6
+    val d5 = Phrase.proximity(idx, "merge", "order", window = 5, cfg = cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d5 == Map(4L -> 2L), s"window 5: $d5")
+    val d6 = Phrase.proximity(idx, "merge", "order", window = 6, cfg = cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d6 == Map(3L -> 6L, 4L -> 2L, 6L -> 6L), s"window 6: $d6")
+    // order of the two terms must not matter
+    val rev = Phrase.proximity(idx, "order", "merge", window = 6, cfg = cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rev == d6, s"asymmetric proximity: $rev vs $d6")
+  }
+
+  test("boolean AND requires every must term; NOT excludes; BM25 ranks") {
+    val res = BooleanSearch.search(idx, Seq("merge", "sort"), Nil, cfg)
+      .collect()
+    assert(res.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "docs 1,2 are the only merge AND sort docs")
+    // ranks are 1..n, canonical order (score desc)
+    assert(res.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
+    val not = BooleanSearch.search(idx, Seq("merge"), Seq("order"), cfg)
+      .collect().map(_.getLong(0)).toSet
+    assert(not == Set(1L, 2L), s"NOT order must drop docs 3,4,6: $not")
+    // conjunction with an absent term is empty, not an error
+    assert(BooleanSearch.search(idx, Seq("merge", "zebra"), Nil, cfg)
+      .isEmpty)
+  }
+
+  test("boolean scores equal the BM25 join-path scores on the same docs") {
+    import spark.implicits._
+    val bool = BooleanSearch.search(idx, Seq("merge", "sort"), Nil, cfg)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val viaQuery = Bm25.score(idx,
+      Bm25.queryTerms(Seq(("q", "merge sort")).toDF("query_id", "question"),
+        cfg))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    for ((d, s) <- bool)
+      assert(math.abs(s - viaQuery(d)) < 1e-12, s"doc $d: $s vs ${viaQuery(d)}")
+  }
+
+  test("facet counts partition the result set by each metadata column") {
+    import spark.implicits._
+    val results = Seq(("q1", 1L), ("q1", 3L), ("q1", 5L), ("q2", 4L))
+      .toDF("query_id", "doc_id")
+    val f = Facets.counts(results, docs, Seq("lang", "source"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(f == Set(
+      ("q1", "lang", "en", 2L), ("q1", "lang", "de", 1L),
+      ("q1", "source", "web", 2L), ("q1", "source", "book", 1L),
+      ("q2", "lang", "en", 1L), ("q2", "source", "book", 1L)), s"got $f")
+    // per-facet counts must sum to the per-query result count
+    val sums = f.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._4).sum)
+    assert(sums.toMap.values.toSet == Set(3L, 1L))
+  }
+
+  test("more-like-this excludes the seed and ranks canonically") {
+    val res = MoreLikeThis.search(idx, col("doc_id") === 1L, m = 3, k = 10)
+      .collect()
+    assert(res.nonEmpty)
+    assert(!res.exists(r => r.getLong(1) == 1L), "seed must not match itself")
+    assert(res.forall(_.getLong(0) == 1L))
+    val ranks = res.map(_.getInt(3)).sorted.toSeq
+    assert(ranks == (1 to res.length).toSeq, s"ranks: $ranks")
+    // doc 1's top terms include sort (tf 2) and merge; doc 2 shares both,
+    // docs 3/4/6 share only merge -> doc 2 must rank first
+    assert(res.minBy(_.getInt(3)).getLong(1) == 2L)
+  }
+
+  test("snippet picks the chunk with the most query-term hits") {
+    import spark.implicits._
+    // doc text engineered so chunk 1 (tokens 4..11 with chunkLen 8,
+    // stride 4) holds more hits than chunk 0
+    val d = Seq((10L,
+      "alpha beta gamma delta merge merge sort merge sort sort pad pad"))
+      .toDF("doc_id", "text")
+    val results = Seq(("q1", 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val qt = Bm25.queryTerms(Seq(("q1", "merge sort")).toDF("query_id",
+      "question"), cfg)
+    val best = Snippets.best(results, d, qt, chunkLen = 8, stride = 4,
+      topN = 3).collect()
+    assert(best.length == 1)
+    val r = best.head
+    // chunk 0 = tokens 0..7 (4 hits), chunk 1 = tokens 4..11 (6 hits)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 6L,
+      s"chunk ${r.getLong(2)} hits ${r.getLong(3)}")
+  }
+
+  test("index summary matches directly recomputed stats") {
+    val row = IndexBuilder.summary(idx).head()
+    val nTerms = idx.termStats.count()
+    val nPost = idx.postings.count()
+    assert(row.getAs[Long]("n_terms") == nTerms)
+    assert(row.getAs[Long]("n_postings") == nPost)
+    assert(row.getAs[Long]("n_docs") == 6L)
+    assert(row.getAs[Long]("max_df") ==
+      idx.termStats.agg(max("df")).head().getLong(0))
+    assert(row.getAs[Long]("total_tokens") ==
+      idx.postings.agg(sum("tf")).head().getLong(0))
+    assert(row.getAs[Long]("hapax_terms") ==
+      idx.termStats.filter(col("df") === 1).count())
+  }
+}
