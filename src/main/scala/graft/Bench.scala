@@ -187,9 +187,9 @@ object Bench {
     val nDocs = corpus(s, sfDir, synthDocs).count()
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
-      Seq("query_bm25_join", "query_wand", "rerank", "dedup_exact",
-        "dedup_minhash", "dedup_jaccard_join", "dedup_simhash_pairs",
-        "ann_brute", "ann_lsh")
+      Seq("query_bm25_join", "query_wand", "query_bool", "rerank",
+        "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
+        "dedup_simhash_pairs", "ann_brute", "ann_lsh", "decontaminate")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -214,6 +214,10 @@ object Bench {
       Wand.search(blocksDf, idx.termStats, idx.numDocs, idx.avgdl,
         queries, cfg, 100, numShards = cpus).count())
     results("query_wand") = tWand
+
+    // boolean AND/NOT over the same cached index (serving query surface)
+    results("query_bool") = timeWarm(graft.query.BooleanSearch.search(
+      idx, Seq("merge", "sort"), Seq("window"), cfg, 100).count())._1
 
     // Rerank times the RE-SCORE PASS ALONE over a materialized shortlist
     // (the round-1 timed region re-ran the whole upstream BM25 job inside
@@ -240,6 +244,10 @@ object Bench {
       emb, col("vec_id") % 100 === 0, 10).count())._1
     results("ann_lsh") = timeWarm(Similarity.lshTopK(
       emb, col("vec_id") % 100 === 0, 10).count())._1
+    // decontamination pass: train = 99% slice, eval = 1% slice, 5-grams
+    results("decontaminate") = timeWarm(graft.ops.Decontaminate.flag(
+      docsDf.filter(col("doc_id") % 100 =!= 0),
+      docsDf.filter(col("doc_id") % 100 === 0), n = 5).count())._1
 
     idx.postings.unpersist(); blocksDf.unpersist()
     s.stop()

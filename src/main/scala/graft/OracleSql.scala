@@ -98,6 +98,29 @@ object OracleSql {
       |    ON list_contains(d.ts, q.gold_term) AND d.doc_id % 5 = 0
       |  WHERE q.gold_term <> '')""".stripMargin
 
+  /** OR-BM25 scored CTE over an expanded term set (qtf = 1 per matched
+    * vocabulary term — mirrors [[graft.query.Expansion]]); emits `escore`
+    * (doc_id, score). `termPred` filters the postings alias `p`. */
+  def expansionScore(termPred: String): String =
+    s"""escore AS (
+       |  SELECT p.doc_id,
+       |    sum(t.idf * p.tf * 2.2 /
+       |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+       |      AS score
+       |  FROM postings p JOIN termstats t USING (term)
+       |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+       |  WHERE $termPred
+       |  GROUP BY p.doc_id)""".stripMargin
+
+  /** Canonical single-query top-k tail over `escore`. */
+  def expansionTail(k: Int): String =
+    s"""SELECT doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE)
+       |  AS score, rank
+       |FROM (SELECT doc_id, score, row_number() OVER (
+       |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+       |  FROM escore)
+       |WHERE rank <= $k""".stripMargin
+
   /** Assembles a WITH query from the needed fragments (order matters). */
   def withCtes(ctes: Seq[String], body: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + body

@@ -403,6 +403,35 @@ object SparkEntry {
     "q_index_stats" -> ((s, dir) =>
       IndexBuilder.summary(plans.index(s, dir))),
 
+    // ---- prefix (wildcard) retrieval: st* expands over the vocabulary,
+    //      then the standard OR-BM25 over the expansion set ----
+    "q_prefix" -> ((s, dir) =>
+      graft.query.Expansion.prefix(plans.index(s, dir), "st", k = TopK)
+        .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- fuzzy retrieval: vocabulary terms within 1 Levenshtein edit of
+    //      the (misspelled) query term ----
+    "q_fuzzy" -> ((s, dir) =>
+      graft.query.Expansion.fuzzy(plans.index(s, dir), "merje", maxDist = 1,
+        k = TopK)
+        .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- benchmark decontamination: train docs sharing any 5-gram with
+    //      the held-out eval slice (doc_id % 100 == 0) are flagged ----
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.flag(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0), n = 5)
+    }),
+
+    // ---- Gopher-style repetition signals: word-bigram duplicate and
+    //      top-gram fractions (exact-integer ratios — no rounding) ----
+    "q_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetition(docs(s, dir))),
+
     // ---- A5 resume in the driver contract: build checkpointed, lose the
     //      LAST artifact of stages 1 and 3 (the crash windows the stage
     //      gates exist for), resume, and emit the postings — the shared
@@ -1193,6 +1222,66 @@ object SparkEntry {
           |    CAST(round(avg(doc_len), 6) AS DOUBLE) AS avgdl
           |  FROM doclen)""".stripMargin),
         "SELECT * FROM itagg, ipagg, idagg"),
+
+      // prefix expansion: LIKE 'st%' over the vocabulary, OR-BM25 tail
+      "q_prefix" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        expansionScore("p.term LIKE 'st%'")),
+        expansionTail(TopK)),
+
+      // fuzzy expansion: vocabulary terms within 1 edit of 'merje'
+      "q_fuzzy" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        expansionScore("levenshtein(p.term, 'merje') <= 1")),
+        expansionTail(TopK)),
+
+      // decontamination: distinct shared 5-grams vs the eval slice
+      "q_decontaminate" -> withCtes(Seq(
+        """dg5 AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 5
+          |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+          |          ts[i+3] || ' ' || ts[i+4] FOR i IN range(1, len(ts) - 3)]
+          |    ELSE [array_to_string(ts, ' ')] END) AS gram
+          |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |        FROM documents))""".stripMargin,
+        "ev AS (SELECT DISTINCT gram FROM dg5 WHERE doc_id % 100 = 0)",
+        """tg AS (
+          |  SELECT DISTINCT doc_id, gram FROM dg5
+          |  WHERE doc_id % 100 <> 0)""".stripMargin,
+        """dhits AS (
+          |  SELECT doc_id, count(*) AS n_hits
+          |  FROM tg JOIN ev USING (gram) GROUP BY 1)""".stripMargin),
+        """SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+          |  coalesce(h.n_hits, 0) > 0 AS is_contaminated
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+          |LEFT JOIN dhits h USING (doc_id)""".stripMargin),
+
+      // repetition signals: bigram duplicate + top-gram fractions
+      // (int/int doubles — bit-exact cross-engine)
+      "q_repetition" -> withCtes(Seq(
+        """rg2 AS (
+          |  SELECT doc_id,
+          |    unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))])
+          |      AS gram
+          |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |        FROM documents)
+          |  WHERE len(ts) >= 2)""".stripMargin,
+        """rgc AS (
+          |  SELECT doc_id, gram, count(*) AS c FROM rg2 GROUP BY 1, 2)""".stripMargin,
+        """ragg2 AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |    count(*) AS n_distinct, max(c) AS max_count
+          |  FROM rgc GROUP BY 1)""".stripMargin),
+        """SELECT d.doc_id,
+          |  coalesce(r.n_bigrams, 0) AS n_bigrams,
+          |  coalesce(r.n_distinct, 0) AS n_distinct,
+          |  CASE WHEN r.n_bigrams > 0
+          |    THEN 1.0 - CAST(r.n_distinct AS DOUBLE) / r.n_bigrams
+          |    ELSE 0.0 END AS dup_frac,
+          |  CASE WHEN r.n_bigrams > 0
+          |    THEN CAST(r.max_count AS DOUBLE) / r.n_bigrams
+          |    ELSE 0.0 END AS top_frac
+          |FROM documents d LEFT JOIN ragg2 r USING (doc_id)""".stripMargin),
 
       "q_short_entries" -> withCtes(Seq(tokArrays, toks, doclen, postings,
         stats, termstats),

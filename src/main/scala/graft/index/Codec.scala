@@ -29,16 +29,24 @@ object Codec {
   }
 
   /** Delta + varbyte encode a STRICTLY INCREASING long array
-    * (first value zigzagged; gaps are ≥ 1 so stored as gap-1). */
+    * (first value zigzagged; gaps are ≥ 1 so stored as gap-1).
+    *
+    * Gaps are UNSIGNED: full-range ids (xxhash64 doc ids span all 64
+    * bits) make the mathematical gap of a negative→positive neighbor
+    * pair exceed Long.MaxValue, so the signed difference wraps — but the
+    * wrapped bit pattern IS the gap's unsigned representation (the true
+    * gap is < 2^64), `writeUnsigned` emits all 64 bits, and decode's
+    * wrapping add reconstructs the original exactly. The increasing-ness
+    * check therefore compares the VALUES, never the difference (a signed
+    * `gap > 0` require here rejected valid sorted hash-id lists). */
   def encodeSortedLongs(xs: Array[Long]): Array[Byte] = {
     val out = new ArrayBuffer[Byte](xs.length * 2 + 4)
     if (xs.nonEmpty) {
       writeUnsigned(out, zigzag(xs(0)))
       var i = 1
       while (i < xs.length) {
-        val gap = xs(i) - xs(i - 1)
-        require(gap > 0, s"input not strictly increasing at $i")
-        writeUnsigned(out, gap - 1)
+        require(xs(i) > xs(i - 1), s"input not strictly increasing at $i")
+        writeUnsigned(out, xs(i) - xs(i - 1) - 1)
         i += 1
       }
     }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data pass that flags corpus
+  * documents sharing any word n-gram with an evaluation/benchmark set
+  * (the published GPT-3/Llama recipe: 8-13-gram overlap against eval
+  * suites). The reference has no counterpart; a 100 TB training pipeline
+  * cannot ship without it.
+  *
+  * Plan shape: the eval side is bounded by construction (benchmark suites
+  * are thousands of documents, not billions), so its distinct n-gram set
+  * is BROADCAST; the train side explodes each document's distinct n-grams
+  * (narrow), hash-joins against the broadcast set map-side, and one
+  * doc-keyed aggregation counts the hits. Nothing shuffles with corpus
+  * size except matched gram rows. N-grams come from [[Dedup.shingles]]
+  * (same tokenization as the dedup family; documents shorter than `n`
+  * tokens contribute their whole token string as one gram).
+  */
+object Decontaminate {
+
+  /** @return one row per train doc: (doc_id, n_hits, is_contaminated)
+    *         where n_hits counts DISTINCT shared n-grams. */
+  def flag(train: DataFrame, eval: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ev = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val tg = train.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+    val hits = tg.join(broadcast(ev), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+}

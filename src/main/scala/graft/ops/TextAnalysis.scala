@@ -131,6 +131,50 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long").as("doc_id"),
       normalize(col(textCol)).as("norm_text"))
 
+  /** Gopher-style repetition quality signals: per document, the duplicate
+    * fraction and top-gram fraction of its word bigrams (published
+    * pre-training filter rules — Rae et al. 2021 §A1.1 use duplicate
+    * n-gram fraction and top-n-gram fraction as removal criteria; this is
+    * their word-bigram instance over the same tokenization as
+    * [[chunkWindows]]).
+    *
+    * Plan shape: bigram explode (narrow) → (doc, gram) count → per-doc
+    * roll-up — two hash aggregations with map-side partials, the standard
+    * distributed shape for per-group frequency maxima (a per-row array
+    * fold could stay narrow but is O(doc_len²) per document — wrong for
+    * code files with 10^4+ tokens). Documents with fewer than 2 tokens
+    * have no bigrams: zero counts, zero fractions.
+    *
+    * dup_frac = 1 − distinct/total; top_frac = max_count/total — both
+    * exact-integer ratios, so the doubles are bit-identical across
+    * engines with no rounding policy needed. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .filter(size(rawTokens(col("text"))) >= 2)
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val rep = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_count"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(rep, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("dup_frac"),
+        when(col("n_bigrams") > 0,
+          col("max_count").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("top_frac"))
+  }
+
   /** md5-min shingle fingerprint: the lexicographic minimum of
     * md5(shingle) over the doc's 3-word shingles — a stable, locality-
     * sensitive document signature ([[Winnowing]] holds the rolling-hash

@@ -1,0 +1,57 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.InvertedIndex
+
+/** Term-expansion retrieval: prefix (wildcard `mer*`) and fuzzy
+  * (edit-distance) queries. Both rewrite into an OR-BM25 over the matched
+  * vocabulary terms (each expansion contributing qtf = 1) — the classic
+  * multi-term query rewrite.
+  *
+  * Plan shape: expansion is a predicate scan of the VOCABULARY-sized
+  * term-stat table (orders of magnitude smaller than the postings; a
+  * sorted/bucketed term table makes the prefix case a range scan), the
+  * matched terms broadcast into the same postings join as [[Bm25.score]],
+  * and the single-query top-k is TakeOrderedAndProject. Callers own
+  * keeping the expansion bounded (a one-letter prefix over a 10^9-term
+  * vocabulary is a user error, as in any search engine).
+  */
+object Expansion {
+
+  /** Wildcard search: score every document containing a term that starts
+    * with `prefix`. @return (doc_id, score, rank) top-k. */
+  def prefix(index: InvertedIndex, prefix: String, k: Int = 100,
+      p: Bm25.Params = Bm25.Params()): DataFrame =
+    searchExpanded(index, col("term").startsWith(prefix), k, p)
+
+  /** Fuzzy search: expansions are vocabulary terms within `maxDist`
+    * Levenshtein edits of `query` (spell-tolerant lookup).
+    * @return (doc_id, score, rank) top-k. */
+  def fuzzy(index: InvertedIndex, query: String, maxDist: Int = 1,
+      k: Int = 100, p: Bm25.Params = Bm25.Params()): DataFrame =
+    searchExpanded(index,
+      levenshtein(col("term"), lit(query)) <= maxDist, k, p)
+
+  private def searchExpanded(index: InvertedIndex, termPred: Column,
+      k: Int, p: Bm25.Params): DataFrame = {
+    val ts = broadcast(index.termStats.filter(termPred)
+      .select(col("term"), col("idf")))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    val scored = index.postings.join(ts, Seq("term"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(p.k1 + 1.0)) /
+          (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    val top = scored
+      .orderBy(graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)
+      .limit(k) // TakeOrderedAndProject — no global sort
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(
+        graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)))
+  }
+}

@@ -46,6 +46,19 @@ class CodecSpec extends AnyFunSuite {
     assert(Codec.decodeSortedLongs(Codec.encodeSortedLongs(xs), 5).sameElements(xs))
   }
 
+  test("gaps above 2^63 survive (sparse full-range hash ids)") {
+    // A term with few docs in a shard can have a negative->positive
+    // neighbor pair whose TRUE gap exceeds Long.MaxValue — the signed
+    // difference wraps; encode must treat the gap as unsigned (this
+    // exact shape killed the 8k-doc scaling leg's serving build).
+    val xs = Array(Long.MinValue + 2, Long.MaxValue - 2)
+    assert(Codec.decodeSortedLongs(Codec.encodeSortedLongs(xs), 2)
+      .sameElements(xs))
+    val three = Array(Long.MinValue + 11, -3L, Long.MaxValue - 11)
+    assert(Codec.decodeSortedLongs(Codec.encodeSortedLongs(three), 3)
+      .sameElements(three))
+  }
+
   test("encode rejects unsorted input") {
     intercept[IllegalArgumentException] {
       Codec.encodeSortedLongs(Array(5L, 3L))

@@ -117,6 +117,63 @@ class SearchOpsSpec extends SparkSpec {
       s"chunk ${r.getLong(2)} hits ${r.getLong(3)}")
   }
 
+  test("prefix expansion scores the union of matching terms' postings") {
+    import spark.implicits._
+    // "sort" matches; docs 1 (tf 2), 2 (tf 1) contain it
+    val res = Expansion.prefix(idx, "sor")
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(res.keySet == Set(1L, 2L), s"got ${res.keySet}")
+    val viaQuery = Bm25.score(idx,
+      Bm25.queryTerms(Seq(("q", "sort")).toDF("query_id", "question"), cfg))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    for ((d, s) <- res)
+      assert(math.abs(s - viaQuery(d)) < 1e-12, s"doc $d: $s vs ${viaQuery(d)}")
+    assert(Expansion.prefix(idx, "zzz").isEmpty)
+  }
+
+  test("fuzzy expansion matches within the edit budget, multi-term included") {
+    import spark.implicits._
+    val d2 = Seq((1L, "merge sort"), (2L, "marge things"), (3L, "verge here"),
+      (4L, "nothing")).toDF("doc_id", "text")
+    val i2 = graft.index.IndexBuilder.build(d2, cfg)
+    // dist(merge->merge)=0, marge=1, verge=1, nothing=7
+    val hit = Expansion.fuzzy(i2, "merge", maxDist = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 2L, 3L), s"got $hit")
+    val strict = Expansion.fuzzy(i2, "merge", maxDist = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L), s"got $strict")
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram with eval
+      (2L, "alpha beta gamma other words here"),   // only 3-gram overlap
+      (3L, "completely different text body now")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon eta"))
+      .toDF("doc_id", "text")
+    val f = graft.ops.Decontaminate.flag(train, eval, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(f == Set((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)),
+      s"got $f")
+  }
+
+  test("repetition fractions are exact bigram ratios") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> n=5 d=2 max=3
+      (2L, "all words differ here"), // n=3 d=3 max=1
+      (3L, "one")).toDF("doc_id", "text") // < 2 tokens -> zeros
+    val r = graft.ops.TextAnalysis.repetition(d)
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((5L, 2L, 1.0 - 2.0 / 5, 3.0 / 5)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((3L, 3L, 0.0, 1.0 / 3)), s"doc2: ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0.0, 0.0)), s"doc3: ${r(3L)}")
+  }
+
   test("index summary matches directly recomputed stats") {
     val row = IndexBuilder.summary(idx).head()
     val nTerms = idx.termStats.count()
