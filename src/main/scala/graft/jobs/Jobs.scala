@@ -89,6 +89,19 @@ object BuildIndexJob {
   }
 }
 
+/** Ranked retrieval over a built index. Batch modes (`join` / `wand`)
+  * consume a queries table and emit the reference-shaped JSONL results;
+  * single-query modes (`bool` / `phrase` / `proximity` / `prefix` /
+  * `fuzzy` / `mlt`) take their query from flags and emit the ranked
+  * parquet only:
+  *
+  *   --mode bool      --must merge,sort [--must-not window]
+  *   --mode phrase    --phrase "merge order"
+  *   --mode proximity --terms merge,order [--window 5]
+  *   --mode prefix    --prefix mer
+  *   --mode fuzzy     --term merje [--max-dist 1]
+  *   --mode mlt       --seeds 10,20 [--expansion-terms 5]
+  */
 object SearchJob {
   def main(args: Array[String]): Unit = {
     val a = JobArgs.parse(args)
@@ -96,23 +109,57 @@ object SearchJob {
     val cfg = JobArgs.cfg(a)
     val k = a.getOrElse("k", "100").toInt
     val idx = InvertedIndex.read(spark, s"${a("index")}/index")
-    val queries = JobArgs.readQueries(spark, a("queries"))
-    val ranked = a.getOrElse("mode", "wand") match {
-      case "join" => Bm25.search(idx, queries, cfg, k)
-      case _ => Wand.search(
+    val mode = a.getOrElse("mode", "wand")
+    val batch = mode == "join" || mode == "wand"
+    val ranked = mode match {
+      case "join" =>
+        Bm25.search(idx, JobArgs.readQueries(spark, a("queries")), cfg, k)
+      case "wand" => Wand.search(
         ServingIndex.read(spark, s"${a("index")}/serving"),
-        idx.termStats, idx.numDocs, idx.avgdl, queries, cfg, k)
+        idx.termStats, idx.numDocs, idx.avgdl,
+        JobArgs.readQueries(spark, a("queries")), cfg, k)
+      case "bool" => graft.query.BooleanSearch.search(idx,
+        a("must").split(",").toSeq,
+        a.get("must-not").map(_.split(",").toSeq).getOrElse(Nil), cfg, k)
+      case "phrase" =>
+        val m = graft.query.Phrase.search(idx, a("phrase"), cfg)
+        m.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_matches").desc, col("doc_id").asc)))
+          .filter(col("rank") <= k)
+      case "proximity" =>
+        val Array(ta, tb) = a("terms").split(",")
+        val m = graft.query.Phrase.proximity(idx, ta, tb,
+          a.getOrElse("window", "5").toInt, cfg)
+        m.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("min_dist").asc, col("doc_id").asc)))
+          .filter(col("rank") <= k)
+      case "prefix" =>
+        graft.query.Expansion.prefix(idx, a("prefix"), k)
+      case "fuzzy" => graft.query.Expansion.fuzzy(idx, a("term"),
+        a.getOrElse("max-dist", "1").toInt, k)
+      case "mlt" =>
+        val seeds = a("seeds").split(",").map(_.toLong).toSeq
+        graft.query.MoreLikeThis.search(idx,
+          col("doc_id").isin(seeds: _*),
+          m = a.getOrElse("expansion-terms", "5").toInt, k = k)
+      case other => sys.error(s"unknown --mode $other")
     }
     val out = a.get("rerank") match {
-      case Some(embPath) =>
+      case Some(embPath) if batch =>
         Rerank.rescore(ranked, spark.read.parquet(embPath))
           .withColumnRenamed("rerank", "rank")
           .withColumnRenamed("rscore", "score")
+      case Some(_) =>
+        sys.error("--rerank applies to the batch modes (join|wand)")
       case None => ranked
     }
     out.write.mode("overwrite").parquet(s"${a("output")}/ranked")
-    Jsonl.writeResults(out.select("query_id", "doc_id", "rank"),
-      queries, s"${a("output")}/results_jsonl")
+    if (batch) // reference-shaped JSONL results need the queries table
+      Jsonl.writeResults(out.select("query_id", "doc_id", "rank"),
+        JobArgs.readQueries(spark, a("queries")),
+        s"${a("output")}/results_jsonl")
     JobArgs.maybeStop(spark, a)
   }
 }

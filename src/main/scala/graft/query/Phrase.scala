@@ -23,16 +23,27 @@ import graft.index.InvertedIndex
   */
 object Phrase {
 
+  /** Position-array column for either postings layout: the declarative
+    * index carries a plain `positions` array; the SPIMI/serving layout
+    * carries varbyte-packed `pos_bytes` (+ `tf`), decoded here through
+    * the native codegen Expression — so positional queries run against a
+    * checkpointed on-disk index without an unpack pass. */
+  private def positionsCol(postings: DataFrame) =
+    if (postings.columns.contains("positions")) col("positions")
+    else graft.functions.GraftFunctions.decode_positions(
+      col("pos_bytes"), col("tf"))
+
   /** @return (doc_id, n_matches) for documents containing the phrase. */
   def search(index: InvertedIndex, phrase: String,
       cfg: TokenizerConfig): DataFrame = {
     val terms = Tokenizer(cfg).tokenize(phrase).toSeq
     require(terms.nonEmpty, "phrase tokenizes to no terms")
+    val pos = positionsCol(index.postings)
     var cur = index.postings.filter(col("term") === terms.head)
-      .select(col("doc_id"), col("positions").as("match_pos"))
+      .select(col("doc_id"), pos.as("match_pos"))
     for (t <- terms.tail) {
       val next = index.postings.filter(col("term") === t)
-        .select(col("doc_id"), col("positions").as("next_pos"))
+        .select(col("doc_id"), pos.as("next_pos"))
       cur = cur.join(next, Seq("doc_id"))
         .withColumn("match_pos",
           array_intersect(
@@ -63,10 +74,11 @@ object Phrase {
       window: Int, cfg: TokenizerConfig): DataFrame = {
     val ts = Tokenizer(cfg).tokenize(termA + " " + termB).toSeq
     require(ts.length == 2, s"proximity needs two surviving terms, got $ts")
+    val pos = positionsCol(index.postings)
     val a = index.postings.filter(col("term") === ts.head)
-      .select(col("doc_id"), col("positions").as("pa"))
+      .select(col("doc_id"), pos.as("pa"))
     val b = index.postings.filter(col("term") === ts(1))
-      .select(col("doc_id"), col("positions").as("pb"))
+      .select(col("doc_id"), pos.as("pb"))
     a.join(b, Seq("doc_id"))
       .select(col("doc_id"),
         array_min(flatten(transform(col("pa"),

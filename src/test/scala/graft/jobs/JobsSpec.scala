@@ -43,4 +43,43 @@ class JobsSpec extends SparkSpec {
       .select("query_id", "doc_id", "rank").collect().map(_.toString).sorted
     assert(viaJoin.sameElements(viaWand))
   }
+
+  test("SearchJob single-query modes: bool, phrase, proximity, prefix, fuzzy, mlt") {
+    spark
+    val work = Files.createTempDirectory("graft-jobs2").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx",
+      "--partitions", "4", "--keep-session", "true"))
+
+    def ranked(out: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(s"$out/ranked")
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/b",
+      "--mode", "bool", "--must", "merge,sort", "--must-not", "window",
+      "--keep-session", "true"))
+    assert(ranked(s"$work/b").columns.toSet == Set("doc_id", "score", "rank"))
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/p",
+      "--mode", "phrase", "--phrase", "merge order", "--keep-session", "true"))
+    assert(ranked(s"$work/p").count() > 0)
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/x",
+      "--mode", "proximity", "--terms", "merge,order", "--window", "6",
+      "--keep-session", "true"))
+    assert(ranked(s"$work/x").count() > 0)
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/pr",
+      "--mode", "prefix", "--prefix", "mer", "--keep-session", "true"))
+    assert(ranked(s"$work/pr").count() > 0)
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/f",
+      "--mode", "fuzzy", "--term", "merje", "--keep-session", "true"))
+    assert(ranked(s"$work/f").count() > 0)
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/m",
+      "--mode", "mlt", "--seeds", "0,5", "--keep-session", "true"))
+    val mlt = ranked(s"$work/m")
+    assert(mlt.count() > 0)
+    assert(mlt.columns.contains("seed_doc"))
+  }
 }
