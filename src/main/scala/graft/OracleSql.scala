@@ -121,6 +121,51 @@ object OracleSql {
        |  FROM escore)
        |WHERE rank <= $k""".stripMargin
 
+  /** BM25F chain (mirrors [[graft.query.Bm25F.search]]; fields = title
+    * (pos < 8, w 2.0, b 0.5) / body (w 1.0, b 0.75)): per-field tf and
+    * lengths, weighted pseudo-tf summed across fields, idf over any-field
+    * df, single saturation curve. Ends in `franked`. Requires tokArrays,
+    * toks, doclen, stats, queriesCte, qtoks, qterms. */
+  def bm25fCtes(k: Int): Seq[String] = Seq(
+    """ftoks AS (
+      |  SELECT doc_id, term,
+      |         CASE WHEN pos < 8 THEN 'title' ELSE 'body' END AS field
+      |  FROM toks)""".stripMargin,
+    "flen AS (SELECT doc_id, field, count(*) AS flen FROM ftoks GROUP BY 1, 2)",
+    "favg AS (SELECT field, avg(flen) AS avgfl FROM flen GROUP BY 1)",
+    """ftf AS (
+      |  SELECT term, doc_id, field, count(*) AS tf
+      |  FROM ftoks GROUP BY 1, 2, 3)""".stripMargin,
+    """wtf AS (
+      |  SELECT f.term, f.doc_id,
+      |    sum((CASE WHEN f.field = 'title' THEN 2.0 ELSE 1.0 END) * f.tf /
+      |        ((1.0 - CASE WHEN f.field = 'title' THEN 0.5 ELSE 0.75 END)
+      |         + CASE WHEN f.field = 'title' THEN 0.5 ELSE 0.75 END
+      |           * l.flen / a.avgfl)) AS wtf
+      |  FROM ftf f
+      |  JOIN flen l ON f.doc_id = l.doc_id AND f.field = l.field
+      |  JOIN favg a ON f.field = a.field
+      |  GROUP BY 1, 2)""".stripMargin,
+    """fidf AS (
+      |  SELECT w.term,
+      |    ln((s.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+      |  FROM wtf w CROSS JOIN stats s GROUP BY w.term, s.n)""".stripMargin,
+    """fscored AS (
+      |  SELECT q.query_id, w.doc_id,
+      |    sum(q.qtf * i.idf * 2.2 * w.wtf / (1.2 + w.wtf)) AS score
+      |  FROM qterms q JOIN wtf w USING (term)
+      |  JOIN fidf i ON w.term = i.term
+      |  GROUP BY 1, 2
+      |  HAVING sum(q.qtf * i.idf * 2.2 * w.wtf / (1.2 + w.wtf)) > 0)"""
+      .stripMargin,
+    s"""franked AS (
+       |  SELECT query_id, doc_id, score, rank FROM (
+       |    SELECT query_id, doc_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+       |    FROM fscored)
+       |  WHERE rank <= $k)""".stripMargin)
+
   /** Assembles a WITH query from the needed fragments (order matters). */
   def withCtes(ctes: Seq[String], body: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + body

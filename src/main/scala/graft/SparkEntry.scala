@@ -190,6 +190,37 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ---- code-aware tokenization: identifier splitting (camelCase /
+    //      snake_case / ACRONYMWord) ahead of the standard pipeline.
+    //      Input identifiers are synthesized deterministically from the
+    //      corpus terms ('get' + Term + '_id') so the splitter has real
+    //      boundaries to find on the prose-shaped sf tables. ----
+    "q_code_tokens" -> ((s, dir) => {
+      val idents = plans.tokenRows(s, dir).select(col("doc_id"), col("pos"),
+        concat(lit("get"), upper(substring(col("term"), 1, 1)),
+          col("term").substr(lit(2), length(col("term"))),
+          lit("_id")).as("ident"))
+      idents.select(col("doc_id"), col("pos"),
+        posexplode(graft.analysis.CodeTokenizer.tokens(col("ident"), cfg))
+          .as(Seq("tok_pos", "token")))
+    }),
+
+    // ---- BM25F: field-weighted ranking (title = first 8 token
+    //      positions, weight 2.0 / b 0.5; body = the rest, 1.0 / 0.75) ----
+    "q_bm25f" -> ((s, dir) => {
+      val ft = plans.tokenRows(s, dir).select(col("doc_id"),
+        when(col("pos") < 8, lit("title")).otherwise(lit("body"))
+          .as("field"),
+        col("term"))
+      graft.query.Bm25F.search(ft, plans.index(s, dir).numDocs,
+          QuerySet.df(s), cfg,
+          Map("title" -> graft.query.Bm25F.Field(2.0, 0.5),
+              "body" -> graft.query.Bm25F.Field(1.0, 0.75)), TopK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- §7.6: deterministic re-score pass over the BM25 shortlist ----
     "q_rerank" -> ((s, dir) =>
       Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
@@ -541,6 +572,34 @@ object SparkEntry {
         "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
           " AS DOUBLE) AS score," +
           " rank FROM ranked"),
+
+      // identifier-split tokenization: the same three boundary regexes
+      // (underscore, ACRONYMWord, lowerUpper) in RE2 dialect, then the
+      // standard lowercase/\w+/min-length pipeline
+      "q_code_tokens" -> withCtes(Seq(tokArrays, toks,
+        """idents AS (
+          |  SELECT doc_id, pos,
+          |    'get' || upper(substr(term, 1, 1)) || substr(term, 2)
+          |      || '_id' AS ident
+          |  FROM toks)""".stripMargin,
+        """ctoks AS (
+          |  SELECT doc_id, pos, unnest(ts) AS token,
+          |         generate_subscripts(ts, 1) - 1 AS tok_pos
+          |  FROM (SELECT doc_id, pos,
+          |      list_filter(regexp_extract_all(lower(
+          |        regexp_replace(regexp_replace(regexp_replace(
+          |          ident, '_', ' ', 'g'),
+          |          '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+          |          '([a-z0-9])([A-Z])', '\1 \2', 'g')), '\w+'),
+          |        x -> length(x) >= 3) AS ts
+          |    FROM idents))""".stripMargin),
+        "SELECT doc_id, pos, tok_pos, token FROM ctoks"),
+
+      "q_bm25f" -> withCtes(Seq(tokArrays, toks, doclen, stats, queriesCte,
+        qtoks, qterms) ++ bm25fCtes(TopK),
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score," +
+          " rank FROM franked"),
 
       "q_spimi_postings" -> withCtes(Seq(tokArrays, toks, postings),
         "SELECT term, doc_id, tf, first_pos, last_pos FROM postings"),

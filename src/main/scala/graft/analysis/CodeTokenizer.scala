@@ -1,0 +1,43 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexBuilder
+
+/** Identifier-aware tokenization for source-code corpora.
+  *
+  * The reference tokenizes prose (`/root/reference/src/tokenizer.py:38-39`,
+  * `\w+` over abstracts); the input_hint's corpus is source-code files,
+  * where the salient "words" hide inside identifiers: a query for
+  * `response` must hit `getHTTPResponse_id` and `http_response`. The
+  * classic code-search move splits identifiers at their internal
+  * boundaries BEFORE the standard tokenize/lowercase/min-length pipeline:
+  *
+  *   - `snake_case`         -> `snake case`   (underscores)
+  *   - `fooBar`             -> `foo Bar`      (lower/digit -> Upper)
+  *   - `HTTPResponse`       -> `HTTP Response` (acronym -> Word)
+  *
+  * All three are single `regexp_replace` passes — codegen'd, narrow,
+  * per-row; no UDF, no shuffle. The DuckDB oracle applies the identical
+  * three regexes (RE2 `\1` backreference dialect, `g` flag), so the
+  * pipeline is hash-verified end to end (q_code_tokens).
+  */
+object CodeTokenizer {
+
+  /** Insert spaces at identifier-internal boundaries (order matters:
+    * underscores first, then acronym-word, then lower-to-upper). */
+  def splitIdentifiers(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit("_"), lit(" ")),
+        lit("([A-Z]+)([A-Z][a-z])"), lit("$1 $2")),
+      lit("([a-z0-9])([A-Z])"), lit("$1 $2"))
+
+  /** Full code-aware token array: identifier split, then the standard
+    * pipeline (lowercase, `\w+`, min length, stopwords, optional stem)
+    * under `cfg` — one expression column, usable anywhere
+    * [[IndexBuilder.tokens]] is. */
+  def tokens(text: Column, cfg: TokenizerConfig): Column =
+    IndexBuilder.tokens(splitIdentifiers(text), cfg)
+}

@@ -219,14 +219,19 @@ object Wand {
     import spark.implicits._
     val (k1, b) = (p.k1, p.b)
 
-    val qt = Bm25.queryTerms(queries, cfg)
+    val qtRaw = Bm25.queryTerms(queries, cfg)
+    val qAgg = qtRaw
       .join(termStats.select("term", "idf"), Seq("term"))
-    val qAgg = qt
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("term"), col("qtf"), col("idf")))
         .as("terms"))
+    // Block pruning semi-joins the RAW query-term set (pre-idf-join):
+    // every indexed term has a termStats row, so pruning on the superset
+    // is equivalent — and the idf join (a full termStats scan per batch)
+    // is paid once, on the qAgg branch only, instead of twice.
     val relevant = blocks
-      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .join(broadcast(qtRaw.select("term").distinct()), Seq("term"),
+        "left_semi")
       .as[BlockRow]
     // Callers that know the shard count pass it and skip a
     // discover-the-shards scan; a shard id with no blocks just yields an

@@ -1,0 +1,49 @@
+package graft.analysis
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CodeTokenizerSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private def toks(s: String): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(CodeTokenizer.tokens(col("t"), cfg).as("ts"))
+      .as[Seq[String]].head()
+  }
+
+  test("snake_case splits at underscores") {
+    assert(toks("snake_case_name") == Seq("snake", "case", "name"))
+  }
+
+  test("camelCase splits at lower-to-upper boundaries") {
+    assert(toks("getResponseBody") == Seq("get", "response", "body"))
+  }
+
+  test("acronym runs split before the following word") {
+    assert(toks("HTTPResponse parseXMLDocument") ==
+      Seq("http", "response", "parse", "xml", "document"))
+  }
+
+  test("digits bind to their run and split before an upper") {
+    assert(toks("base64Encode sha256") ==
+      Seq("base64", "encode", "sha256"))
+  }
+
+  test("min-length filter applies to the SPLIT tokens") {
+    // "doIt" -> do / it, both < 3 chars -> dropped entirely
+    assert(toks("doIt getId") == Seq("get"))
+  }
+
+  test("prose without identifiers is unchanged vs the standard tokenizer") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over lazy dogs"
+    val std = Seq(text).toDF("t")
+      .select(graft.index.IndexBuilder.tokens(col("t"), cfg).as("ts"))
+      .as[Seq[String]].head()
+    assert(toks(text) == std)
+  }
+}

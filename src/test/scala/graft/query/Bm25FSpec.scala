@@ -1,0 +1,104 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+/** BM25F field-weighted ranking semantics. */
+class Bm25FSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private def queriesDf(qs: (String, String)*) = {
+    import spark.implicits._
+    qs.toDF("query_id", "question")
+  }
+
+  test("single body field at (w=1, b=0.75) degenerates to exactly BM25") {
+    import spark.implicits._
+    // tf~ = tf/B with w=1 gives idf·(k1+1)·tf/(k1·B + tf) — the BM25
+    // formula — so the one-field BM25F must reproduce Bm25.search scores.
+    val docs = Seq(
+      (1L, "merge sort merge order stable merge"),
+      (2L, "hash join build probe side"),
+      (3L, "sort order window partition sort"),
+      (4L, "merge window broadcast hash")).toDF("doc_id", "text")
+    val qs = queriesDf(("q1", "merge sort"), ("q2", "hash window"))
+
+    val idx = IndexBuilder.build(docs, cfg)
+    val expect = Bm25.search(idx, qs, cfg, 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+
+    val ft = IndexBuilder.tokenRows(docs, cfg)
+      .select(col("doc_id"), lit("body").as("field"), col("term"))
+    val got = Bm25F.search(ft, idx.numDocs, qs, cfg,
+        Map("body" -> Bm25F.Field(1.0, 0.75)), 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (score, rank)) =>
+      assert(rank == expect(k)._2, s"rank mismatch at $k")
+      assert(math.abs(score - expect(k)._1) < 1e-9, s"score mismatch at $k")
+    }
+  }
+
+  test("a title match outranks the same term buried in a longer body") {
+    import spark.implicits._
+    // Both docs contain 'merge' exactly once and are otherwise symmetric
+    // in length; doc 1 has it in the title field, doc 2 in the body.
+    val ft = Seq(
+      (1L, "title", "merge"), (1L, "body", "hash"), (1L, "body", "join"),
+      (2L, "title", "hash"), (2L, "body", "merge"), (2L, "body", "join"))
+      .toDF("doc_id", "field", "term")
+    val top = Bm25F.search(ft, 2L, queriesDf(("q", "merge")), cfg,
+        Map("title" -> Bm25F.Field(2.0, 0.5),
+            "body" -> Bm25F.Field(1.0, 0.75)), 10)
+      .orderBy(col("rank")).select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L),
+      "weighted title field must dominate the body occurrence")
+  }
+
+  test("saturation: tf split across fields never exceeds the weighted sum of separate-index scores") {
+    import spark.implicits._
+    // One shared saturation curve: a doc holding the term in BOTH fields
+    // scores LESS than weight-linear addition of per-field BM25 scores
+    // would give (the double-counting BM25F exists to prevent).
+    val ft = Seq(
+      (1L, "title", "merge"), (1L, "body", "merge"),
+      (2L, "title", "other"), (2L, "body", "word"))
+      .toDF("doc_id", "field", "term")
+    val params = Map("title" -> Bm25F.Field(2.0, 0.5),
+      "body" -> Bm25F.Field(1.0, 0.75))
+    val both = Bm25F.search(ft, 2L, queriesDf(("q", "merge")), cfg,
+        params, 10)
+      .filter(col("doc_id") === 1L).select("score").as[Double].head()
+    // separate-index linear sum: score(title-only) + score(body-only)
+    val tOnly = Bm25F.search(ft.filter(col("field") === "title"), 2L,
+        queriesDf(("q", "merge")), cfg, params, 10)
+      .filter(col("doc_id") === 1L).select("score").as[Double].head()
+    val bOnly = Bm25F.search(ft.filter(col("field") === "body"), 2L,
+        queriesDf(("q", "merge")), cfg, params, 10)
+      .filter(col("doc_id") === 1L).select("score").as[Double].head()
+    assert(both < tOnly + bOnly,
+      f"one saturation curve: $both%.4f < ${tOnly + bOnly}%.4f")
+    assert(both > math.max(tOnly, bOnly),
+      "…but more evidence still scores higher than either field alone")
+  }
+
+  test("unlisted fields are ignored") {
+    import spark.implicits._
+    val ft = Seq(
+      (1L, "body", "merge"),
+      (2L, "comment", "merge"), (2L, "body", "other"))
+      .toDF("doc_id", "field", "term")
+    val res = Bm25F.search(ft, 2L, queriesDf(("q", "merge")), cfg,
+      Map("body" -> Bm25F.Field(1.0, 0.75)), 10)
+    assert(res.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
