@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Code-corpus curation operators — the scrubbing passes a source-code
+  * training pipeline runs that prose pipelines don't: credential/PII
+  * scanning with redaction, license-header detection, and The-Stack-style
+  * code-quality filters (Kocetkov et al. 2022 use alphanumeric fraction
+  * and line-length bounds; this corpus is single-line, so the line-length
+  * rules are expressed over whitespace tokens — same intent, documented
+  * adaptation).
+  *
+  * Every operator is a NARROW per-document projection (pure Catalyst, no
+  * UDF, no shuffle) — at 100 TB these run as a map-only pass fused into
+  * whatever scan feeds them, which PlanSpec asserts. All regexes stay in
+  * the syntax subset where java.util.regex (Spark) and RE2 (the DuckDB
+  * oracle) agree: character classes, bounded/unbounded greedy quantifiers,
+  * no lookaround, no backrefs. Surfaced doubles are exact integer ratios
+  * (same two ints divided in both engines), so no rounding policy is
+  * needed for cross-engine hash equality.
+  */
+object CodeCuration {
+
+  /** AWS access-key-id shape (public AWS documentation). */
+  val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+
+  /** PEM private-key header (RFC 7468 textual encoding). */
+  val PrivateKeyRe = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+
+  /** Pragmatic email shape: local part, @, dotted domain, alpha TLD >= 2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Dotted-quad IPv4 (no octet-range check — scanning, not parsing). */
+  val Ipv4Re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  private def nMatches(textCol: Column, re: String): Column =
+    size(regexp_extract_all(textCol, lit(re), lit(0))).cast("long")
+
+  /** Per-document secret/PII hit counts + a has_secret flag.
+    * Output: (doc_id, n_aws, n_private_key, n_email, n_ipv4, has_secret). */
+  def secretScan(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        nMatches(t, AwsKeyRe).as("n_aws"),
+        nMatches(t, PrivateKeyRe).as("n_private_key"),
+        nMatches(t, EmailRe).as("n_email"),
+        nMatches(t, Ipv4Re).as("n_ipv4"))
+      .withColumn("has_secret",
+        col("n_aws") + col("n_private_key") + col("n_email") +
+          col("n_ipv4") > 0)
+  }
+
+  /** Redact secrets/PII in place (emails first — the other patterns can't
+    * overlap an email's replacement token). n_hits counts matches on the
+    * ORIGINAL text, so it equals the number of replacements made.
+    * Output: (doc_id, redacted, n_hits). */
+  def redact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            AwsKeyRe, "<AWS_KEY>"),
+          PrivateKeyRe, "<PRIVATE_KEY>"),
+        Ipv4Re, "<IP>").as("redacted"),
+      (nMatches(t, EmailRe) + nMatches(t, AwsKeyRe) +
+        nMatches(t, PrivateKeyRe) + nMatches(t, Ipv4Re)).as("n_hits"))
+  }
+
+  /** SPDX-ish license label from the document head (license headers sit at
+    * the top of source files; `headChars` bounds the scan). First match in
+    * chain order wins — deterministic. */
+  def licenseColumn(textCol: Column, headChars: Int = 200): Column = {
+    val h = lower(substring(textCol, 1, headChars))
+    when(h.contains("apache license"), lit("apache-2.0"))
+      .when(h.contains("mit license"), lit("mit"))
+      .when(h.contains("gnu general public license"), lit("gpl-3.0"))
+      .when(h.contains("redistribution and use in source and binary forms"),
+        lit("bsd-3-clause"))
+      .when(h.contains("mozilla public license"), lit("mpl-2.0"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Output: (doc_id, license). */
+  def licenses(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      licenseColumn(col(textCol)).as("license"))
+
+  /** The-Stack-style per-file quality features and keep decision:
+    * alphanumeric fraction >= minAlnumFrac, longest whitespace token <=
+    * maxTokenLen (the single-line stand-in for max line length — a token
+    * that long is minified/embedded data), and at least minTokens word
+    * tokens. ttr = type-token ratio (distinct words / words) is surfaced
+    * as a repetition signal but not gated on.
+    * Output: (doc_id, n_chars, n_alnum, alnum_frac, max_token_len,
+    *          n_word_tokens, n_distinct_tokens, ttr, keep). */
+  def codeQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minAlnumFrac: Double = 0.25,
+      maxTokenLen: Int = 80, minTokens: Int = 20): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nAlnum = length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
+    val words = TextAnalysis.rawTokens(t)
+    val wsToks = regexp_extract_all(t, lit("[^ ]+"), lit(0))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        nChars.as("n_chars"), nAlnum.as("n_alnum"),
+        when(nChars > 0, nAlnum.cast("double") / nChars)
+          .otherwise(lit(0.0)).as("alnum_frac"),
+        coalesce(array_max(transform(wsToks, x => length(x))), lit(0))
+          .cast("long").as("max_token_len"),
+        size(words).cast("long").as("n_word_tokens"),
+        size(array_distinct(words)).cast("long").as("n_distinct_tokens"),
+        when(size(words) > 0,
+          size(array_distinct(words)).cast("double") / size(words))
+          .otherwise(lit(0.0)).as("ttr"))
+      .withColumn("keep",
+        col("alnum_frac") >= minAlnumFrac &&
+          col("max_token_len") <= maxTokenLen &&
+          col("n_word_tokens") >= minTokens)
+  }
+}

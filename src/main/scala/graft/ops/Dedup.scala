@@ -155,7 +155,11 @@ object Dedup {
     * per-doc window (partition = one doc's shingles, bounded), the
     * prefix equi-join, and the two confirm joins — each a plain
     * hash-shuffle AQE can re-balance; the O(n²) pair space is never
-    * materialized. Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+    * materialized. The candidate join also applies AllPairs' LENGTH
+    * filter: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t (|a∩b| ≤ min(|a|,|b|)
+    * and |a∪b| ≥ max(|a|,|b|)), so wildly different-sized docs are
+    * pruned before the distinct/confirm stages — exactness preserved.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
   def jaccardJoin(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5,
       shingleWidth: Int = 3): DataFrame = {
@@ -169,11 +173,13 @@ object Dedup {
         perDoc.orderBy(col("df"), col("shingle"))))
       .withColumn("n", count(lit(1)).over(perDoc))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("n"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * lit(threshold) <= col("a.n") &&
+        col("a.n") * lit(threshold) <= col("b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

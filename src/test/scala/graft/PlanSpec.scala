@@ -206,4 +206,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"MLT scoring must not shuffle the postings:\n$p")
   }
+
+  test("code-curation scanners are narrow map-only passes: no Exchange, no UDF") {
+    import graft.ops.CodeCuration
+    for (df <- Seq(CodeCuration.secretScan(docs), CodeCuration.redact(docs),
+        CodeCuration.licenses(docs), CodeCuration.codeQuality(docs))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"scanner must not shuffle:\n$p")
+      assert(!p.contains("ScalaUDF"), s"scanner must be pure Catalyst:\n$p")
+    }
+  }
 }
