@@ -203,21 +203,25 @@ object OracleSql {
       |      AS text
       |  FROM documents)""".stripMargin
 
+  /** License-header prepend over any (doc_id, text) source (mirrors
+    * plans.withLicenseHeaders); doc_id % 5 == 4 stays headerless. */
+  def licHeaderCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN 'Licensed under the Apache License, Version 2.0. '
+       |    WHEN doc_id % 5 = 1
+       |      THEN 'Permission is hereby granted (MIT License). '
+       |    WHEN doc_id % 5 = 2
+       |      THEN 'This program is free software: GNU General Public License v3. '
+       |    WHEN doc_id % 5 = 3
+       |      THEN 'Redistribution and use in source and binary forms. '
+       |    ELSE '' END || text AS text
+       |  FROM $src)""".stripMargin
+
   /** Corpus with deterministically injected license headers (mirrors
-    * plans.licCorpus); doc_id % 5 == 4 stays headerless. */
-  val licCorpus: String =
-    """lic_corpus AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 5 = 0
-      |      THEN 'Licensed under the Apache License, Version 2.0. '
-      |    WHEN doc_id % 5 = 1
-      |      THEN 'Permission is hereby granted (MIT License). '
-      |    WHEN doc_id % 5 = 2
-      |      THEN 'This program is free software: GNU General Public License v3. '
-      |    WHEN doc_id % 5 = 3
-      |      THEN 'Redistribution and use in source and binary forms. '
-      |    ELSE '' END || text AS text
-      |  FROM documents)""".stripMargin
+    * plans.licCorpus). */
+  val licCorpus: String = licHeaderCte("lic_corpus", "documents")
 
   /** 3-word shingle set per dup_corpus doc. */
   val shingleRows: String =

@@ -79,11 +79,11 @@ object SparkEntry {
           .otherwise(lit(""))).as("text"))
     }
 
-    /** Corpus with deterministically injected license headers (mirrors
-      * OracleSql.licCorpus); doc_id % 5 == 4 stays headerless. */
-    def licCorpus(s: SparkSession, dir: String): DataFrame = {
+    /** Prepends a deterministic license header per doc_id residue class
+      * (mirrors OracleSql.licHeaderCte); doc_id % 5 == 4 stays headerless. */
+    def withLicenseHeaders(d: DataFrame): DataFrame = {
       val id = col("doc_id")
-      docs(s, dir).select(id, concat(
+      d.select(id, concat(
         when(id % 5 === 0,
           lit("Licensed under the Apache License, Version 2.0. "))
           .when(id % 5 === 1,
@@ -94,6 +94,20 @@ object SparkEntry {
             lit("Redistribution and use in source and binary forms. "))
           .otherwise(lit("")),
         col("text")).as("text"))
+    }
+
+    /** Corpus with deterministically injected license headers (mirrors
+      * OracleSql.licCorpus). */
+    def licCorpus(s: SparkSession, dir: String): DataFrame =
+      withLicenseHeaders(docs(s, dir))
+
+    /** The full code-shaped curation fixture: secrets injected, license
+      * headers prepended, exact duplicates added (mirrors the
+      * q_curate_code oracle CTE chain). */
+    def codeCorpus(s: SparkSession, dir: String): DataFrame = {
+      val base = withLicenseHeaders(scanCorpus(s, dir))
+      base.union(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
     }
   }
 
@@ -516,6 +530,12 @@ object SparkEntry {
     //      (exact-integer ratios — no rounding policy needed) ----
     "q_code_quality" -> ((s, dir) =>
       graft.ops.CodeCuration.codeQuality(docs(s, dir))),
+
+    // ---- the COMPOSED code-curation pipeline: redact -> exact dedup of
+    //      the redacted content -> license allowlist -> quality gates,
+    //      ONE exchange end-to-end (PlanSpec-asserted) ----
+    "q_curate_code" -> ((s, dir) =>
+      graft.ops.CodeCuration.curateCode(plans.codeCorpus(s, dir))),
 
     // ---- A5 resume in the driver contract: build checkpointed, lose the
     //      LAST artifact of stages 1 and 3 (the crash windows the stage
@@ -1476,6 +1496,68 @@ object SparkEntry {
           |  (alnum_frac >= 0.25 AND max_token_len <= 80
           |   AND n_word_tokens >= 20) AS keep
           |FROM cq2""".stripMargin),
+
+      // the composed code-curation pipeline: redact -> dedup(redacted) ->
+      // license allowlist -> quality gates (mirrors CodeCuration.curateCode)
+      "q_curate_code" -> {
+        import graft.ops.CodeCuration.{AwsKeyRe, PrivateKeyRe, EmailRe, Ipv4Re}
+        withCtes(Seq(scanCorpus, licHeaderCte("code_corpus", "scan_corpus"),
+          """ccd AS (
+            |  SELECT doc_id, text FROM code_corpus
+            |  UNION ALL SELECT doc_id + 100000, text FROM code_corpus
+            |    WHERE doc_id % 10 = 0)""".stripMargin,
+          s"""cred AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      text, '$EmailRe', '<EMAIL>', 'g'),
+             |      '$AwsKeyRe', '<AWS_KEY>', 'g'),
+             |      '$PrivateKeyRe', '<PRIVATE_KEY>', 'g'),
+             |      '$Ipv4Re', '<IP>', 'g') AS redacted,
+             |    CAST(len(regexp_extract_all(text, '$EmailRe'))
+             |      + len(regexp_extract_all(text, '$AwsKeyRe'))
+             |      + len(regexp_extract_all(text, '$PrivateKeyRe'))
+             |      + len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT)
+             |      AS n_hits
+             |  FROM ccd)""".stripMargin,
+          """cded AS (
+            |  SELECT doc_id, redacted, n_hits FROM (
+            |    SELECT doc_id, redacted, n_hits,
+            |      min(doc_id) OVER (PARTITION BY sha256(redacted)) AS keeper
+            |    FROM cred)
+            |  WHERE doc_id = keeper)""".stripMargin,
+          """cfeat AS (
+            |  SELECT doc_id,
+            |    CASE
+            |      WHEN lower(substr(redacted, 1, 200)) LIKE '%apache license%'
+            |        THEN 'apache-2.0'
+            |      WHEN lower(substr(redacted, 1, 200)) LIKE '%mit license%'
+            |        THEN 'mit'
+            |      WHEN lower(substr(redacted, 1, 200))
+            |        LIKE '%gnu general public license%' THEN 'gpl-3.0'
+            |      WHEN lower(substr(redacted, 1, 200))
+            |        LIKE '%redistribution and use in source and binary forms%'
+            |        THEN 'bsd-3-clause'
+            |      WHEN lower(substr(redacted, 1, 200))
+            |        LIKE '%mozilla public license%' THEN 'mpl-2.0'
+            |      ELSE 'unknown' END AS license,
+            |    n_hits AS n_redactions,
+            |    CAST(len(regexp_extract_all(lower(redacted), '\w+')) AS BIGINT)
+            |      AS n_word_tokens,
+            |    CASE WHEN length(redacted) > 0
+            |      THEN CAST(length(regexp_replace(redacted, '[^A-Za-z0-9]',
+            |        '', 'g')) AS DOUBLE) / length(redacted)
+            |      ELSE 0.0 END AS alnum_frac,
+            |    CAST(coalesce(list_max(list_transform(
+            |      regexp_extract_all(redacted, '[^ ]+'), x -> length(x))), 0)
+            |      AS BIGINT) AS max_token_len
+            |  FROM cded)""".stripMargin),
+          """SELECT doc_id, license, n_redactions, n_word_tokens,
+            |  alnum_frac, max_token_len
+            |FROM cfeat
+            |WHERE license IN ('apache-2.0', 'mit', 'bsd-3-clause', 'mpl-2.0')
+            |  AND alnum_frac >= 0.25 AND max_token_len <= 80
+            |  AND n_word_tokens >= 20""".stripMargin)
+      },
 
       "q_short_entries" -> withCtes(Seq(tokArrays, toks, doclen, postings,
         stats, termstats),

@@ -202,3 +202,32 @@ object CurateJob {
     JobArgs.maybeStop(spark, a)
   }
 }
+
+/** Code-corpus curation ([[graft.ops.CodeCuration.curateCode]] — one
+  * exchange end-to-end): redact secrets/PII, drop exact duplicates of the
+  * redacted content, gate on license allowlist + The-Stack-style quality,
+  * writing the surviving (doc_id, license, n_redactions, n_word_tokens,
+  * alnum_frac, max_token_len) table.
+  *
+  *   spark-submit --class graft.jobs.CurateCodeJob app.jar \
+  *     --input corpus.parquet --output /out \
+  *     [--licenses apache-2.0,mit,bsd-3-clause,mpl-2.0] \
+  *     [--min-alnum-frac 0.25] [--max-token-len 80] [--min-tokens 20] */
+object CurateCodeJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-curate-code")
+    val docs = JobArgs.readDocs(spark, a("input"))
+    val out = graft.ops.CodeCuration.curateCode(docs,
+      idCol = a.getOrElse("id-col", "doc_id"),
+      textCol = a.getOrElse("text-col", "text"),
+      allowLicenses = a.getOrElse("licenses",
+        "apache-2.0,mit,bsd-3-clause,mpl-2.0").split(",").toSeq,
+      minAlnumFrac = a.getOrElse("min-alnum-frac", "0.25").toDouble,
+      maxTokenLen = a.getOrElse("max-token-len", "80").toInt,
+      minTokens = a.getOrElse("min-tokens", "20").toInt)
+    out.write.mode("overwrite").parquet(a("output"))
+    println(s"curated ${spark.read.parquet(a("output")).count()} code docs")
+    JobArgs.maybeStop(spark, a)
+  }
+}

@@ -37,6 +37,20 @@ object CodeCuration {
   private def nMatches(textCol: Column, re: String): Column =
     size(regexp_extract_all(textCol, lit(re), lit(0))).cast("long")
 
+  private def nCharsCol(t: Column): Column = length(t).cast("long")
+
+  private def nAlnumCol(t: Column): Column =
+    length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
+
+  private def alnumFracCol(t: Column): Column =
+    when(nCharsCol(t) > 0, nAlnumCol(t).cast("double") / nCharsCol(t))
+      .otherwise(lit(0.0))
+
+  private def maxTokenLenCol(t: Column): Column =
+    coalesce(array_max(transform(
+      regexp_extract_all(t, lit("[^ ]+"), lit(0)), x => length(x))), lit(0))
+      .cast("long")
+
   /** Per-document secret/PII hit counts + a has_secret flag.
     * Output: (doc_id, n_aws, n_private_key, n_email, n_ipv4, has_secret). */
   def secretScan(docs: DataFrame, idCol: String = "doc_id",
@@ -103,16 +117,11 @@ object CodeCuration {
       textCol: String = "text", minAlnumFrac: Double = 0.25,
       maxTokenLen: Int = 80, minTokens: Int = 20): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t).cast("long")
-    val nAlnum = length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
     val words = TextAnalysis.rawTokens(t)
-    val wsToks = regexp_extract_all(t, lit("[^ ]+"), lit(0))
     docs.select(col(idCol).cast("long").as("doc_id"),
-        nChars.as("n_chars"), nAlnum.as("n_alnum"),
-        when(nChars > 0, nAlnum.cast("double") / nChars)
-          .otherwise(lit(0.0)).as("alnum_frac"),
-        coalesce(array_max(transform(wsToks, x => length(x))), lit(0))
-          .cast("long").as("max_token_len"),
+        nCharsCol(t).as("n_chars"), nAlnumCol(t).as("n_alnum"),
+        alnumFracCol(t).as("alnum_frac"),
+        maxTokenLenCol(t).as("max_token_len"),
         size(words).cast("long").as("n_word_tokens"),
         size(array_distinct(words)).cast("long").as("n_distinct_tokens"),
         when(size(words) > 0,
@@ -122,5 +131,44 @@ object CodeCuration {
         col("alnum_frac") >= minAlnumFrac &&
           col("max_token_len") <= maxTokenLen &&
           col("n_word_tokens") >= minTokens)
+  }
+
+  /** The COMPOSED code-curation pipeline — what a source-code pre-training
+    * corpus runs end-to-end: redact secrets/PII, drop exact duplicates of
+    * the redacted content (first-seen keeper), then gate on license
+    * allowlist and The-Stack-style quality. Deduping AFTER redaction is
+    * deliberate: two files differing only in an embedded credential are
+    * the same training document.
+    *
+    * Plan shape mirrors [[Curation.curate]]: ONE exchange end-to-end (the
+    * content-sha dedup window — partition bounded by one content's
+    * duplicate multiplicity); redaction, license, and quality are narrow
+    * projections of the survivor's own row, so every gate stacks into the
+    * same stage. No joins, no corpus re-scan — PlanSpec-asserted.
+    * Output: (doc_id, license, n_redactions, n_word_tokens, alnum_frac,
+    *          max_token_len) for the surviving docs. */
+  def curateCode(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      allowLicenses: Seq[String] =
+        Seq("apache-2.0", "mit", "bsd-3-clause", "mpl-2.0"),
+      minAlnumFrac: Double = 0.25, maxTokenLen: Int = 80,
+      minTokens: Int = 20): DataFrame = {
+    val bySha = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_sha"))
+    val r = col("redacted")
+    redact(docs, idCol, textCol)
+      .withColumn("content_sha", sha2(r, 256))
+      .withColumn("keeper", min(col("doc_id")).over(bySha))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"),
+        licenseColumn(r).as("license"),
+        col("n_hits").as("n_redactions"),
+        size(TextAnalysis.rawTokens(r)).cast("long").as("n_word_tokens"),
+        alnumFracCol(r).as("alnum_frac"),
+        maxTokenLenCol(r).as("max_token_len"))
+      .filter(col("license").isInCollection(allowLicenses) &&
+        col("alnum_frac") >= minAlnumFrac &&
+        col("max_token_len") <= maxTokenLen &&
+        col("n_word_tokens") >= minTokens)
   }
 }

@@ -216,4 +216,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("ScalaUDF"), s"scanner must be pure Catalyst:\n$p")
     }
   }
+
+  test("composed code-curation pipeline is ONE exchange end-to-end") {
+    // redact + dedup window + license + quality gates stack into the
+    // single content-sha shuffle — no joins, no corpus re-scan
+    val p = plan(graft.ops.CodeCuration.curateCode(docs))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"curateCode must shuffle exactly once (the dedup window):\n$p")
+    assert(!p.contains("Join"), s"curateCode must not join:\n$p")
+  }
 }

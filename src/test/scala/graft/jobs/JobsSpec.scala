@@ -82,4 +82,26 @@ class JobsSpec extends SparkSpec {
     assert(mlt.count() > 0)
     assert(mlt.columns.contains("seed_doc"))
   }
+
+  test("CurateJob and CurateCodeJob write survivor tables") {
+    spark
+    val work = Files.createTempDirectory("graft-curate-jobs").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+
+    CurateJob.main(Array("--input", corpus, "--output", s"$work/cur",
+      "--keep-session", "true"))
+    val cur = spark.read.parquet(s"$work/cur")
+    assert(cur.count() > 0)
+    assert(cur.columns.toSet == Set("doc_id", "pred_lang", "n_tokens",
+      "quality"))
+
+    // no license headers in the raw corpus -> everything is 'unknown';
+    // allow it explicitly so the quality gates are what's exercised
+    CurateCodeJob.main(Array("--input", corpus, "--output", s"$work/cc",
+      "--licenses", "unknown", "--keep-session", "true"))
+    val cc = spark.read.parquet(s"$work/cc")
+    assert(cc.count() > 0)
+    assert(cc.columns.toSet == Set("doc_id", "license", "n_redactions",
+      "n_word_tokens", "alnum_frac", "max_token_len"))
+  }
 }

@@ -92,6 +92,29 @@ class CodeCurationSpec extends SparkSpec {
     assert(m(1L) && !m(2L) && !m(3L))
   }
 
+  test("curateCode: redaction-aware dedup, license allowlist, quality gates") {
+    import spark.implicits._
+    val good = ("word " * 30).trim
+    val apache = "Licensed under the Apache License, Version 2.0. "
+    val docs = Seq(
+      // 1 and 2 differ ONLY in the embedded email -> identical after
+      // redaction -> deduped, keeper = min doc_id
+      (1L, apache + good + " contact x@y.io"),
+      (2L, apache + good + " contact other.dev@example.com"),
+      (3L, "Permission is hereby granted (MIT License). " + good),
+      (4L, "This program is free software: GNU General Public License v3. "
+        + good), // license gate
+      (5L, good), // unknown license
+      (6L, apache + "too few words here"), // minTokens gate
+      (7L, apache + good + " " + ("z" * 100))) // maxTokenLen gate
+      .toDF("doc_id", "text")
+    val out = CodeCuration.curateCode(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == (("apache-2.0", 1L))) // one email redacted
+    assert(out(3L) == (("mit", 0L)))
+  }
+
   test("scanners find the driver-contract injections at the right rates") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val ids = docs.select(col("doc_id").cast("long")).collect()
