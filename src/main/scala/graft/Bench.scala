@@ -189,7 +189,8 @@ object Bench {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
       Seq("query_bm25_join", "query_wand", "query_bool", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
-        "dedup_simhash_pairs", "ann_brute", "ann_lsh", "decontaminate")
+        "dedup_simhash_pairs", "ann_brute", "ann_lsh", "decontaminate",
+        "curate_code")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -248,6 +249,11 @@ object Bench {
     results("decontaminate") = timeWarm(graft.ops.Decontaminate.flag(
       docsDf.filter(col("doc_id") % 100 =!= 0),
       docsDf.filter(col("doc_id") % 100 === 0), n = 5).count())._1
+    // composed code-curation pass (redact -> dedup -> license/quality);
+    // the raw corpus has no license headers, so allow 'unknown' to keep
+    // the gate chain non-degenerate
+    results("curate_code") = timeWarm(graft.ops.CodeCuration.curateCode(
+      docsDf, allowLicenses = Seq("unknown")).count())._1
 
     idx.postings.unpersist(); blocksDf.unpersist()
     s.stop()
