@@ -61,6 +61,16 @@ object SparkEntry {
             concat(col("text"), lit(" extra token here")).as("text")))
     }
 
+    /** Literal substring patterns carved deterministically from the
+      * corpus itself (mirrors OracleSql's grep_pats CTE): a 12-char slice
+      * of every 23rd document — so every pattern has at least one true
+      * match and the fixture needs no external data. */
+    def grepPatterns(s: SparkSession, dir: String): DataFrame =
+      docs(s, dir).filter(col("doc_id") % 23 === 5)
+        .select(concat(lit("g"), col("doc_id").cast("string")).as("query_id"),
+          substring(col("text"), 21, 12).as("pattern"))
+        .filter(length(col("pattern")) === 12)
+
     /** Corpus with deterministically injected secrets/PII (mirrors
       * OracleSql.scanCorpus) so the scanners have real hits to find:
       * AWS-shaped key (md5-derived, upper-hex ⊂ [0-9A-Z]), email, IPv4,
@@ -497,6 +507,16 @@ object SparkEntry {
         k = TopK)
         .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
+
+    // ---- grep: exact substring search via the trigram index (the
+    //      code-corpus staple BM25 can't express) — trigram-pruned
+    //      candidates + one bounded contains() verify, result ≡ a full
+    //      brute-force scan ----
+    "q_grep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.query.Grep.search(graft.query.Grep.trigramPostings(d), d,
+        plans.grepPatterns(s, dir))
+    }),
 
     // ---- benchmark decontamination: train docs sharing any 5-gram with
     //      the held-out eval slice (doc_id % 100 == 0) are flagged ----
@@ -1367,6 +1387,21 @@ object SparkEntry {
         termstats,
         expansionScore("levenshtein(p.term, 'merje') <= 1")),
         expansionTail(TopK)),
+
+      // grep: the oracle is the BRUTE-FORCE substring scan — the trigram
+      // index path must reproduce it exactly (candidate superset +
+      // verification). Patterns are 12-char slices of every 23rd doc.
+      "q_grep" -> withCtes(Seq(
+        """grep_pats AS (
+          |  SELECT 'g' || CAST(doc_id AS VARCHAR) AS query_id,
+          |         substring(text, 21, 12) AS pattern
+          |  FROM documents
+          |  WHERE doc_id % 23 = 5
+          |    AND length(substring(text, 21, 12)) = 12)""".stripMargin),
+        """SELECT q.query_id, d.doc_id,
+          |  CAST(strpos(d.text, q.pattern) AS BIGINT) AS match_pos
+          |FROM grep_pats q JOIN documents d
+          |  ON strpos(d.text, q.pattern) > 0""".stripMargin),
 
       // decontamination: distinct shared 5-grams vs the eval slice
       "q_decontaminate" -> withCtes(Seq(

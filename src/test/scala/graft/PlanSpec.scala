@@ -217,6 +217,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("grep probes the trigram postings via broadcast; no CartesianProduct " +
+      "for indexable patterns") {
+    import spark.implicits._
+    val pats = Seq(("p1", "merge sor"), ("p2", "words her"))
+      .toDF("query_id", "pattern")
+    val p = plan(graft.query.Grep.search(
+      graft.query.Grep.trigramPostings(docs), docs, pats))
+    assert(p.contains("BroadcastHashJoin"),
+      s"requirement set must broadcast into the postings scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"patterns >= one trigram must never touch all (query x doc) pairs:\n$p")
+  }
+
   test("composed code-curation pipeline is ONE exchange end-to-end") {
     // redact + dedup window + license + quality gates stack into the
     // single content-sha shuffle — no joins, no corpus re-scan

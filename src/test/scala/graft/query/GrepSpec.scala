@@ -1,0 +1,81 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Trigram-indexed exact substring search: the index path must reproduce
+  * the brute-force contains() scan exactly — candidate generation is a
+  * superset by construction and verification makes it exact. */
+class GrepSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "def merge_sort(xs): return sorted(xs)"),
+      (2L, "val mergeSort = (xs: List[Int]) => xs.sorted"),
+      (3L, "quick brown fox"),
+      (4L, "x = a; y = b"), // only sub-trigram content matters here
+      (5L, "def merge_sort(ys): pass"),
+      (6L, "ab"), // shorter than one trigram
+      (7L, "merge_sort merge_sort merge_sort")) // repeated occurrences
+      .toDF("doc_id", "text")
+  }
+
+  private def run(pats: Seq[(String, String)]) = {
+    import spark.implicits._
+    val p = pats.toDF("query_id", "pattern")
+    val got = Grep.search(Grep.trigramPostings(docs), docs, p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = Grep.bruteForce(docs, p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    (got, want)
+  }
+
+  test("index path == brute force for long, short, and missing patterns") {
+    val (got, want) = run(Seq(
+      "p1" -> "merge_sort(", // multi-doc, special chars
+      "p2" -> "sorted", // suffix-ish
+      "p3" -> "not in corpus at all",
+      "p4" -> "y = b", // spaces inside the literal
+      "p5" -> "ab", // sub-trigram: full-scan fallback path
+      "p6" -> "merge_sort")) // repeated in one doc: first position only
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.contains(("p1", 1L, 5L)) && want.contains(("p1", 5L, 5L)),
+      "pattern must hit both merge_sort( docs at 1-based position 5")
+    assert(want.contains(("p5", 6L, 1L)), "sub-trigram pattern must fall " +
+      "back to the verify scan, not silently return nothing")
+    assert(want.contains(("p6", 7L, 1L)),
+      "repeated occurrences surface the first position")
+    assert(!want.exists(_._1 == "p3"), "absent pattern matches nothing")
+  }
+
+  test("case-sensitive: code identifiers differ by case") {
+    val (got, want) = run(Seq("c1" -> "mergeSort", "c2" -> "MERGESORT"))
+    assert(got == want)
+    assert(got.exists(t => t._1 == "c1" && t._2 == 2L))
+    assert(!got.exists(_._1 == "c2"))
+  }
+
+  test("candidate pruning really prunes: no contains() over non-candidates") {
+    // A pattern whose trigrams exist only in docs 1/5/7 must never touch
+    // doc 3's text: assert the candidate set (pre-verify) is bounded.
+    import spark.implicits._
+    val p = Seq("p" -> "merge_sort").toDF("query_id", "pattern")
+    val req = p.select(explode(array_distinct(
+      when(length(col("pattern")) >= 3,
+        transform(sequence(lit(0), length(col("pattern")) - 3),
+          i => col("pattern").substr(i + 1, lit(3)))))).as("trigram"))
+    val cands = Grep.trigramPostings(docs)
+      .join(req, Seq("trigram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === lit(8L)) // "merge_sort" has 8 trigrams
+      .collect().map(_.getLong(0)).toSet
+    // doc 2 has "mergeSort" but no "ge_"/"e_s"/"_so" trigrams — pruned
+    // before any contains() ever runs on it
+    assert(cands == Set(1L, 5L, 7L),
+      s"trigram candidates should be exactly the merge_sort docs: $cands")
+  }
+}
