@@ -185,6 +185,39 @@ object OracleSql {
       |  UNION ALL SELECT doc_id + 200000, text || ' extra token here'
       |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** Corpus with deterministically injected code constructs (module /
+    * def / class / import lines) — mirrors SparkEntry.plans.moduleCorpus. */
+  val moduleCorpus: String =
+    """module_corpus AS (
+      |  SELECT doc_id, text
+      |    || ' module mod_' || CAST(doc_id % 20 AS VARCHAR)
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' def fn_' ||
+      |         CAST(doc_id AS VARCHAR) || '(x): return x' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' class Cls' ||
+      |         CAST(doc_id % 50 AS VARCHAR) || ': pass' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' import mod_' ||
+      |         CAST((doc_id * 7 + 3) % 20 AS VARCHAR) ELSE '' END
+      |    AS text
+      |  FROM documents)""".stripMargin
+
+  /** Flat symbol table over module_corpus — same regexes (portable
+    * `[0-9]`-class subset, Java and RE2 agree) and capture group as
+    * [[graft.ops.CodeGraph]].defaultKinds. */
+  val codeSymbols: String =
+    """code_syms AS (
+      |  SELECT doc_id, 'def' AS kind,
+      |    unnest(regexp_extract_all(text, 'def (fn_[0-9]+)', 1)) AS symbol
+      |  FROM module_corpus
+      |  UNION ALL SELECT doc_id, 'class',
+      |    unnest(regexp_extract_all(text, 'class (Cls[0-9]+)', 1))
+      |  FROM module_corpus
+      |  UNION ALL SELECT doc_id, 'module',
+      |    unnest(regexp_extract_all(text, 'module (mod_[0-9]+)', 1))
+      |  FROM module_corpus
+      |  UNION ALL SELECT doc_id, 'import',
+      |    unnest(regexp_extract_all(text, 'import (mod_[0-9]+)', 1))
+      |  FROM module_corpus)""".stripMargin
+
   /** Corpus with deterministically injected secrets/PII (mirrors
     * [[graft.SparkEntry]].plans.scanCorpus): AWS-shaped key (md5-derived
     * upper-hex ⊂ [0-9A-Z]), email, IPv4, PEM private-key header — each on

@@ -61,6 +61,24 @@ object SparkEntry {
             concat(col("text"), lit(" extra token here")).as("text")))
     }
 
+    /** Corpus with deterministically injected code constructs (mirrors
+      * OracleSql.moduleCorpus): every doc declares a module (20 residue
+      * classes), and residue classes add a def, a class, and an import
+      * line — so the symbol extractor and the module import graph have
+      * real structure to find, with no external data. */
+    def moduleCorpus(s: SparkSession, dir: String): DataFrame = {
+      val id = col("doc_id")
+      docs(s, dir).select(id, concat(col("text"),
+        lit(" module mod_"), (id % 20).cast("string"),
+        when(id % 3 === 0, concat(lit(" def fn_"), id.cast("string"),
+          lit("(x): return x"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" class Cls"), (id % 50).cast("string"),
+          lit(": pass"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" import mod_"),
+          ((id * 7 + 3) % 20).cast("string"))).otherwise(lit("")))
+        .as("text"))
+    }
+
     /** Literal substring patterns carved deterministically from the
       * corpus itself (mirrors OracleSql's grep_pats CTE): a 12-char slice
       * of every 23rd document — so every pattern has at least one true
@@ -516,6 +534,24 @@ object SparkEntry {
       val d = docs(s, dir)
       graft.query.Grep.search(graft.query.Grep.trigramPostings(d), d,
         plans.grepPatterns(s, dir))
+    }),
+
+    // ---- ctags layer: flat symbol table (def/class/module/import) via
+    //      one narrow regexp_extract_all pass over the code corpus ----
+    "q_symbols" -> ((s, dir) =>
+      graft.ops.CodeGraph.symbols(plans.moduleCorpus(s, dir))),
+
+    // ---- module import-graph PageRank: 3 power-iteration rounds over
+    //      the extracted edges (the repo-importance signal a code search
+    //      engine ranks by); nodes = all declared modules ----
+    "q_pagerank" -> ((s, dir) => {
+      val syms = graft.ops.CodeGraph.symbols(plans.moduleCorpus(s, dir))
+      val nodes = syms.filter(col("kind") === "module")
+        .select(col("symbol").as("node")).distinct()
+      graft.ops.CodeGraph.pageRank(graft.ops.CodeGraph.importEdges(syms),
+        nodes, iters = 3)
+        .select(col("node").as("module"),
+          graft.Canon.r(col("pr"), 6).cast("double").as("pr"))
     }),
 
     // ---- benchmark decontamination: train docs sharing any 5-gram with
@@ -1402,6 +1438,40 @@ object SparkEntry {
           |  CAST(strpos(d.text, q.pattern) AS BIGINT) AS match_pos
           |FROM grep_pats q JOIN documents d
           |  ON strpos(d.text, q.pattern) > 0""".stripMargin),
+
+      // ctags layer: flat symbol table over the code-construct corpus
+      "q_symbols" -> withCtes(Seq(moduleCorpus, codeSymbols),
+        "SELECT doc_id, kind, symbol FROM code_syms"),
+
+      // module import-graph PageRank: the engine's 3 power-iteration
+      // rounds unroll into chained CTEs (same pattern as q_ann_ivf's
+      // Lloyd rounds); (1.0 - 0.85) kept as an EXPRESSION on both sides
+      // so the teleport constant is the identical IEEE-754 double
+      "q_pagerank" -> withCtes(Seq(moduleCorpus, codeSymbols,
+        "pr_nodes AS (SELECT DISTINCT symbol AS node FROM code_syms" +
+          " WHERE kind = 'module')",
+        """pr_edges AS (
+          |  SELECT DISTINCT m.symbol AS src, i.symbol AS dst
+          |  FROM code_syms m JOIN code_syms i USING (doc_id)
+          |  WHERE m.kind = 'module' AND i.kind = 'import'
+          |    AND m.symbol <> i.symbol)""".stripMargin,
+        "pr_nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes)",
+        "pr_outdeg AS (SELECT src, count(*) AS odeg FROM pr_edges" +
+          " GROUP BY 1)",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM pr_nodes" +
+          " CROSS JOIN pr_nn nn)") ++
+        (1 to 3).flatMap(k => Seq(
+          s"""c$k AS (
+             |  SELECT e.dst AS node, sum(p.pr / o.odeg) AS c
+             |  FROM pr_edges e JOIN pr${k - 1} p ON p.node = e.src
+             |  JOIN pr_outdeg o ON o.src = e.src GROUP BY 1)""".stripMargin,
+          s"""pr$k AS (
+             |  SELECT n.node, (1.0 - 0.85) / nn.n
+             |    + 0.85 * coalesce(c.c, 0.0) AS pr
+             |  FROM pr_nodes n CROSS JOIN pr_nn nn
+             |  LEFT JOIN c$k c ON c.node = n.node)""".stripMargin)),
+        "SELECT node AS module, CAST(floor(pr * 1e6 + 0.5) / 1e6" +
+          " AS DOUBLE) AS pr FROM pr3"),
 
       // decontamination: distinct shared 5-grams vs the eval slice
       "q_decontaminate" -> withCtes(Seq(

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Symbol extraction and dependency-graph analytics over a code corpus —
+  * the ctags/code-intel layer of a source-code search engine (beyond the
+  * reference surface, which ranks whole-token BM25 only).
+  *
+  * Scale shape: [[symbols]] is one narrow per-document pass of codegen'd
+  * `regexp_extract_all` (no UDF, no shuffle — a symbol table over 10^12
+  * files is a map + one write); [[importEdges]] joins the per-doc module
+  * and import symbols co-partitioned on doc_id; [[pageRank]] is the
+  * standard power iteration as O(iters) hash-partitioned join+agg rounds
+  * over the EDGE table only — rank mass moves along edges, the node set
+  * never fans out, exactly the shape that carries to a billion-module
+  * graph (same iterative skeleton as `Dedup.clusters`).
+  */
+object CodeGraph {
+
+  /** (kind, regex, capture-group) triples; regexes stay in the portable
+    * `[0-9]`-class subset so the Java (Spark) and RE2 (DuckDB oracle)
+    * dialects agree. */
+  val defaultKinds: Seq[(String, String, Int)] = Seq(
+    ("def", """def (fn_[0-9]+)""", 1),
+    ("class", """class (Cls[0-9]+)""", 1),
+    ("module", """module (mod_[0-9]+)""", 1),
+    ("import", """import (mod_[0-9]+)""", 1))
+
+  /** Flat symbol table (doc_id, kind, symbol) — every match of every kind
+    * regex, one narrow pass over the corpus. */
+  def symbols(docs: DataFrame, kinds: Seq[(String, String, Int)] = defaultKinds,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    kinds.map { case (kind, pat, grp) =>
+      docs.select(col(idCol).as("doc_id"), lit(kind).as("kind"),
+        explode(regexp_extract_all(col(textCol), lit(pat), lit(grp)))
+          .as("symbol"))
+    }.reduce(_ unionByName _)
+
+  /** Distinct module-level import edges (src, dst): each document's
+    * `module` symbol imports each of its `import` symbols; self-imports
+    * dropped. The per-doc join is co-partitioned on doc_id. */
+  def importEdges(syms: DataFrame): DataFrame = {
+    val mods = syms.filter(col("kind") === "module")
+      .select(col("doc_id"), col("symbol").as("src"))
+    val imps = syms.filter(col("kind") === "import")
+      .select(col("doc_id"), col("symbol").as("dst"))
+    mods.join(imps, Seq("doc_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** PageRank by fixed-round power iteration over (src, dst) edges.
+    *
+    * The simplified classic variant: pr_0 = 1/N, then
+    * pr_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} pr_k(u)/outdeg(u).
+    * Dangling-node mass is NOT redistributed (it decays into the
+    * teleport term) — a deliberate spec choice applied identically in
+    * the DuckDB oracle's unrolled CTEs, same trade as the reference-free
+    * Lloyd rounds of `Similarity.ivfTopK`. `nodes` is explicit so
+    * isolated vertices (no edges at all) still hold rank.
+    *
+    * Every round is one join+agg over the edge table partitioned by src
+    * then dst — no collect, no cartesian, node cardinality never grows. */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val n = nodes.select(col("node")).distinct()
+    val nn = n.agg(count(lit(1)).cast("double").as("n"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ew = e.join(outdeg, Seq("src")) // (src, dst, odeg)
+
+    var pr = n.crossJoin(nn).select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("odeg")).as("c"))
+      pr = n.crossJoin(nn)
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Symbol extraction, import-edge derivation, and PageRank checked
+  * against hand-written fixtures and an in-memory reference
+  * implementation of the same simplified power iteration. */
+class CodeGraphSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "module mod_1 import mod_2 def fn_1(x): return x"),
+      (2L, "module mod_2 import mod_3 import mod_1 class Cls7: pass"),
+      (3L, "module mod_3 text with no imports def fn_3(x): return x"),
+      (4L, "module mod_1 import mod_2"), // duplicate edge a->b
+      (5L, "module mod_4 import mod_4"), // self-import: dropped
+      (6L, "plain text, no module line import mod_1")) // no src module
+      .toDF("doc_id", "text")
+  }
+
+  private lazy val syms = CodeGraph.symbols(docs)
+
+  test("symbols: every kind extracted, multiple matches per doc") {
+    val got = syms.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got.contains((1L, "def", "fn_1")))
+    assert(got.contains((2L, "class", "Cls7")))
+    assert(got.contains((2L, "import", "mod_3")) &&
+      got.contains((2L, "import", "mod_1")), "both imports of doc 2")
+    assert(got.contains((5L, "module", "mod_4")))
+    assert(!got.exists(t => t._1 == 6L && t._2 == "module"),
+      "doc 6 declares no module")
+  }
+
+  test("import edges: distinct, self-loops dropped, orphan imports ignored") {
+    val got = CodeGraph.importEdges(syms).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("mod_1", "mod_2"), ("mod_2", "mod_3"),
+      ("mod_2", "mod_1")), s"edges: $got")
+  }
+
+  /** Reference implementation: same simplified PageRank, local Scala. */
+  private def refPr(edges: Set[(String, String)], nodes: Set[String],
+      iters: Int, d: Double): Map[String, Double] = {
+    val n = nodes.size.toDouble
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      pr = nodes.map { v =>
+        val in = edges.filter(_._2 == v)
+          .toSeq.map { case (u, _) => pr(u) / odeg(u) }.sum
+        v -> ((1.0 - d) / n + d * in)
+      }.toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the in-memory reference on the extracted graph") {
+    import spark.implicits._
+    val nodes = syms.filter(col("kind") === "module")
+      .select(col("symbol").as("node")).distinct()
+    val got = CodeGraph.pageRank(CodeGraph.importEdges(syms), nodes,
+      iters = 3).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val want = refPr(Set(("mod_1", "mod_2"), ("mod_2", "mod_3"),
+      ("mod_2", "mod_1")), Set("mod_1", "mod_2", "mod_3", "mod_4"), 3, 0.85)
+    assert(got.keySet == want.keySet, s"nodes: ${got.keySet}")
+    for ((k, v) <- want)
+      assert(math.abs(got(k) - v) < 1e-12, s"$k: ${got(k)} vs $v")
+    // mod_4 is isolated: pure teleport mass after any iteration
+    assert(math.abs(got("mod_4") - 0.15 / 4) < 1e-12)
+    // importance ordering: b (imported by a twice-distinct + ...) tops
+    assert(got("mod_2") > got("mod_4"), "linked node outranks isolated")
+  }
+
+  test("pageRank on a 2-cycle is stationary at 1/2 each") {
+    import spark.implicits._
+    val e = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
+    val n = Seq("x", "y").toDF("node")
+    val got = CodeGraph.pageRank(e, n, iters = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(got("x") - 0.5) < 1e-12 &&
+      math.abs(got("y") - 0.5) < 1e-12, s"$got")
+  }
+}
