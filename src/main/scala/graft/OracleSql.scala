@@ -185,6 +185,67 @@ object OracleSql {
       |  UNION ALL SELECT doc_id + 200000, text || ' extra token here'
       |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** Winnowing fingerprint CTE chain over corpus CTE/table `src`
+    * (k = 4, window = 4): HUGEINT Karp-Rabin token/k-gram hashing
+    * congruent to [[graft.ops.Winnowing]]'s 61-bit Mersenne rolling
+    * form, rightmost-min window selection via DISTINCT minidx. Ends
+    * with `fps` (doc_id, h per selected index), `nf` (counts) and
+    * `lens` (k-gram counts, for the short-document fallback where the
+    * engine emits the single global min). */
+  def winnowCtes(src: String): Seq[String] = Seq(
+    s"""wt AS (
+       |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\\w+'),
+       |                             x -> length(x) >= 3) AS ts
+       |  FROM $src)""".stripMargin,
+    """toksw AS (
+      |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+      |  FROM wt)""".stripMargin,
+    """th AS (
+      |  SELECT doc_id, i,
+      |    list_reduce(list_prepend(0::HUGEINT,
+      |        [unicode(tok[j])::HUGEINT FOR j IN range(1, length(tok) + 1)]),
+      |      (h, c) -> (h * 257 + c) % 2305843009213693951::HUGEINT) + 1 AS h
+      |  FROM toksw)""".stripMargin,
+    """kg AS (
+      |  SELECT a.doc_id, a.i AS idx,
+      |    CAST(((((a.h * 1000003 + b.h) % 2305843009213693951) * 1000003
+      |      + c.h) % 2305843009213693951 * 1000003 + d.h)
+      |      % 2305843009213693951 AS BIGINT) AS h
+      |  FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      |  JOIN th d ON d.doc_id = a.doc_id AND d.i = a.i + 3)""".stripMargin,
+    """win AS (
+      |  SELECT doc_id, idx AS s,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY idx
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY idx
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      |  FROM kg)""".stripMargin,
+    """sel AS (
+      |  SELECT v.doc_id, v.s, max(k.idx) AS minidx
+      |  FROM win v JOIN kg k ON k.doc_id = v.doc_id
+      |    AND k.idx BETWEEN v.s AND v.s + 3 AND k.h = v.minh
+      |  WHERE v.wn = 4
+      |  GROUP BY 1, 2)""".stripMargin,
+    """fps AS (
+      |  SELECT s.doc_id, k2.h
+      |  FROM (SELECT DISTINCT doc_id, minidx FROM sel) s
+      |  JOIN kg k2 ON k2.doc_id = s.doc_id AND k2.idx = s.minidx)"""
+      .stripMargin,
+    "nf AS (SELECT doc_id, count(*) AS n, min(h) AS min_fp FROM fps" +
+      " GROUP BY 1)",
+    "lens AS (SELECT doc_id, count(*) AS nk, min(h) AS minh_all FROM kg" +
+      " GROUP BY 1)")
+
+  /** Distinct (doc_id, fingerprint) set per document including the
+    * short-document single-min fallback — the clone-mining input. */
+  val winnowFpSet: String =
+    """fpd AS (
+      |  SELECT DISTINCT doc_id, h FROM fps
+      |  WHERE doc_id IN (SELECT doc_id FROM lens WHERE nk > 4)
+      |  UNION
+      |  SELECT doc_id, minh_all AS h FROM lens WHERE nk <= 4)""".stripMargin
+
   /** Corpus with deterministically injected code constructs (module /
     * def / class / import lines) — mirrors SparkEntry.plans.moduleCorpus. */
   val moduleCorpus: String =

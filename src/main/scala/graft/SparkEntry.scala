@@ -646,6 +646,14 @@ object SparkEntry {
           size(col("fingerprints")).cast("long").as("n_fingerprints"),
           array_min(col("fingerprints")).as("min_fp"))),
 
+    // ---- MOSS clone-pair mining over the winnowed fingerprints of the
+    //      dup-injected corpus: bucketed fingerprint self-join, pairs
+    //      sharing >= 2 fingerprints, containment vs the smaller set ----
+    "q_clone_pairs" -> ((s, dir) =>
+      graft.ops.Winnowing.clonePairs(
+        graft.ops.Winnowing.fingerprints(plans.dupCorpus(s, dir), cfg),
+        minShared = 2, maxBucket = 100)),
+
     // ---- multimodal binary plumbing (decode step stubbed) ----
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir)))
@@ -1713,55 +1721,36 @@ object SparkEntry {
         "SELECT * FROM positives UNION ALL SELECT * FROM hardneg" +
           " UNION ALL SELECT * FROM randneg"),
 
-      "q_winnow" -> withCtes(Seq(
-        """wt AS (
-          |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+'),
-          |                             x -> length(x) >= 3) AS ts
-          |  FROM documents)""".stripMargin,
-        """toksw AS (
-          |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
-          |  FROM wt)""".stripMargin,
-        """th AS (
-          |  SELECT doc_id, i,
-          |    list_reduce(list_prepend(0::HUGEINT,
-          |        [unicode(tok[j])::HUGEINT FOR j IN range(1, length(tok) + 1)]),
-          |      (h, c) -> (h * 257 + c) % 2305843009213693951::HUGEINT) + 1 AS h
-          |  FROM toksw)""".stripMargin,
-        """kg AS (
-          |  SELECT a.doc_id, a.i AS idx,
-          |    CAST(((((a.h * 1000003 + b.h) % 2305843009213693951) * 1000003
-          |      + c.h) % 2305843009213693951 * 1000003 + d.h)
-          |      % 2305843009213693951 AS BIGINT) AS h
-          |  FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-          |  JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-          |  JOIN th d ON d.doc_id = a.doc_id AND d.i = a.i + 3)""".stripMargin,
-        """win AS (
-          |  SELECT doc_id, idx AS s,
-          |    min(h) OVER (PARTITION BY doc_id ORDER BY idx
-          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
-          |    count(*) OVER (PARTITION BY doc_id ORDER BY idx
-          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-          |  FROM kg)""".stripMargin,
-        """sel AS (
-          |  SELECT v.doc_id, v.s, max(k.idx) AS minidx
-          |  FROM win v JOIN kg k ON k.doc_id = v.doc_id
-          |    AND k.idx BETWEEN v.s AND v.s + 3 AND k.h = v.minh
-          |  WHERE v.wn = 4
-          |  GROUP BY 1, 2)""".stripMargin,
-        """fps AS (
-          |  SELECT s.doc_id, k2.h
-          |  FROM (SELECT DISTINCT doc_id, minidx FROM sel) s
-          |  JOIN kg k2 ON k2.doc_id = s.doc_id AND k2.idx = s.minidx)""".stripMargin,
-        "nf AS (SELECT doc_id, count(*) AS n, min(h) AS min_fp FROM fps" +
-          " GROUP BY 1)",
-        "lens AS (SELECT doc_id, count(*) AS nk, min(h) AS minh_all FROM kg" +
-          " GROUP BY 1)"),
+      "q_winnow" -> withCtes(winnowCtes("documents"),
         """SELECT d.doc_id,
           |  COALESCE(CASE WHEN l.nk <= 4 THEN 1::BIGINT ELSE f.n END,
           |    0::BIGINT) AS n_fingerprints,
           |  CASE WHEN l.nk <= 4 THEN l.minh_all ELSE f.min_fp END AS min_fp
           |FROM documents d
           |LEFT JOIN lens l USING (doc_id) LEFT JOIN nf f USING (doc_id)""".stripMargin),
+
+      // MOSS clone mining over the dup-injected corpus: distinct
+      // fingerprint sets (incl. the short-doc single-min fallback),
+      // boilerplate buckets > 100 docs dropped, pair counts inside
+      // buckets, containment = n_shared / min set size (exact int ratio)
+      "q_clone_pairs" -> withCtes(Seq(dupCorpus) ++
+        winnowCtes("dup_corpus") ++ Seq(winnowFpSet,
+        "cbn AS (SELECT h, count(*) AS bn FROM fpd GROUP BY 1)",
+        "fpp AS (SELECT f.doc_id, f.h FROM fpd f JOIN cbn USING (h)" +
+          " WHERE cbn.bn <= 100)",
+        "csizes AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY 1)",
+        """cpairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         count(*) AS n_shared
+          |  FROM fpp a JOIN fpp b
+          |    ON a.h = b.h AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin),
+        """SELECT p.doc_a, p.doc_b, p.n_shared,
+          |  CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+          |    AS containment
+          |FROM cpairs p
+          |JOIN csizes sa ON sa.doc_id = p.doc_a
+          |JOIN csizes sb ON sb.doc_id = p.doc_b""".stripMargin),
 
       "q_multimodal_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

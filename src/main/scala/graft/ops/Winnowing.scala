@@ -95,4 +95,44 @@ object Winnowing {
           fingerprintTokens(tok.tokenize(r.getString(1)).toIndexedSeq, k, window))
       }
   }
+
+  /** MOSS-style clone-pair mining over winnowed fingerprints
+    * (Schleimer/Wilkerson/Aiken SIGMOD'03 §5 — the plagiarism/clone
+    * detector built on winnowing): invert to a (fingerprint, doc_id)
+    * posting table, self-join inside fingerprint buckets, and keep pairs
+    * sharing at least `minShared` distinct fingerprints, with
+    * `containment` = n_shared / min(|A|, |B|) over distinct-fingerprint
+    * set sizes. The winnowing guarantee carries over: any shared token
+    * run of length ≥ window+k−1 yields a shared fingerprint, so a true
+    * clone pair cannot score zero.
+    *
+    * Scale shape: identical to the MinHash band join — the pair space
+    * only materializes inside fingerprint buckets, and buckets larger
+    * than `maxBucket` docs (boilerplate fingerprints — the stopword
+    * analogue) are dropped before pairing, bounding the worst bucket's
+    * fan-out at maxBucket². */
+  def clonePairs(fps: Dataset[DocFingerprints], minShared: Int = 2,
+      maxBucket: Int = 100): DataFrame = {
+    val posting = fps.toDF()
+      .select(col("doc_id"),
+        explode(array_distinct(col("fingerprints"))).as("fp"))
+    val bucketN = posting.groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+    val pruned = posting.join(bucketN, Seq("fp"))
+      .filter(col("bn") <= maxBucket).select(col("fp"), col("doc_id"))
+    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
 }

@@ -243,6 +243,46 @@ class OpsSpec extends SparkSpec {
     assert(f1.nonEmpty && f1.length < toks.length)
   }
 
+  test("clone pairs: exact copy has containment 1, near copy found, " +
+      "unrelated absent") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base), // exact clone of 1
+      (3L, base + " plus some trailing extras appended here"), // near clone
+      (4L, "completely different words one two three four five six seven " +
+        "eight nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(corpus,
+      graft.analysis.TokenizerConfig.default)
+    val got = Winnowing.clonePairs(fps, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.contains((1L, 2L)), s"exact clone pair missing: $got")
+    assert(got((1L, 2L))._2 == 1.0, "exact clone containment must be 1.0")
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      s"near-clone pairs missing: $got")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("clone pairs: boilerplate fingerprint buckets above maxBucket are " +
+      "dropped before pairing") {
+    import spark.implicits._
+    val shared = "shared boiler plate run common across every file here"
+    val corpus = (1L to 5L).map(i => (i, shared)).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(corpus,
+      graft.analysis.TokenizerConfig.default)
+    // every fingerprint bucket holds 5 docs; cap at 4 -> no pairs at all
+    assert(Winnowing.clonePairs(fps, minShared = 1, maxBucket = 4)
+      .count() == 0)
+    // with the cap above the bucket size all 10 pairs surface
+    assert(Winnowing.clonePairs(fps, minShared = 1, maxBucket = 5)
+      .count() == 10)
+  }
+
   test("multimodal: payload metadata matches source bytes") {
     val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
     val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
