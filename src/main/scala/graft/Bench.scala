@@ -190,7 +190,8 @@ object Bench {
       Seq("query_bm25_join", "query_wand", "query_bool", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "ann_brute", "ann_lsh", "decontaminate",
-        "curate_code")
+        "curate_code", "grep_substring", "clone_pairs",
+        "code_graph_pagerank")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -254,6 +255,38 @@ object Bench {
     // the gate chain non-degenerate
     results("curate_code") = timeWarm(graft.ops.CodeCuration.curateCode(
       docsDf, allowLicenses = Seq("unknown")).count())._1
+    // trigram substring search: the posting table is index-time work
+    // (built once, cached); the timed region is the ~n_docs/23-pattern
+    // literal query batch against it
+    val tgp = graft.query.Grep.trigramPostings(docsDf).cache()
+    tgp.count()
+    val gpats = docsDf.filter(col("doc_id") % 23 === 5)
+      .select(concat(lit("g"), col("doc_id").cast("string")).as("query_id"),
+        substring(col("text"), 21, 12).as("pattern"))
+      .filter(length(col("pattern")) === 12)
+    results("grep_substring") = timeWarm(
+      graft.query.Grep.search(tgp, docsDf, gpats).count())._1
+    tgp.unpersist()
+    // MOSS clone mining over the same 3k-doc bound as the pair miners
+    results("clone_pairs") = timeWarm(graft.ops.Winnowing.clonePairs(
+      graft.ops.Winnowing.fingerprints(docsDf.limit(3000), cfg)).count())._1
+    // code-graph pass over the module/import-injected corpus:
+    // symbol extraction -> edge derivation -> 3 PageRank rounds
+    val codeDf = {
+      val id = col("doc_id")
+      docsDf.select(id, concat(col("text"),
+        lit(" module mod_"), (id % 20).cast("string"),
+        when(id % 5 === 0, concat(lit(" import mod_"),
+          ((id * 7 + 3) % 20).cast("string"))).otherwise(lit("")))
+        .as("text"))
+    }
+    results("code_graph_pagerank") = timeWarm({
+      val syms = graft.ops.CodeGraph.symbols(codeDf)
+      val nodes = syms.filter(col("kind") === "module")
+        .select(col("symbol").as("node")).distinct()
+      graft.ops.CodeGraph.pageRank(graft.ops.CodeGraph.importEdges(syms),
+        nodes).count()
+    })._1
 
     idx.postings.unpersist(); blocksDf.unpersist()
     s.stop()
