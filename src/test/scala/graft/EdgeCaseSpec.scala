@@ -88,6 +88,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.ops.Dedup.simhashPairs(docs, maxDist = 3).count() == 0)
   }
 
+  test("grep: empty pattern set, whole-doc pattern, pattern with every " +
+      "regex metachar (treated literally)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a.b*c(d)e[f]g{h}i|j+k?l^m$n\\o"),
+      (2L, "plain text body here")).toDF("doc_id", "text")
+    val posting = graft.query.Grep.trigramPostings(docs)
+    // no patterns -> no rows, no crash
+    assert(graft.query.Grep.search(posting, docs,
+      Seq.empty[(String, String)].toDF("query_id", "pattern")).count() == 0)
+    // the full metachar soup matches itself literally at position 1
+    val soup = "a.b*c(d)e[f]g{h}i|j+k?l^m$n\\o"
+    val r = graft.query.Grep.search(posting, docs,
+      Seq(("m", soup)).toDF("query_id", "pattern")).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getLong(2) == 1L,
+      s"metachar literal: ${r.mkString(",")}")
+    // a pattern longer than every document matches nothing
+    assert(graft.query.Grep.search(posting, docs,
+      Seq(("long", soup + " and then some")).toDF("query_id", "pattern"))
+      .count() == 0)
+  }
+
+  test("pageRank: empty edge set leaves pure teleport mass; " +
+      "clone pairs on empty fingerprints return nothing") {
+    import spark.implicits._
+    val nodes = Seq("a", "b").toDF("node")
+    val e = Seq.empty[(String, String)].toDF("src", "dst")
+    val pr = graft.ops.CodeGraph.pageRank(e, nodes, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // with no edges every round is (1-d)/N: 0.15/2 = 0.075
+    assert(pr.values.forall(v => math.abs(v - 0.15 / 2) < 1e-12), s"$pr")
+    val fps = graft.ops.Winnowing.fingerprints(
+      Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text"),
+      TokenizerConfig.default)
+    assert(graft.ops.Winnowing.clonePairs(fps).count() == 0)
+  }
+
   test("query longer than any document and k larger than corpus") {
     import spark.implicits._
     val docs = Seq((1L, "merge"), (2L, "sort")).toDF("doc_id", "text")

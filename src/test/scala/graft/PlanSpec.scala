@@ -230,6 +230,21 @@ class PlanSpec extends SparkSpec {
       s"patterns >= one trigram must never touch all (query x doc) pairs:\n$p")
   }
 
+  test("clone-pair mining and PageRank never materialize an unbounded " +
+      "cartesian") {
+    import spark.implicits._
+    val fps = graft.ops.Winnowing.fingerprints(docs,
+      graft.analysis.TokenizerConfig.default)
+    val pc = plan(graft.ops.Winnowing.clonePairs(fps))
+    assert(!pc.contains("CartesianProduct"),
+      s"pairs must only form inside fingerprint buckets:\n$pc")
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val n = Seq("a", "b", "c").toDF("node")
+    val pp = plan(graft.ops.CodeGraph.pageRank(e, n, iters = 2))
+    assert(!pp.contains("CartesianProduct"),
+      s"rank flows along edges only (the 1-row N join broadcasts):\n$pp")
+  }
+
   test("composed code-curation pipeline is ONE exchange end-to-end") {
     // redact + dedup window + license + quality gates stack into the
     // single content-sha shuffle — no joins, no corpus re-scan
