@@ -101,6 +101,9 @@ object BuildIndexJob {
   *   --mode prefix    --prefix mer
   *   --mode fuzzy     --term merje [--max-dist 1]
   *   --mode mlt       --seeds 10,20 [--expansion-terms 5]
+  *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
+  *                    [--trigrams /idx/trigrams]  (pre-built postings;
+  *                    derived from the corpus on the fly when absent)
   */
 object SearchJob {
   def main(args: Array[String]): Unit = {
@@ -144,6 +147,14 @@ object SearchJob {
         graft.query.MoreLikeThis.search(idx,
           col("doc_id").isin(seeds: _*),
           m = a.getOrElse("expansion-terms", "5").toInt, k = k)
+      case "grep" =>
+        import spark.implicits._
+        val corpus = spark.read.parquet(a("corpus"))
+        val posting = a.get("trigrams").map(spark.read.parquet(_))
+          .getOrElse(graft.query.Grep.trigramPostings(corpus))
+        graft.query.Grep.search(posting, corpus,
+          Seq(("q0", a("pattern"))).toDF("query_id", "pattern"))
+          .orderBy(col("doc_id").asc).limit(k)
       case other => sys.error(s"unknown --mode $other")
     }
     val out = a.get("rerank") match {

@@ -81,6 +81,14 @@ class JobsSpec extends SparkSpec {
     val mlt = ranked(s"$work/m")
     assert(mlt.count() > 0)
     assert(mlt.columns.contains("seed_doc"))
+
+    // grep needs the corpus (texts), not the inverted index
+    SearchJob.main(Array("--index", s"$work/idx", "--corpus", corpus,
+      "--output", s"$work/g", "--mode", "grep", "--pattern", "the",
+      "--k", "10", "--keep-session", "true"))
+    val g = ranked(s"$work/g")
+    assert(g.count() > 0 && g.count() <= 10)
+    assert(g.columns.toSet == Set("query_id", "doc_id", "match_pos"))
   }
 
   test("CurateJob and CurateCodeJob write survivor tables") {
