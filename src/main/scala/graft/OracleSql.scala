@@ -330,7 +330,10 @@ object OracleSql {
       |      ELSE [array_to_string(ts, ' ')] END) AS shingle
       |    FROM sh_arrays))""".stripMargin
 
-  /** md5-min MinHash signatures (12 hash fns) + 4 LSH bands of 3. */
+  /** md5-min MinHash signatures (12 hash fns) + 4 LSH bands of 3, with
+    * the hot-bucket cap mirrored (buckets > 1000 docs dropped before
+    * pairing — [[graft.ops.Dedup.minhashPairs]] maxBucket default);
+    * ends in `bandsp` (capped band rows). */
   val minhashCtes: String =
     """sigs AS (
       |  SELECT doc_id, i AS sig_id,
@@ -340,7 +343,13 @@ object OracleSql {
       |bands AS (
       |  SELECT doc_id, (sig_id // 3)::INT AS band_id,
       |         md5(string_agg(minhash, '|' ORDER BY sig_id)) AS band_hash
-      |  FROM sigs GROUP BY doc_id, (sig_id // 3)::INT)""".stripMargin
+      |  FROM sigs GROUP BY doc_id, (sig_id // 3)::INT),
+      |bandsp AS (
+      |  SELECT doc_id, band_id, band_hash FROM (
+      |    SELECT doc_id, band_id, band_hash,
+      |      count(*) OVER (PARTITION BY band_id, band_hash) AS bn
+      |    FROM bands)
+      |  WHERE bn <= 1000)""".stripMargin
 
   /** Exploded embeddings (dim 1-based to match generate_subscripts). */
   val embeddingExploded: String =

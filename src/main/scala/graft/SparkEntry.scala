@@ -840,7 +840,7 @@ object SparkEntry {
       "q_minhash_pairs" -> withCtes(Seq(dupCorpus, shingleRows, minhashCtes,
         """cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
+          |  FROM bandsp a JOIN bandsp b
           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
           |    AND a.doc_id < b.doc_id)""".stripMargin,
         "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_rows" +
@@ -944,7 +944,7 @@ object SparkEntry {
         minhashCtes,
         """cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
+          |  FROM bandsp a JOIN bandsp b
           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
           |    AND a.doc_id < b.doc_id)""".stripMargin,
         "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_rows" +
@@ -1002,34 +1002,50 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(bit * (1::BIGINT << b::INT)) AS BIGINT)" +
           " AS simhash FROM bits GROUP BY doc_id"),
 
-      // 32-bit SimHash over dup_corpus; pigeonhole blocks (4 x 8 bits:
-      // Hamming <= 3 forces exact agreement on >= 1 block), Hamming
-      // confirm via bit_count(xor) on candidates only.
+      // 64-bit sha256 SimHash over dup_corpus; pigeonhole blocks (4 x 16
+      // bits: Hamming <= 3 forces exact agreement on >= 1 block), hot
+      // buckets > 1000 docs dropped before pairing (Dedup.simhashPairs
+      // maxBucket mirror), Hamming confirm on candidates only. The
+      // signature stays in per-bit form (a 64-bit pack would need
+      // 1<<63, which overflows DuckDB's checked BIGINT shift); block
+      // values and the bit-level Hamming join are congruent to Spark's
+      // shiftrightunsigned / bit_count(xor) over the packed long.
       "q_simhash_pairs" -> withCtes(Seq(dupCorpus,
-        """tfh32 AS (
-          |  SELECT doc_id, t AS term, count(*) AS tf, md5(t) AS h FROM (
+        """tfh64 AS (
+          |  SELECT doc_id, t AS term, count(*) AS tf, sha256(t) AS h FROM (
           |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+'))
           |      AS t FROM dup_corpus)
           |  GROUP BY doc_id, t)""".stripMargin,
-        """bits32 AS (
+        """bits64 AS (
           |  SELECT doc_id, b,
           |    CASE WHEN sum(CASE WHEN substr(h, (b + 1)::INT, 1) >= '8'
           |      THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS bit
-          |  FROM tfh32 CROSS JOIN (SELECT unnest(range(32)) AS b)
+          |  FROM tfh64 CROSS JOIN (SELECT unnest(range(64)) AS b)
           |  GROUP BY doc_id, b)""".stripMargin,
-        """sh32 AS (
-          |  SELECT doc_id, CAST(sum(bit * (1::BIGINT << b::INT)) AS BIGINT)
-          |    AS simhash FROM bits32 GROUP BY doc_id)""".stripMargin,
         """shblocks AS (
-          |  SELECT doc_id, simhash, b AS block_id,
-          |    (simhash >> (b * 8)::INT) & 255 AS block_val
-          |  FROM sh32 CROSS JOIN (SELECT unnest(range(4)) AS b))""".stripMargin),
-        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          |FROM shblocks a JOIN shblocks b
-          |  ON a.block_id = b.block_id AND a.block_val = b.block_val
-          |  AND a.doc_id < b.doc_id
-          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+          |  SELECT doc_id, (b // 16)::INT AS block_id,
+          |    sum(bit * (1::BIGINT << (b % 16)::INT)) AS block_val
+          |  FROM bits64 GROUP BY doc_id, (b // 16)::INT)""".stripMargin,
+        """shp AS (
+          |  SELECT doc_id, block_id, block_val FROM (
+          |    SELECT doc_id, block_id, block_val,
+          |      count(*) OVER (PARTITION BY block_id, block_val) AS bn
+          |    FROM shblocks)
+          |  WHERE bn <= 1000)""".stripMargin,
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM shp a JOIN shp b
+          |    ON a.block_id = b.block_id AND a.block_val = b.block_val
+          |    AND a.doc_id < b.doc_id)""".stripMargin,
+        """ham AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS hamming
+          |  FROM cand c
+          |  JOIN bits64 ba ON ba.doc_id = c.doc_a
+          |  JOIN bits64 bb ON bb.doc_id = c.doc_b AND bb.b = ba.b
+          |  GROUP BY 1, 2)""".stripMargin),
+        "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"),
 
       "q_ann_cosine" -> withCtes(Seq(embeddingExploded,
         "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +

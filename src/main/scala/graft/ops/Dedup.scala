@@ -110,13 +110,30 @@ object Dedup {
     * space bounded by band-hash collisions, never O(n²)) and the two
     * joins that attach each side's shingle array for the
     * `array_intersect` confirm — one row per candidate pair end-to-end.
+    *
+    * Hot-bucket guard: a band bucket shared by m docs fans out m²/2
+    * candidate rows BEFORE the confirm filter, so mass-duplicated
+    * boilerplate (one band hash, millions of docs) would turn the band
+    * join quadratic. Buckets holding more than `maxBucket` docs are
+    * dropped before pairing (one window over the band key — the same
+    * disclosed-cap semantics as [[Winnowing.clonePairs]]): pairs whose
+    * EVERY shared band is over-popular are not reported, which at the
+    * default cap only ever hides boilerplate families that exact dedup
+    * ([[exact]]) already collapses. Worst bucket fan-out is bounded at
+    * maxBucket²/2 regardless of corpus size.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 12, rowsPerBand: Int = 3,
-      threshold: Double = 0.5, shingleWidth: Int = 3): DataFrame = {
+      threshold: Double = 0.5, shingleWidth: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, shingleWidth).cache()
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_hash"))
     val bands = lshBands(minhashSignatureArrays(sets, numHashes),
-      numHashes, rowsPerBand)
+        numHashes, rowsPerBand)
+      .withColumn("bn", count(lit(1)).over(byBucket))
+      .filter(col("bn") <= maxBucket)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -208,8 +225,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // localCheckpoint (not cache): truncates the LOGICAL plan each round,
+    // keeping analysis/AQE cost constant in the round count — cache alone
+    // leaves the lineage nesting geometrically (see CodeGraph.pageRank)
     var labels = nodes.select(col("doc_id"),
-      col("doc_id").as("cluster")).cache()
+      col("doc_id").as("cluster")).localCheckpoint()
     var changed = true
     var i = 0
     while (changed && i < maxIters) {
@@ -218,24 +238,26 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("cluster"))
       val next = labels.union(propagated)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-        .cache()
+        .localCheckpoint()
       changed = next.select(col("doc_id"), col("cluster").as("c_next"))
         .join(labels.select(col("doc_id"), col("cluster").as("c_prev")),
           Seq("doc_id"))
         .filter(col("c_next") =!= col("c_prev")).limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+      labels = next // superseded rounds freed by the context cleaner
       i += 1
     }
     edges.unpersist()
     labels
   }
 
-  /** SimHash over the tf-weighted term set: bit b of md5(term)'s
-    * b-th hex nibble (≥ 8 ⇒ +tf else −tf), majority vote per bit.
-    * `bits` ≤ 32 (md5 has 32 nibbles); default 16 preserves the original
-    * fingerprint contract, [[simhashPairs]] uses 32 for a collision rate
-    * low enough to mine pairs from.
+  /** SimHash over the tf-weighted term set: bit b of the term hash's
+    * b-th hex nibble (≥ 8 ⇒ +tf else −tf), majority vote per bit. The
+    * term hash is md5 for `bits` ≤ 32 (32 nibbles — preserves the
+    * original 16-bit fingerprint contract) and sha256 for wider
+    * signatures up to 64 bits (64 nibbles — the [[simhashPairs]]
+    * default, where bucket occupancy, not fingerprint size, drives the
+    * choice). Both are min-wise-uniform hex streams reproduced
+    * bit-for-bit by the DuckDB oracle.
     *
     * Two exchanges total: the (doc, term) tf aggregation, then a per-doc
     * groupBy whose shuffle carries only map-side partial sums. Each tf
@@ -246,13 +268,15 @@ object Dedup {
     * Output: (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bits: Int = 16): DataFrame = {
-    require(bits >= 1 && bits <= 32, s"simhash bits must be in [1,32]: $bits")
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1,64]: $bits")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(regexp_extract_all(lower(col(textCol)), lit("(?U)\\w+"), lit(0)))
         .as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("h", md5(col("term").cast("binary")))
+      .withColumn("h",
+        if (bits <= 32) md5(col("term").cast("binary"))
+        else sha2(col("term").cast("binary"), 256))
       .withColumn("ws", transform(sequence(lit(0), lit(bits - 1)),
         b => when(col("h").substr(b + 1, lit(1)) >= "8", col("tf"))
           .otherwise(-col("tf"))))
@@ -263,7 +287,7 @@ object Dedup {
       .select(col("doc_id"),
         (0 until bits).map(b =>
             when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`,
@@ -275,24 +299,40 @@ object Dedup {
     * never materialized — and the confirm is `bit_count(xor) ≤ d` on
     * the candidate rows only. No false negatives.
     *
-    * Scale: block width = bits/(maxDist+1) caps each bucket's expected
-    * size at n/2^width; at web scale raise `bits` (and block width) so
-    * buckets stay small — the standard simhash table layout. The
-    * signature stage is [[simhash]]'s two exchanges; blocking adds one
-    * self-join shuffle on the block key.
+    * Scale: block width = bits/(maxDist+1) caps each bucket's EXPECTED
+    * size at n/2^width — the default 64-bit signature gives 16-bit
+    * blocks (65,536-way spread per block), the standard web-scale
+    * simhash table layout (the earlier 32-bit/8-bit-block default put
+    * ~n/256 docs in every bucket, quadratic past ~10⁷ docs). Skewed
+    * reality is handled separately from the average: blocks whose
+    * (block_id, block_val) bucket holds more than `maxBucket` docs —
+    * boilerplate text families whose signatures collide exactly — are
+    * dropped before pairing (disclosed-cap semantics as in
+    * [[Winnowing.clonePairs]]), bounding the worst bucket's fan-out at
+    * maxBucket²/2; a pair is hidden only if ALL of its agreeing blocks
+    * are over-popular, i.e. it sits inside a >maxBucket-sized
+    * near-identical family that [[exact]]/[[clusters]] already handle.
+    * The signature stage is [[simhash]]'s two exchanges; blocking adds
+    * one window + one self-join shuffle on the block key.
     * Output: (doc_a, doc_b, hamming) with doc_a < doc_b. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxDist: Int = 3, bits: Int = 32): DataFrame = {
+      textCol: String = "text", maxDist: Int = 3, bits: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
     val nBlocks = maxDist + 1
     require(bits % nBlocks == 0,
       s"bits ($bits) must divide into maxDist+1 ($nBlocks) equal blocks")
     val w = bits / nBlocks
-    val mask = (1L << w) - 1
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block_id"), col("block_val"))
     val blocks = simhash(docs, idCol, textCol, bits)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until nBlocks).map(b =>
           shiftrightunsigned(col("simhash"), b * w)
             .bitwiseAND(lit(mask))): _*)).as(Seq("block_id", "block_val")))
+      .withColumn("bn", count(lit(1)).over(byBucket))
+      .filter(col("bn") <= maxBucket)
+      .select(col("doc_id"), col("simhash"), col("block_id"), col("block_val"))
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.block_id") === col("b.block_id") &&

@@ -77,7 +77,7 @@ class OpsSpec extends SparkSpec {
   test("simhash pairs: pigeonhole blocking is EXACT vs brute-force hamming") {
     import spark.implicits._
     // real corpus slice + injected exact/near dups: the blocking join must
-    // return PRECISELY the pairs a brute-force 32-bit hamming scan finds
+    // return PRECISELY the pairs a brute-force 64-bit hamming scan finds
     val base = docs.select(col("doc_id"), col("text")).limit(60)
     val corpus = base
       .union(base.filter(col("doc_id") % 10 === 0)
@@ -87,7 +87,7 @@ class OpsSpec extends SparkSpec {
           concat(col("text"), lit(" tail tweak")).as("text")))
     val got = Dedup.simhashPairs(corpus, maxDist = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val sigs = Dedup.simhash(corpus, bits = 32).collect()
+    val sigs = Dedup.simhash(corpus, bits = 64).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val brute = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
@@ -97,6 +97,37 @@ class OpsSpec extends SparkSpec {
       s"brute ${brute.size}")
     assert(brute.exists(_._3 == 0) && brute.exists(_._3 > 0),
       "fixture must exercise exact (h=0) and near (h>0) duplicates")
+  }
+
+  test("pair-miner hot buckets above maxBucket are dropped and disclosed " +
+      "pairs below the cap survive") {
+    import spark.implicits._
+    // 12 identical boilerplate docs (every band/block bucket they share
+    // has 12 members) + one small near-dup family of 2: with maxBucket
+    // 10 the boilerplate family must vanish from BOTH miners while the
+    // small family is still mined. Exact dedup remains the tool that
+    // collapses the boilerplate family — the caps only bound the
+    // quadratic pair fan-out.
+    val boiler = "this exact boilerplate license header repeats verbatim " +
+      "across every generated file in the corpus unchanged"
+    val small = "a genuinely distinct document about query planning and join"
+    val corpus = ((1L to 12L).map(i => (i, boiler)) ++ Seq(
+      (100L, small), (101L, small)))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(corpus, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate family leaked through the minhash cap: $mh")
+    assert(mh.contains((100L, 101L)), "small near-dup family must survive")
+    val sh = Dedup.simhashPairs(corpus, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate family leaked through the simhash cap: $sh")
+    assert(sh.contains((100L, 101L)), "small near-dup family must survive")
+    // with an inert cap the boilerplate pairs are all present again
+    val uncapped = Dedup.minhashPairs(corpus, maxBucket = 1000).collect()
+    assert(uncapped.length >= 66, // C(12,2) boilerplate pairs + the family
+      s"uncapped miner should see the boilerplate family: ${uncapped.length}")
   }
 
   test("curation: dups dropped first-seen, then lang/quality/length filters stack") {
