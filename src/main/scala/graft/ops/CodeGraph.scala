@@ -61,26 +61,50 @@ object CodeGraph {
     * isolated vertices (no edges at all) still hold rank.
     *
     * Every round is one join+agg over the edge table partitioned by src
-    * then dst — no collect, no cartesian, node cardinality never grows. */
+    * then dst — no collect, no cartesian, node cardinality never grows.
+    * Each round's ranks are `localCheckpoint`ed so the LOGICAL plan stays
+    * one round deep — `cache()` alone short-circuits execution but not
+    * the plan object, and the nested lineage made analysis/AQE plan
+    * rendering geometric in the round count (a 20-iteration run hung in
+    * `explainString` before doing any work). The eager checkpoint also
+    * pins each round's ranks, so the power iteration is exactly as
+    * resumable as [[Dedup.clusters]]. `tol` (optional) early-exits when
+    * the max per-node |Δpr| of a round drops below it; the default None
+    * keeps the round count EXACT, which the DuckDB oracle's unrolled
+    * CTEs require. */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, tol: Option[Double] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val n = nodes.select(col("node")).distinct()
     val nn = n.agg(count(lit(1)).cast("double").as("n"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val ew = e.join(outdeg, Seq("src")) // (src, dst, odeg)
+    val ew = e.join(outdeg, Seq("src")).cache() // (src, dst, odeg)
 
-    var pr = n.crossJoin(nn).select(col("node"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iters) {
+    var pr = n.crossJoin(nn)
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
       val contrib = ew.join(pr, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("odeg")).as("c"))
-      pr = n.crossJoin(nn)
+      val next = n.crossJoin(nn)
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+        .localCheckpoint() // eager: computes the round, truncates lineage
+      converged = tol.exists { t =>
+        next.select(col("node"), col("pr").as("pr_next"))
+          .join(pr.select(col("node"), col("pr").as("pr_prev")), Seq("node"))
+          .agg(max(abs(col("pr_next") - col("pr_prev"))).as("d"))
+          .head().getDouble(0) < t
+      }
+      pr = next // superseded rounds are freed by the context cleaner
+      i += 1
     }
+    ew.unpersist()
     pr
   }
 }
