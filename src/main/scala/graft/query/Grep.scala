@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
 object Grep {
 
   /** All character trigrams of `t` (empty array below length 3 — the
-    * guard matters: `sequence(0, len-3)` would count DOWN for len < 3). */
-  private def trigrams(t: Column): Column =
+    * guard matters: `sequence(0, len-3)` would count DOWN for len < 3).
+    * Shared with [[Expansion]]'s fuzzy term-dictionary prefilter. */
+  private[query] def trigrams(t: Column): Column =
     when(length(t) >= 3,
       transform(sequence(lit(0), length(t) - 3), i => t.substr(i + 1, lit(3))))
       .otherwise(array().cast("array<string>"))
@@ -76,8 +77,11 @@ object Grep {
       .filter(instr(col("text"), col("pattern")) > 0)
 
     // Sub-trigram literals cannot be index-pruned; the full verify scan
-    // is taken explicitly (and only when such patterns exist).
-    val shortPats = pats.filter(length(col("pattern")).between(1, 2))
+    // is taken explicitly (and only when such patterns exist). Length 0
+    // is included so search() and bruteForce() agree on ALL inputs: an
+    // empty literal matches every document at position 1 (instr(text,
+    // '') = 1), same as a brute-force contains pass.
+    val shortPats = pats.filter(length(col("pattern")) <= 2)
     val verifiedShort = corpus
       .crossJoin(broadcast(shortPats))
       .filter(instr(col("text"), col("pattern")) > 0)

@@ -41,8 +41,12 @@ class GrepSpec extends SparkSpec {
       "p3" -> "not in corpus at all",
       "p4" -> "y = b", // spaces inside the literal
       "p5" -> "ab", // sub-trigram: full-scan fallback path
-      "p6" -> "merge_sort")) // repeated in one doc: first position only
+      "p6" -> "merge_sort", // repeated in one doc: first position only
+      "p7" -> "")) // empty literal: matches EVERY doc at position 1
     assert(got == want, s"got $got\nwant $want")
+    assert(docs.count() == want.count(_._1 == "p7") &&
+      want.filter(_._1 == "p7").forall(_._3 == 1L),
+      "empty pattern must match every document at instr position 1")
     assert(want.contains(("p1", 1L, 5L)) && want.contains(("p1", 5L, 5L)),
       "pattern must hit both merge_sort( docs at 1-based position 5")
     assert(want.contains(("p5", 6L, 1L)), "sub-trigram pattern must fall " +
