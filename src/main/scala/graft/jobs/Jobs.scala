@@ -18,6 +18,7 @@ import graft.sources.Jsonl
   *   spark-submit --class graft.jobs.BuildIndexJob app.jar \
   *     --input corpus.parquet|jsonl --output /idx [--partitions N]
   *     [--stem true] [--min-token-length 3] [--stopwords a,b]
+  *     [--trigrams true]  (also persist grep + fuzzy trigram tables)
   *   spark-submit --class graft.jobs.SearchJob app.jar \
   *     --index /idx --queries queries.jsonl|parquet --output /out
   *     [--k 100] [--mode join|wand] [--rerank embeddings.parquet]
@@ -77,6 +78,22 @@ object BuildIndexJob {
     ServingIndex.write(
       ServingIndex.fromPostings(idx.postings, partitions),
       s"${a("output")}/serving")
+    if (a.getOrElse("trigrams", "false").toBoolean) {
+      // grep serving index: document trigram postings, partition-sorted
+      // by trigram so query probes prune at the parquet scan (row-group
+      // min/max on the sort column) instead of rebuilding per invocation
+      graft.query.Grep.trigramPostings(docs,
+          idCol = a.getOrElse("id-col", "doc_id"),
+          textCol = a.getOrElse("text-col", "text"))
+        .repartition(partitions, col("trigram"))
+        .sortWithinPartitions("trigram")
+        .write.mode("overwrite").parquet(s"${a("output")}/trigrams")
+      // fuzzy serving index: term-dictionary trigrams (vocabulary-sized)
+      graft.query.Expansion.termTrigrams(idx.termStats)
+        .repartition(math.max(1, partitions / 4), col("trigram"))
+        .sortWithinPartitions("trigram")
+        .write.mode("overwrite").parquet(s"${a("output")}/term_trigrams")
+    }
     println(s"indexed ${idx.numDocs} docs, avgdl ${idx.avgdl}")
     if (a.getOrElse("validate", "false").toBoolean) {
       val problems = Spimi.validateIngest(docs, JobArgs.cfg(a), a("output"),
@@ -100,10 +117,14 @@ object BuildIndexJob {
   *   --mode proximity --terms merge,order [--window 5]
   *   --mode prefix    --prefix mer
   *   --mode fuzzy     --term merje [--max-dist 1]
+  *                    [--term-trigrams /idx/term_trigrams]  (pre-built
+  *                    dictionary; auto-discovered under --index when
+  *                    BuildIndexJob ran with --trigrams true)
   *   --mode mlt       --seeds 10,20 [--expansion-terms 5]
   *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
   *                    [--trigrams /idx/trigrams]  (pre-built postings;
-  *                    derived from the corpus on the fly when absent)
+  *                    auto-discovered under --index, else derived from
+  *                    the corpus on the fly)
   */
 object SearchJob {
   def main(args: Array[String]): Unit = {
@@ -141,7 +162,14 @@ object SearchJob {
       case "prefix" =>
         graft.query.Expansion.prefix(idx, a("prefix"), k)
       case "fuzzy" => graft.query.Expansion.fuzzy(idx, a("term"),
-        a.getOrElse("max-dist", "1").toInt, k)
+        a.getOrElse("max-dist", "1").toInt, k,
+        trigramDict = a.get("term-trigrams").map(spark.read.parquet(_))
+          .orElse {
+            val p = s"${a("index")}/term_trigrams" // BuildIndexJob --trigrams
+            if (new java.io.File(p).isDirectory)
+              Some(spark.read.parquet(p))
+            else None
+          })
       case "mlt" =>
         val seeds = a("seeds").split(",").map(_.toLong).toSeq
         graft.query.MoreLikeThis.search(idx,
@@ -150,7 +178,10 @@ object SearchJob {
       case "grep" =>
         import spark.implicits._
         val corpus = spark.read.parquet(a("corpus"))
-        val posting = a.get("trigrams").map(spark.read.parquet(_))
+        val posting = a.get("trigrams")
+          .orElse(Some(s"${a("index")}/trigrams") // BuildIndexJob --trigrams
+            .filter(p => new java.io.File(p).isDirectory))
+          .map(spark.read.parquet(_))
           .getOrElse(graft.query.Grep.trigramPostings(corpus))
         graft.query.Grep.search(posting, corpus,
           Seq(("q0", a("pattern"))).toDF("query_id", "pattern"))

@@ -11,12 +11,21 @@ import graft.index.InvertedIndex
   * vocabulary terms (each expansion contributing qtf = 1) — the classic
   * multi-term query rewrite.
   *
-  * Plan shape: expansion is a predicate scan of the VOCABULARY-sized
-  * term-stat table (orders of magnitude smaller than the postings; a
-  * sorted/bucketed term table makes the prefix case a range scan), the
-  * matched terms broadcast into the same postings join as [[Bm25.score]],
-  * and the single-query top-k is TakeOrderedAndProject. Callers own
-  * keeping the expansion bounded (a one-letter prefix over a 10^9-term
+  * Plan shape: prefix expansion is a sarg-able predicate scan of the
+  * VOCABULARY-sized term-stat table (orders of magnitude smaller than
+  * the postings; a sorted/bucketed term table makes it a range scan).
+  * Fuzzy expansion goes through a character-trigram prefilter of the
+  * term dictionary ([[termTrigrams]] — the same index shape as
+  * [[Grep]]'s): a term within `maxDist` edits of the query must share
+  * at least |trigrams(q)| − 3·maxDist of the query's distinct trigrams
+  * (one edit disturbs at most 3 overlapping trigram occurrences), so
+  * candidates come from an `IN`-pruned probe of the trigram table —
+  * pushdown-friendly against a persisted dictionary — and the
+  * non-sarg-able Levenshtein runs as a CONFIRM over candidates only,
+  * never as a scan predicate over 10⁸–10⁹ vocabulary rows. The matched
+  * terms broadcast into the same postings join as [[Bm25.score]], and
+  * the single-query top-k is TakeOrderedAndProject. Callers own keeping
+  * the expansion bounded (a one-letter prefix over a 10^9-term
   * vocabulary is a user error, as in any search engine).
   */
 object Expansion {
@@ -25,20 +34,62 @@ object Expansion {
     * with `prefix`. @return (doc_id, score, rank) top-k. */
   def prefix(index: InvertedIndex, prefix: String, k: Int = 100,
       p: Bm25.Params = Bm25.Params()): DataFrame =
-    searchExpanded(index, col("term").startsWith(prefix), k, p)
+    searchExpanded(index,
+      index.termStats.filter(col("term").startsWith(prefix)), k, p)
+
+  /** (term, trigram) dictionary postings — DISTINCT trigrams per term,
+    * one narrow pass over the vocabulary. At scale, build once and
+    * persist sorted/partitioned by `trigram` (BuildIndexJob --trigrams
+    * writes it next to the index) so fuzzy probes prune at the scan. */
+  def termTrigrams(termStats: DataFrame): DataFrame =
+    termStats.select(col("term"),
+      explode(array_distinct(Grep.trigrams(col("term")))).as("trigram"))
 
   /** Fuzzy search: expansions are vocabulary terms within `maxDist`
     * Levenshtein edits of `query` (spell-tolerant lookup).
-    * @return (doc_id, score, rank) top-k. */
+    *
+    * `trigramDict` is an optional PREBUILT [[termTrigrams]] table (read
+    * from the persisted index); when absent the dictionary is derived
+    * from `index.termStats` on the fly — correct, but the point of the
+    * prefilter at scale is probing a persisted trigram-sorted table.
+    * Queries too short for the trigram bound to prune (|trigrams(q)| ≤
+    * 3·maxDist) take the documented full-vocabulary confirm scan — the
+    * honest cost, same contract as [[Grep.search]]'s sub-trigram
+    * fallback. @return (doc_id, score, rank) top-k. */
   def fuzzy(index: InvertedIndex, query: String, maxDist: Int = 1,
-      k: Int = 100, p: Bm25.Params = Bm25.Params()): DataFrame =
-    searchExpanded(index,
-      levenshtein(col("term"), lit(query)) <= maxDist, k, p)
+      k: Int = 100, p: Bm25.Params = Bm25.Params(),
+      trigramDict: Option[DataFrame] = None): DataFrame = {
+    val qTris = (0 to query.length - 3).map(i => query.substring(i, i + 3))
+      .distinct
+    val minShared = qTris.size - 3 * maxDist
+    val confirm = levenshtein(col("term"), lit(query)) <= maxDist
+    val expanded =
+      if (minShared < 1) index.termStats.filter(confirm)
+      else {
+        val dict = trigramDict.getOrElse(termTrigrams(index.termStats))
+        // IN-pruned dictionary probe: only rows of the query's own
+        // trigrams are read (predicate pushdown on a persisted table),
+        // then the shared-count bound prunes to a candidate term set.
+        val cands = dict.filter(col("trigram").isin(qTris: _*))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .select(col("term"))
+        // terms shorter than one trigram never enter the dictionary but
+        // can still be within maxDist — a sarg-able length(term) < 3
+        // sliver of the vocabulary, not a full scan
+        val shorts = index.termStats.filter(length(col("term")) < 3)
+          .select(col("term"))
+        index.termStats
+          .join(broadcast(cands.unionByName(shorts)), Seq("term"), "left_semi")
+          .filter(confirm)
+      }
+    searchExpanded(index, expanded, k, p)
+  }
 
-  private def searchExpanded(index: InvertedIndex, termPred: Column,
+  private def searchExpanded(index: InvertedIndex, expandedTerms: DataFrame,
       k: Int, p: Bm25.Params): DataFrame = {
-    val ts = broadcast(index.termStats.filter(termPred)
-      .select(col("term"), col("idf")))
+    val ts = broadcast(expandedTerms.select(col("term"), col("idf")))
     val norm = lit(1.0) - lit(p.b) +
       lit(p.b) * col("doc_len") / lit(index.avgdl)
     val scored = index.postings.join(ts, Seq("term"))
@@ -47,11 +98,17 @@ object Expansion {
           (col("tf") + lit(p.k1) * norm))
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
+    // The rank key is materialized as a column so the rank window's
+    // ordering requirement is the SAME attributes as the top-k's sort —
+    // TakeOrderedAndProject's output ordering (and single partition)
+    // then satisfies the window, and no second sort of the k survivors
+    // appears in the plan.
     val top = scored
-      .orderBy(graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)
+      .withColumn("rk", graft.Canon.rankKey(col("score")))
+      .orderBy(col("rk").desc, col("doc_id").asc)
       .limit(k) // TakeOrderedAndProject — no global sort
     top.withColumn("rank",
-      row_number().over(Window.orderBy(
-        graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)))
+        row_number().over(Window.orderBy(col("rk").desc, col("doc_id").asc)))
+      .drop("rk")
   }
 }

@@ -91,6 +91,44 @@ class JobsSpec extends SparkSpec {
     assert(g.columns.toSet == Set("query_id", "doc_id", "match_pos"))
   }
 
+  test("BuildIndexJob --trigrams persists grep + fuzzy trigram tables and " +
+      "SearchJob auto-discovers them") {
+    spark
+    val work = Files.createTempDirectory("graft-jobs3").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx",
+      "--partitions", "4", "--trigrams", "true", "--keep-session", "true"))
+    assert(new java.io.File(s"$work/idx/trigrams").isDirectory)
+    assert(new java.io.File(s"$work/idx/term_trigrams").isDirectory)
+    val tg = spark.read.parquet(s"$work/idx/trigrams")
+    assert(tg.columns.toSet == Set("doc_id", "trigram") && tg.count() > 0)
+
+    // grep mode picks up the persisted postings (no --trigrams flag) and
+    // must equal the derive-on-the-fly result
+    SearchJob.main(Array("--index", s"$work/idx", "--corpus", corpus,
+      "--output", s"$work/g1", "--mode", "grep", "--pattern", "the merge",
+      "--k", "50", "--keep-session", "true"))
+    val viaIdx = spark.read.parquet(s"$work/g1/ranked")
+      .collect().map(_.toString).sorted
+    val onTheFly = graft.query.Grep.search(
+        graft.query.Grep.trigramPostings(spark.read.parquet(corpus)),
+        spark.read.parquet(corpus),
+        { import spark.implicits._
+          Seq(("q0", "the merge")).toDF("query_id", "pattern") })
+      .orderBy(org.apache.spark.sql.functions.col("doc_id").asc).limit(50)
+      .collect().map(_.toString).sorted
+    assert(viaIdx.sameElements(onTheFly),
+      "persisted-trigram grep must equal the derived-postings result")
+
+    // fuzzy mode picks up term_trigrams (prefilter path) — same ranking
+    // as the dictionary-derived run
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/f1",
+      "--mode", "fuzzy", "--term", "custoner", "--keep-session", "true"))
+    val f = spark.read.parquet(s"$work/f1/ranked")
+    assert(f.count() > 0)
+    assert(f.columns.toSet == Set("doc_id", "score", "rank"))
+  }
+
   test("CurateJob and CurateCodeJob write survivor tables") {
     spark
     val work = Files.createTempDirectory("graft-curate-jobs").toString
