@@ -57,11 +57,15 @@ object BooleanSearch {
         index.postings.filter(col("term").isin(notTerms: _*))
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+    // rank key materialized so the window's ordering is satisfied by
+    // TakeOrderedAndProject's output ordering — no re-sort of the k
+    // survivors (see Expansion.searchExpanded)
     val top = filtered
-      .orderBy(graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)
+      .withColumn("rk", graft.Canon.rankKey(col("score")))
+      .orderBy(col("rk").desc, col("doc_id").asc)
       .limit(k) // TakeOrderedAndProject — per-partition heaps, no sort
     top.withColumn("rank",
-      row_number().over(Window.orderBy(
-        graft.Canon.rankKey(col("score")).desc, col("doc_id").asc)))
+        row_number().over(Window.orderBy(col("rk").desc, col("doc_id").asc)))
+      .drop("rk")
   }
 }

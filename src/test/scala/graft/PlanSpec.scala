@@ -188,6 +188,27 @@ class PlanSpec extends SparkSpec {
     assert("Generate".r.findAllIn(p).size == 1, s"one explode expected:\n$p")
   }
 
+  test("fuzzy expansion probes the trigram dictionary; levenshtein is a " +
+      "bounded confirm, not a vocabulary scan predicate") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val dir = Files.createTempDirectory("graft-tgd").toString
+    graft.query.Expansion.termTrigrams(idx.termStats)
+      .repartition(2, col("trigram")).sortWithinPartitions("trigram")
+      .write.mode("overwrite").parquet(dir)
+    val dict = spark.read.parquet(dir)
+    val p = plan(graft.query.Expansion.fuzzy(idx, "custoner", maxDist = 1,
+      k = 10, trigramDict = Some(dict)))
+    // the query's own trigrams reach the dictionary scan as an IN filter
+    // (row-group pruning on the trigram-sorted table)
+    assert(p.contains("PushedFilters") && p.contains("In(trigram"),
+      s"trigram IN probe must reach the parquet reader:\n$p")
+    // the non-sarg-able confirm runs on the candidate semi-join output,
+    // never as the predicate of the full term_stats scan
+    assert(p.contains("LeftSemi"),
+      s"expected candidate-set semi-join ahead of the confirm:\n$p")
+    assert(p.contains("levenshtein"), s"confirm must still exist:\n$p")
+  }
+
   test("boolean top-k is TakeOrderedAndProject, never a global sort") {
     val idx = IndexBuilder.build(docs, cfg)
     val p = plan(graft.query.BooleanSearch.search(idx, Seq("merge", "sort"),
@@ -196,6 +217,10 @@ class PlanSpec extends SparkSpec {
       s"expected per-partition top-k heaps:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"idf lookup and NOT-exclusion must broadcast:\n$p")
+    // the rank window's ordering is satisfied by TakeOrderedAndProject's
+    // own output ordering — the k survivors are never re-sorted
+    assert(!p.contains("Sort ["),
+      s"rank assignment must not re-sort the post-limit rows:\n$p")
   }
 
   test("more-like-this broadcasts the expansion terms into the scoring join") {
