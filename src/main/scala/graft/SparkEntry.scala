@@ -298,6 +298,27 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ---- BM25F through the WAND SERVING path: pseudo-tf packed into
+    //      block-max compressed shards, field normalization baked in at
+    //      index time — must be rank-identical to the join path (same
+    //      oracle SQL as q_bm25f) ----
+    "q_bm25f_wand" -> ((s, dir) => {
+      val ft = plans.tokenRows(s, dir).select(col("doc_id"),
+        when(col("pos") < 8, lit("title")).otherwise(lit("body"))
+          .as("field"),
+        col("term"))
+      val fieldMap = Map("title" -> graft.query.Bm25F.Field(2.0, 0.5),
+        "body" -> graft.query.Bm25F.Field(1.0, 0.75))
+      val pt = graft.query.Bm25F.pseudoTf(ft, fieldMap)
+      val blocks = graft.index.ServingIndex.fromPseudoTf(pt, numShards = 4)
+      graft.query.Wand.searchF(blocks,
+          graft.query.Bm25F.idfTable(pt, plans.index(s, dir).numDocs),
+          QuerySet.df(s), cfg, TopK, numShards = 4)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- §7.6: deterministic re-score pass over the BM25 shortlist ----
     "q_rerank" -> ((s, dir) =>
       Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
@@ -735,6 +756,14 @@ object SparkEntry {
 
       "q_bm25f" -> withCtes(Seq(tokArrays, toks, doclen, stats, queriesCte,
         qtoks, qterms) ++ bm25fCtes(TopK),
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score," +
+          " rank FROM franked"),
+
+      // the serving path must reproduce the join path rank-identically,
+      // so its oracle IS the q_bm25f SQL
+      "q_bm25f_wand" -> withCtes(Seq(tokArrays, toks, doclen, stats,
+        queriesCte, qtoks, qterms) ++ bm25fCtes(TopK),
         "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
           " AS DOUBLE) AS score," +
           " rank FROM franked"),

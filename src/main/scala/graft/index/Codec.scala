@@ -105,6 +105,26 @@ object Codec {
     out
   }
 
+  /** Fixed 8-byte big-endian raw IEEE-754 bits. BM25F pseudo-tf payloads
+    * must survive the round trip BIT-EXACTLY for the serving path to stay
+    * rank-identical to the relational join path; a production system
+    * trading space for that guarantee would quantize these (Lucene's
+    * impact framework does) and accept near-identical ranks instead. */
+  def encodeDoubles(xs: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    var i = 0
+    while (i < xs.length) { bb.putDouble(xs(i)); i += 1 }
+    bb.array()
+  }
+
+  def decodeDoubles(bytes: Array[Byte], n: Int): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
   /** Positions are strictly increasing ints — delta+varbyte them too. */
   def encodePositions(xs: Array[Int]): Array[Byte] = {
     if (xs.isEmpty) return Array.empty

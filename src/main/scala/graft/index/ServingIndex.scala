@@ -13,6 +13,18 @@ final case class BlockRow(shard: Int, term: String, first_doc: Long,
     last_doc: Long, n: Int, max_tf: Int, min_dl: Int,
     docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
+/** One compressed BM25F posting block: the per-posting payload is the
+  * field-weighted, per-field-length-normalized pseudo-tf (`wtf` of
+  * [[graft.query.Bm25F]]) as exact IEEE-754 doubles, and `max_wtf` is the
+  * block-max metadata — BM25F's single saturation curve is monotone in
+  * wtf, so the same block-skipping argument as (max_tf, min_dl) applies
+  * with ONE number. Unlike plain BM25, the doc-length normalization is
+  * baked in at INDEX time (per field), which is exactly what makes the
+  * field-weighted score servable without shipping per-field lengths. */
+final case class BlockRowF(shard: Int, term: String, first_doc: Long,
+    last_doc: Long, n: Int, max_wtf: Double,
+    docs: Array[Byte], wtfs: Array[Byte])
+
 /** Document-sharded serving index — the layout that scales.
   *
   * The index is partitioned BY DOCUMENT RANGE (hash of doc_id), not by
@@ -71,11 +83,53 @@ object ServingIndex {
       }
   }
 
+  /** Pack BM25F pseudo-tf rows (term, doc_id, wtf) into per-shard
+    * compressed blocks — same one-shuffle shape as [[fromPostings]]. */
+  def fromPseudoTf(pseudoTf: DataFrame, numShards: Int,
+      blockSize: Int = DefaultBlockSize): Dataset[BlockRowF] = {
+    val spark = pseudoTf.sparkSession
+    import spark.implicits._
+    pseudoTf
+      .select(col("term"), col("doc_id"), col("wtf").cast("double"))
+      .repartition(numShards, col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .mapPartitions { it =>
+        val shard = TaskContext.getPartitionId()
+        new Iterator[BlockRowF] {
+          private val in = it.buffered
+          override def hasNext: Boolean = in.hasNext
+          override def next(): BlockRowF = {
+            val term = in.head.getString(0)
+            val docs = new Array[Long](blockSize)
+            val wtfs = new Array[Double](blockSize)
+            var n = 0
+            while (n < blockSize && in.hasNext &&
+                in.head.getString(0) == term) {
+              val r = in.next()
+              docs(n) = r.getLong(1); wtfs(n) = r.getDouble(2); n += 1
+            }
+            val d = java.util.Arrays.copyOf(docs, n)
+            val w = java.util.Arrays.copyOf(wtfs, n)
+            BlockRowF(shard, term, d(0), d(n - 1), n, w.max,
+              Codec.encodeSortedLongs(d), Codec.encodeDoubles(w))
+          }
+        }
+      }
+  }
+
   def write(blocks: Dataset[BlockRow], dir: String): Unit =
     blocks.toDF().write.mode("overwrite").parquet(dir)
 
   def read(spark: SparkSession, dir: String): Dataset[BlockRow] = {
     import spark.implicits._
     spark.read.parquet(dir).as[BlockRow]
+  }
+
+  def writeF(blocks: Dataset[BlockRowF], dir: String): Unit =
+    blocks.toDF().write.mode("overwrite").parquet(dir)
+
+  def readF(spark: SparkSession, dir: String): Dataset[BlockRowF] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[BlockRowF]
   }
 }

@@ -63,7 +63,32 @@ object Bm25F {
   def search(fieldTokens: DataFrame, numDocs: Long, queries: DataFrame,
       cfg: TokenizerConfig, fields: Map[String, Field], k: Int = 100,
       k1: Double = 1.2): DataFrame = {
-    require(fields.nonEmpty, "Bm25F.search: at least one field")
+    val pt = pseudoTf(fieldTokens, fields)
+    val idf = idfTable(pt, numDocs)
+
+    val qt = Bm25.queryTerms(queries, cfg).join(idf, Seq("term"))
+      .select(col("term"), col("query_id"), col("qtf"), col("idf"))
+
+    val scored = pt
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("term_score",
+        col("qtf") * col("idf") * lit(k1 + 1.0) * col("wtf") /
+          (lit(k1) + col("wtf")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .filter(col("score") > 0.0)
+
+    Bm25.topK(scored, k)
+  }
+
+  /** The index-time half of BM25F: (term, doc_id, wtf) with wtf the
+    * field-weighted, per-field-length-normalized pseudo-tf. This is what
+    * [[graft.index.ServingIndex.fromPseudoTf]] packs into blocks for the
+    * [[Wand.searchF]] serving path — the normalization is baked in here,
+    * so serving needs no per-field length tables. */
+  def pseudoTf(fieldTokens: DataFrame,
+      fields: Map[String, Field]): DataFrame = {
+    require(fields.nonEmpty, "Bm25F: at least one field")
     val ft = fieldTokens.filter(col("field").isin(fields.keys.toSeq: _*))
 
     val wCol = fields.foldLeft(lit(0.0)) { case (acc, (name, f)) =>
@@ -77,7 +102,7 @@ object Bm25F {
     val ftf = ft.groupBy(col("term"), col("doc_id"), col("field"))
       .agg(count(lit(1)).cast("int").as("tf"))
 
-    val pseudoTf = ftf
+    ftf
       .join(flen, Seq("doc_id", "field"))
       .join(broadcast(favg), Seq("field"))
       .withColumn("contrib",
@@ -85,26 +110,15 @@ object Bm25F {
           ((lit(1.0) - bCol) + bCol * col("flen") / col("avgfl")))
       .groupBy(col("term"), col("doc_id"))
       .agg(sum(col("contrib")).as("wtf"))
+  }
 
-    val idf = pseudoTf.groupBy(col("term"))
+  /** idf over document frequency in ANY field (same formula as [[Bm25]]):
+    * (term, idf). */
+  def idfTable(pseudoTf: DataFrame, numDocs: Long): DataFrame =
+    pseudoTf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log((lit(numDocs.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)))
       .select(col("term"), col("idf"))
-
-    val qt = Bm25.queryTerms(queries, cfg).join(idf, Seq("term"))
-      .select(col("term"), col("query_id"), col("qtf"), col("idf"))
-
-    val scored = pseudoTf
-      .join(broadcast(qt), Seq("term"))
-      .withColumn("term_score",
-        col("qtf") * col("idf") * lit(k1 + 1.0) * col("wtf") /
-          (lit(k1) + col("wtf")))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("term_score")).as("score"))
-      .filter(col("score") > 0.0)
-
-    Bm25.topK(scored, k)
-  }
 }

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{BlockRow, Codec}
+import graft.index.{BlockRow, BlockRowF, Codec}
 
 /** Block-max WAND top-k over the document-sharded compressed index —
   * the serving-path alternative to the join-relational [[Bm25]], tested
@@ -27,60 +27,43 @@ object Wand {
 
   private val PruneMargin = 1e-6
 
-  /** Per-term query-time constants. */
-  private final case class TermInfo(qtf: Int, idf: Double)
+  /** Block-navigation skeleton shared by the BM25 and BM25F cursors: the
+    * DAAT loop needs only (doc position, exact score, block upper bound),
+    * so the two rankings differ ONLY in payload decode + scoring. */
+  private abstract class CursorBase(nBlocks: Int) {
+    /** Query-time-constant upper bound of this cursor's contribution. */
+    def ub: Double
+    protected var bi = 0
+    protected var pi = 0
+    protected var docs: Array[Long] = _
+    protected def blockN(b: Int): Int
+    protected def blockLastDoc(b: Int): Long
+    /** Decode block `bi` into `docs` + the payload arrays. */
+    protected def decodeBlock(): Unit
 
-  /** A decoded block cursor over one term's blocks within one shard. */
-  private final class Cursor(blocks: Array[BlockRow], val weight: Double,
-      k1: Double, b: Double, avgdl: Double) {
-    // global upper bound: tf·(k1+1)/(tf + k1·norm) < (k1+1)
-    val ub: Double = weight * (k1 + 1.0)
-    private var bi = 0
-    private var pi = 0
-    private var docs: Array[Long] = _
-    private var tfs: Array[Int] = _
-    private var dls: Array[Int] = _
-    decodeIfNeeded()
-
-    private def decodeIfNeeded(): Unit = {
-      while (bi < blocks.length && docs == null) {
-        val blk = blocks(bi)
-        docs = Codec.decodeSortedLongs(blk.docs, blk.n)
-        tfs = Codec.decodeInts(blk.tfs, blk.n)
-        dls = Codec.decodeInts(blk.dls, blk.n)
-        pi = 0
-      }
+    protected def decodeIfNeeded(): Unit = {
+      while (bi < nBlocks && docs == null) { decodeBlock(); pi = 0 }
     }
 
-    def exhausted: Boolean = bi >= blocks.length
+    def exhausted: Boolean = bi >= nBlocks
     def doc: Long = if (exhausted) Long.MaxValue else docs(pi)
 
-    /** Exact BM25 contribution at the current posting. */
-    def score: Double = {
-      val tf = tfs(pi).toDouble
-      val norm = 1.0 - b + b * dls(pi) / avgdl
-      weight * tf * (k1 + 1.0) / (tf + k1 * norm)
-    }
+    /** Exact contribution at the current posting. */
+    def score: Double
 
     /** Upper bound of this term's contribution within the current block. */
-    def blockUb: Double = {
-      if (exhausted) return 0.0
-      val blk = blocks(bi)
-      val tf = blk.max_tf.toDouble
-      val norm = 1.0 - b + b * blk.min_dl / avgdl
-      weight * tf * (k1 + 1.0) / (tf + k1 * norm)
-    }
+    def blockUb: Double
 
     def advance(): Unit = {
       pi += 1
-      if (pi >= blocks(bi).n) { bi += 1; docs = null; decodeIfNeeded() }
+      if (pi >= blockN(bi)) { bi += 1; docs = null; decodeIfNeeded() }
     }
 
     /** Skip to the first posting with doc id >= d; whole blocks whose
       * last_doc < d are skipped WITHOUT decoding. */
     def advanceTo(d: Long): Unit = {
       if (exhausted || doc >= d) return
-      while (bi < blocks.length && blocks(bi).last_doc < d) {
+      while (bi < nBlocks && blockLastDoc(bi) < d) {
         bi += 1; docs = null
       }
       decodeIfNeeded()
@@ -88,9 +71,9 @@ object Wand {
       // binary search within the decoded block
       var lo = pi.max(0)
       if (docs(lo) >= d) { pi = lo; return }
-      var hi = blocks(bi).n - 1
+      var hi = blockN(bi) - 1
       // invariant: docs(lo) < d <= docs(hi) or answer is beyond block
-      if (docs(hi) < d) { pi = blocks(bi).n; advanceFix(); return }
+      if (docs(hi) < d) { pi = blockN(bi); advanceFix(); return }
       while (hi - lo > 1) {
         val mid = (lo + hi) >>> 1
         if (docs(mid) < d) lo = mid else hi = mid
@@ -99,7 +82,78 @@ object Wand {
     }
 
     private def advanceFix(): Unit = {
-      if (pi >= blocks(bi).n) { bi += 1; docs = null; decodeIfNeeded() }
+      if (pi >= blockN(bi)) { bi += 1; docs = null; decodeIfNeeded() }
+    }
+  }
+
+  /** BM25 cursor: payload = (tf, doc_len), score saturates at query time
+    * against (k1, b, avgdl). */
+  private final class Cursor(blocks: Array[BlockRow], val weight: Double,
+      k1: Double, b: Double, avgdl: Double)
+      extends CursorBase(blocks.length) {
+    // global upper bound: tf·(k1+1)/(tf + k1·norm) < (k1+1)
+    val ub: Double = weight * (k1 + 1.0)
+    private var tfs: Array[Int] = _
+    private var dls: Array[Int] = _
+    protected def blockN(b: Int): Int = blocks(b).n
+    protected def blockLastDoc(b: Int): Long = blocks(b).last_doc
+    protected def decodeBlock(): Unit = {
+      val blk = blocks(bi)
+      docs = Codec.decodeSortedLongs(blk.docs, blk.n)
+      tfs = Codec.decodeInts(blk.tfs, blk.n)
+      dls = Codec.decodeInts(blk.dls, blk.n)
+    }
+    decodeIfNeeded()
+
+    def score: Double = {
+      val tf = tfs(pi).toDouble
+      val norm = 1.0 - b + b * dls(pi) / avgdl
+      weight * tf * (k1 + 1.0) / (tf + k1 * norm)
+    }
+
+    def blockUb: Double = {
+      if (exhausted) return 0.0
+      val blk = blocks(bi)
+      val tf = blk.max_tf.toDouble
+      val norm = 1.0 - b + b * blk.min_dl / avgdl
+      weight * tf * (k1 + 1.0) / (tf + k1 * norm)
+    }
+  }
+
+  /** BM25F cursor: payload = exact pseudo-tf doubles (field weighting and
+    * per-field length normalization are baked in at index time), score =
+    * weight·(k1+1)·wtf/(k1+wtf) — monotone in wtf, so `max_wtf` gives the
+    * block (and, maxed over blocks, the cursor's global) upper bound. */
+  private final class CursorF(blocks: Array[BlockRowF], val weight: Double,
+      k1: Double) extends CursorBase(blocks.length) {
+    val ub: Double = {
+      var m = 0.0
+      var i = 0
+      while (i < blocks.length) {
+        if (blocks(i).max_wtf > m) m = blocks(i).max_wtf
+        i += 1
+      }
+      weight * (k1 + 1.0) * m / (k1 + m)
+    }
+    private var wtfs: Array[Double] = _
+    protected def blockN(b: Int): Int = blocks(b).n
+    protected def blockLastDoc(b: Int): Long = blocks(b).last_doc
+    protected def decodeBlock(): Unit = {
+      val blk = blocks(bi)
+      docs = Codec.decodeSortedLongs(blk.docs, blk.n)
+      wtfs = Codec.decodeDoubles(blk.wtfs, blk.n)
+    }
+    decodeIfNeeded()
+
+    def score: Double = {
+      val w = wtfs(pi)
+      weight * (k1 + 1.0) * w / (k1 + w)
+    }
+
+    def blockUb: Double = {
+      if (exhausted) return 0.0
+      val m = blocks(bi).max_wtf
+      weight * (k1 + 1.0) * m / (k1 + m)
     }
   }
 
@@ -115,13 +169,10 @@ object Wand {
   }
 
   /** WAND over one shard for one query. Returns shard-local canonical
-    * top-k candidates. */
-  private def wandOne(terms: Seq[(TermInfo, Array[BlockRow])], k: Int,
-      k1: Double, b: Double, avgdl: Double): Seq[Cand] = {
-    val cursors = terms
-      .map { case (ti, blocks) =>
-        new Cursor(blocks, ti.qtf * ti.idf, k1, b, avgdl) }
-      .filterNot(_.exhausted).toArray
+    * top-k candidates. Ranking-agnostic: any [[CursorBase]] family works
+    * (BM25 and BM25F serve through the same loop). */
+  private def wandOne(cursors0: Array[CursorBase], k: Int): Seq[Cand] = {
+    val cursors = cursors0.filterNot(_.exhausted)
     if (cursors.isEmpty) return Nil
     val heap = mutable.PriorityQueue.empty[Cand](worstFirst)
     def threshold: Double =
@@ -131,7 +182,7 @@ object Wand {
     while (live.nonEmpty) {
       live = live.filterNot(_.exhausted)
       if (live.nonEmpty) {
-        java.util.Arrays.sort(live, Ordering.by((c: Cursor) => c.doc))
+        java.util.Arrays.sort(live, Ordering.by((c: CursorBase) => c.doc))
         // pivot: first cursor where cumulative global UBs clear θ
         var acc = 0.0
         var p = -1
@@ -260,10 +311,70 @@ object Wand {
         val byTerm = blockIt.toArray.groupBy(_.term)
           .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
         queryIt.flatMap { sq =>
-          val present = sq.terms.flatMap(q =>
-            byTerm.get(q.term).map(bs => (TermInfo(q.qtf, q.idf), bs)))
+          val present: Array[CursorBase] = sq.terms.flatMap(q =>
+            byTerm.get(q.term).map(bs =>
+              new Cursor(bs, q.qtf * q.idf, k1, b, avgdl): CursorBase))
+            .toArray
           if (present.isEmpty) Iterator.empty
-          else wandOne(present, k, k1, b, avgdl).iterator
+          else wandOne(present, k).iterator
+            .map(c => (sq.query_id, c.doc, c.score))
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+
+    Bm25.topK(candidates, k)
+  }
+
+  /** Distributed block-max WAND over the BM25F serving index
+    * ([[graft.index.ServingIndex.fromPseudoTf]]) — same distributed query
+    * prep, shard cogroup, and exactness contract as [[search]], with the
+    * BM25F cursor family (field weighting and per-field length
+    * normalization are baked into the stored pseudo-tf, so serving needs
+    * only the idf table and k1). Tested rank-identical to
+    * [[Bm25F.search]].
+    *
+    * @param idf (term, idf) from [[Bm25F.idfTable]]
+    * @return (query_id, doc_id, score, rank) canonical top-k */
+  def searchF(blocks: Dataset[BlockRowF], idf: DataFrame,
+      queries: DataFrame, cfg: graft.analysis.TokenizerConfig,
+      k: Int = 100, k1: Double = 1.2, numShards: Int = -1): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+
+    val qtRaw = Bm25.queryTerms(queries, cfg)
+    val qAgg = qtRaw
+      .join(idf, Seq("term"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("term"), col("qtf"), col("idf")))
+        .as("terms"))
+    val relevant = blocks
+      .join(broadcast(qtRaw.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .as[BlockRowF]
+    val shardIds =
+      if (numShards > 0)
+        spark.range(numShards).select(col("id").cast("int").as("shard"))
+      else relevant.select(col("shard")).distinct()
+    val shardQueries = qAgg.crossJoin(broadcast(shardIds))
+      .select(col("shard"), col("query_id"), col("terms"))
+      .as[ShardQuery]
+
+    val candidates = relevant.groupByKey(_.shard)
+      .cogroup(shardQueries.groupByKey(_.shard)) { (shard, blockIt, queryIt) =>
+        if (numShards > 0 && shard >= numShards)
+          throw new IllegalArgumentException(
+            s"Wand.searchF: blocks contain shard id $shard but numShards=" +
+            s"$numShards — pass the ServingIndex's exact shard count " +
+            "(or numShards <= 0 to discover shards from the blocks)")
+        val byTerm = blockIt.toArray.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
+        queryIt.flatMap { sq =>
+          val present: Array[CursorBase] = sq.terms.flatMap(q =>
+            byTerm.get(q.term).map(bs =>
+              new CursorF(bs, q.qtf * q.idf, k1): CursorBase))
+            .toArray
+          if (present.isEmpty) Iterator.empty
+          else wandOne(present, k).iterator
             .map(c => (sq.query_id, c.doc, c.score))
         }
       }

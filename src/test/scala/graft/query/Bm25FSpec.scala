@@ -101,4 +101,38 @@ class Bm25FSpec extends SparkSpec {
       Map("body" -> Bm25F.Field(1.0, 0.75)), 10)
     assert(res.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("WAND serving path is rank-identical to the join path (scores to " +
+      "canonical rounding), blocks exercised past one per term") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val qs = queriesDf(("q1", "merge sort order"), ("q2", "hash window"),
+      ("q3", "the window partition"), ("q4", "customer vector stream"))
+    val fieldMap = Map("title" -> Bm25F.Field(2.0, 0.5),
+      "body" -> Bm25F.Field(1.0, 0.75))
+    val ft = IndexBuilder.tokenRows(docs, cfg).select(col("doc_id"),
+      when(col("pos") < 8, lit("title")).otherwise(lit("body")).as("field"),
+      col("term"))
+    val numDocs = docs.count()
+    val expect = Bm25F.search(ft, numDocs, qs, cfg, fieldMap, 50)
+      .select("query_id", "doc_id", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (math.floor(r.getDouble(2) * 1e6 + 0.5), r.getInt(3))).toMap
+    val pt = Bm25F.pseudoTf(ft, fieldMap)
+    // blockSize 16 forces multi-block terms so block skipping is real
+    val blocks = graft.index.ServingIndex.fromPseudoTf(pt, numShards = 4,
+      blockSize = 16)
+    val got = Wand.searchF(blocks, Bm25F.idfTable(pt, numDocs), qs, cfg,
+        k = 50, numShards = 4)
+      .select("query_id", "doc_id", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (math.floor(r.getDouble(2) * 1e6 + 0.5), r.getInt(3))).toMap
+    assert(got.keySet == expect.keySet,
+      s"doc sets differ: ${got.keySet.diff(expect.keySet)} vs " +
+        s"${expect.keySet.diff(got.keySet)}")
+    got.foreach { case (key, (score, rank)) =>
+      assert(rank == expect(key)._2, s"rank mismatch at $key")
+      assert(score == expect(key)._1, s"rounded score mismatch at $key")
+    }
+    assert(expect.nonEmpty)
+  }
 }
