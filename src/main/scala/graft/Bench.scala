@@ -187,7 +187,8 @@ object Bench {
     val nDocs = corpus(s, sfDir, synthDocs).count()
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
-      Seq("query_bm25_join", "query_wand", "query_bool", "rerank",
+      Seq("query_bm25_join", "query_wand", "query_bool",
+        "query_bm25f_wand", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "ann_brute", "ann_lsh", "decontaminate",
         "curate_code", "grep_substring", "clone_pairs",
@@ -220,6 +221,27 @@ object Bench {
     // boolean AND/NOT over the same cached index (serving query surface)
     results("query_bool") = timeWarm(graft.query.BooleanSearch.search(
       idx, Seq("merge", "sort"), Seq("window"), cfg, 100).count())._1
+
+    // BM25F serving path: pseudo-tf block build is index-time work
+    // (untimed, cached); the timed region is the query batch over the
+    // field-weighted block-max shards
+    locally {
+      val ft = graft.index.IndexBuilder.tokenRows(c, cfg)
+        .select(col("doc_id"),
+          when(col("pos") < 8, lit("title")).otherwise(lit("body"))
+            .as("field"),
+          col("term"))
+      val fieldMap = Map("title" -> graft.query.Bm25F.Field(2.0, 0.5),
+        "body" -> graft.query.Bm25F.Field(1.0, 0.75))
+      val pt = graft.query.Bm25F.pseudoTf(ft, fieldMap)
+      val fIdf = graft.query.Bm25F.idfTable(pt, idx.numDocs).cache()
+      val fBlocks = graft.index.ServingIndex
+        .fromPseudoTf(pt, numShards = cpus).cache()
+      fBlocks.count(); fIdf.count()
+      results("query_bm25f_wand") = timeWarm(graft.query.Wand.searchF(
+        fBlocks, fIdf, queries, cfg, 100, numShards = cpus).count())._1
+      fBlocks.unpersist(); fIdf.unpersist()
+    }
 
     // Rerank times the RE-SCORE PASS ALONE over a materialized shortlist
     // (the round-1 timed region re-ran the whole upstream BM25 job inside
