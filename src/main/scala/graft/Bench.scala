@@ -188,7 +188,7 @@ object Bench {
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
       Seq("query_bm25_join", "query_wand", "query_bool",
-        "query_bm25f_wand", "rerank",
+        "query_bm25f_wand", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "ann_brute", "ann_lsh", "decontaminate",
         "curate_code", "grep_substring", "clone_pairs",
@@ -221,6 +221,11 @@ object Bench {
     // boolean AND/NOT over the same cached index (serving query surface)
     results("query_bool") = timeWarm(graft.query.BooleanSearch.search(
       idx, Seq("merge", "sort"), Seq("window"), cfg, 100).count())._1
+
+    // pseudo-relevance feedback: the full two-pass loop (pass 1 top-10,
+    // feedback mining, weighted pass 2) — expected ~2x the join-path line
+    results("query_prf") = timeWarm(graft.query.Prf.search(
+      idx, queries, cfg, fbDocs = 10, fbTerms = 5, k = 100).count())._1
 
     // BM25F serving path: pseudo-tf block build is index-time work
     // (untimed, cached); the timed region is the query batch over the

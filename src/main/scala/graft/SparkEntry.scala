@@ -528,6 +528,25 @@ object SparkEntry {
       graft.query.Snippets.best(plans.ranked(s, dir), docs(s, dir),
         Bm25.queryTerms(QuerySet.df(s), cfg))),
 
+    // ---- pseudo-relevance feedback: two-pass retrieval — BM25 top-10
+    //      assumed relevant, their top-5 sum(tf)·idf terms (originals
+    //      excluded) rejoin the query at weight 0.5 ----
+    "q_prf" -> ((s, dir) =>
+      graft.query.Prf.search(plans.index(s, dir), QuerySet.df(s), cfg,
+        fbDocs = 10, fbTerms = 5, lambda = 0.5, k = TopK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- related-term mining: document-level co-occurrence ranked by
+    //      PMI over the posting lists (the "related searches" surface) ----
+    "q_related" -> ((s, dir) =>
+      graft.query.Related.terms(plans.index(s, dir),
+        Seq("merge", "sort", "window"), topM = 10, minCo = 2L)
+        .select(col("seed"), col("term"), col("n_co"),
+          graft.Canon.r(col("pmi"), 4).as("pmi"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- one-row index health summary (north_rule metrics surface) ----
     "q_index_stats" -> ((s, dir) =>
       IndexBuilder.summary(plans.index(s, dir))),
@@ -538,6 +557,10 @@ object SparkEntry {
       graft.query.Expansion.prefix(plans.index(s, dir), "st", k = TopK)
         .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
+
+    // ---- prefix autocomplete: top-10 completions by df (suggest) ----
+    "q_suggest" -> ((s, dir) =>
+      graft.query.Expansion.suggest(plans.index(s, dir), "s", m = 5)),
 
     // ---- fuzzy retrieval: vocabulary terms within 1 Levenshtein edit of
     //      the (misspelled) query term ----
@@ -1414,6 +1437,77 @@ object SparkEntry {
           |  FROM mscore)
           |WHERE rank <= 10""".stripMargin),
 
+      // pseudo-relevance feedback: first-pass ranked top-10 per query ->
+      // feedback terms by sum(tf)*idf (originals excluded, canonical
+      // floor key, tie term asc) -> weighted second BM25 pass (original
+      // qtf + 0.5-weighted expansion terms)
+      "q_prf" -> withCtes(coreCtes ++ Seq(scored, ranked(10),
+        """fbw AS (
+          |  SELECT r.query_id, p.term, sum(p.tf) * t.idf AS w
+          |  FROM ranked r JOIN postings p USING (doc_id)
+          |  JOIN termstats t ON t.term = p.term
+          |  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+          |    WHERE q.query_id = r.query_id AND q.term = p.term)
+          |  GROUP BY r.query_id, p.term, t.idf)""".stripMargin,
+        """fbsel AS (
+          |  SELECT query_id, term FROM (
+          |    SELECT query_id, term, row_number() OVER (
+          |      PARTITION BY query_id
+          |      ORDER BY floor(w * 1e6 + 0.5) DESC, term ASC) AS trk
+          |    FROM fbw)
+          |  WHERE trk <= 5)""".stripMargin,
+        """eterms AS (
+          |  SELECT query_id, term, CAST(qtf AS DOUBLE) AS w FROM qterms
+          |  UNION ALL SELECT query_id, term, 0.5 AS w FROM fbsel)""".stripMargin,
+        """pscored AS (
+          |  SELECT e.query_id, p.doc_id,
+          |    sum(e.w * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS score
+          |  FROM eterms e JOIN postings p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+          |  GROUP BY e.query_id, p.doc_id
+          |  HAVING sum(e.w * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |    > 0)""".stripMargin),
+        """SELECT query_id, doc_id,
+          |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank
+          |FROM (SELECT query_id, doc_id, score, row_number() OVER (
+          |    PARTITION BY query_id
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM pscored)
+          |WHERE rank <= 100""".stripMargin),
+
+      // related terms: doc-level co-occurrence counts vs the seed terms,
+      // PMI = ln(N*c / (df_s*df_t)), min co-count 2, top-10 per seed
+      "q_related" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        """seedpost AS (
+          |  SELECT term AS seed, doc_id FROM postings
+          |  WHERE term IN ('merge', 'sort', 'window'))""".stripMargin,
+        """rco AS (
+          |  SELECT s.seed, p.term, count(*) AS n_co
+          |  FROM postings p JOIN seedpost s USING (doc_id)
+          |  WHERE p.term <> s.seed
+          |  GROUP BY 1, 2
+          |  HAVING count(*) >= 2)""".stripMargin,
+        """pmis AS (
+          |  SELECT c.seed, c.term, c.n_co,
+          |    ln(CAST(s.n * c.n_co AS DOUBLE) /
+          |       CAST(ts.df * tt.df AS DOUBLE)) AS pmi
+          |  FROM rco c
+          |  JOIN termstats ts ON ts.term = c.seed
+          |  JOIN termstats tt ON tt.term = c.term
+          |  CROSS JOIN stats s)""".stripMargin),
+        """SELECT seed, term, n_co,
+          |  CAST(floor(pmi * 1e4 + 0.5) / 1e4 AS DOUBLE) AS pmi, rank
+          |FROM (SELECT seed, term, n_co, pmi, row_number() OVER (
+          |    PARTITION BY seed
+          |    ORDER BY floor(pmi * 1e6 + 0.5) DESC, term ASC) AS rank
+          |  FROM pmis)
+          |WHERE rank <= 10""".stripMargin),
+
       // snippets: same chunk-window definition as q_chunks, restricted to
       // each query's top-3 docs; best chunk = max query-term hits, tie to
       // the earliest chunk
@@ -1470,6 +1564,13 @@ object SparkEntry {
         termstats,
         expansionScore("p.term LIKE 'st%'")),
         expansionTail(TopK)),
+
+      // prefix autocomplete: top-5 's' completions by df, ties term asc
+      "q_suggest" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats),
+        """SELECT term, df FROM termstats
+          |WHERE term LIKE 's%'
+          |ORDER BY df DESC, term ASC LIMIT 5""".stripMargin),
 
       // fuzzy expansion: vocabulary terms within 1 edit of 'merje'
       "q_fuzzy" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,

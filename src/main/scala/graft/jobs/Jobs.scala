@@ -121,6 +121,9 @@ object BuildIndexJob {
   *                    dictionary; auto-discovered under --index when
   *                    BuildIndexJob ran with --trigrams true)
   *   --mode mlt       --seeds 10,20 [--expansion-terms 5]
+  *   --mode prf       --queries q.jsonl [--fb-docs 10] [--fb-terms 5]
+  *                    [--lambda 0.5]
+  *   --mode related   --seeds merge,sort [--top-m 10] [--min-co 2]
   *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
   *                    [--trigrams /idx/trigrams]  (pre-built postings;
   *                    auto-discovered under --index, else derived from
@@ -134,10 +137,20 @@ object SearchJob {
     val k = a.getOrElse("k", "100").toInt
     val idx = InvertedIndex.read(spark, s"${a("index")}/index")
     val mode = a.getOrElse("mode", "wand")
-    val batch = mode == "join" || mode == "wand"
+    val batch = mode == "join" || mode == "wand" || mode == "prf"
     val ranked = mode match {
       case "join" =>
         Bm25.search(idx, JobArgs.readQueries(spark, a("queries")), cfg, k)
+      case "prf" =>
+        graft.query.Prf.search(idx,
+          JobArgs.readQueries(spark, a("queries")), cfg,
+          fbDocs = a.getOrElse("fb-docs", "10").toInt,
+          fbTerms = a.getOrElse("fb-terms", "5").toInt,
+          lambda = a.getOrElse("lambda", "0.5").toDouble, k = k)
+      case "related" =>
+        graft.query.Related.terms(idx, a("seeds").split(",").toSeq,
+          topM = a.getOrElse("top-m", "10").toInt,
+          minCo = a.getOrElse("min-co", "2").toLong)
       case "wand" => Wand.search(
         ServingIndex.read(spark, s"${a("index")}/serving"),
         idx.termStats, idx.numDocs, idx.avgdl,

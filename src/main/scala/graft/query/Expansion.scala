@@ -37,6 +37,18 @@ object Expansion {
     searchExpanded(index,
       index.termStats.filter(col("term").startsWith(prefix)), k, p)
 
+  /** Prefix autocomplete: the top-m completions of `prefix` ranked by
+    * document frequency (the standard suggest ordering), ties term asc.
+    * A sarg-able range scan of the vocabulary-sized term-stat table plus
+    * a TakeOrderedAndProject — postings are never touched, so the cost
+    * is independent of corpus size given a persisted term table.
+    * @return (term, df) top-m. */
+  def suggest(index: InvertedIndex, prefix: String, m: Int = 10): DataFrame =
+    index.termStats.filter(col("term").startsWith(prefix))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(m)
+      .select(col("term"), col("df"))
+
   /** (term, trigram) dictionary postings — DISTINCT trigrams per term,
     * one narrow pass over the vocabulary. At scale, build once and
     * persist sorted/partitioned by `trigram` (BuildIndexJob --trigrams

@@ -1,0 +1,75 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.index.InvertedIndex
+
+/** Pseudo-relevance feedback (PRF) query expansion — the classic two-pass
+  * retrieval loop (Rocchio 1971; RM3, Lavrenko & Croft SIGIR'01): run the
+  * query, assume the top `fbDocs` results are relevant, mine their best
+  * terms, and re-run the query expanded with those terms at a reduced
+  * weight. The reference engine stops at single-pass BM25
+  * (src/bm25_search.py:171-224); this adds the feedback loop over the
+  * same index and the same scoring chain.
+  *
+  * Deterministic simplification of RM3 (no language-model smoothing):
+  * expansion term weight within a query's feedback set is
+  * `sum(tf over feedback docs) · idf`; the top `fbTerms` such terms (ties:
+  * term asc, canonical floor key) that are NOT already query terms join
+  * the second pass with weight `lambda`, while original terms keep their
+  * qtf multiplicity (weight = qtf). Both passes are the [[Bm25]] chain —
+  * the weighted second pass reuses [[Bm25.score]] verbatim with the
+  * weight standing in for qtf (score is linear in qtf by construction).
+  *
+  * Plan shape at scale: pass 1 is [[Bm25.search]] (broadcast query terms,
+  * one postings scan). Feedback mining joins the bounded
+  * (|queries| × fbDocs) result set BROADCAST against postings on doc_id —
+  * one scan, partial-agg groupBy of ~fbDocs·avgdl rows per query. The
+  * expanded term table is bounded (|queries| × (|q terms| + fbTerms)) and
+  * broadcasts into pass 2's single postings scan. Total: two postings
+  * scans, no large shuffle — the standard production PRF cost profile
+  * (2× first-pass latency).
+  */
+object Prf {
+
+  /** @param fbDocs  feedback depth (top docs assumed relevant per query)
+    * @param fbTerms expansion terms mined per query
+    * @param lambda  weight of each expansion term (original terms keep
+    *                weight = qtf)
+    * @return (query_id, doc_id, score, rank) — top-k of the expanded query. */
+  def search(index: InvertedIndex, queries: DataFrame, cfg: TokenizerConfig,
+      fbDocs: Int = 10, fbTerms: Int = 5, lambda: Double = 0.5,
+      k: Int = 100, p: Bm25.Params = Bm25.Params()): DataFrame = {
+    val qt = Bm25.queryTerms(queries, cfg, idCol = "query_id",
+      textCol = "question")
+    val first = Bm25.topK(Bm25.score(index, qt, p), fbDocs)
+      .select(col("query_id"), col("doc_id"))
+
+    // Feedback-term mining: postings of the (bounded, broadcast) feedback
+    // docs, weighted sum(tf)·idf per (query, term); original query terms
+    // excluded so the expansion is purely additive.
+    val fbw = index.postings
+      .join(broadcast(first), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).cast("long").as("ctf"))
+      .join(index.termStats.select(col("term"), col("idf")), Seq("term"))
+      .withColumn("w", col("ctf") * col("idf"))
+      .join(qt.select(col("query_id"), col("term")),
+        Seq("query_id", "term"), "left_anti")
+    val tw = Window.partitionBy(col("query_id"))
+      .orderBy(graft.Canon.rankKey(col("w")).desc, col("term").asc)
+    val expansion = fbw.withColumn("trk", row_number().over(tw))
+      .filter(col("trk") <= fbTerms)
+      .select(col("query_id"), col("term"), lit(lambda).as("qtf"))
+
+    // Pass 2: original terms at qtf, expansion terms at lambda, through
+    // the unchanged BM25 scoring chain (score is linear in qtf).
+    val expanded = qt
+      .select(col("query_id"), col("term"), col("qtf").cast("double"))
+      .unionByName(expansion)
+    Bm25.topK(Bm25.score(index, expanded, p), k)
+  }
+}

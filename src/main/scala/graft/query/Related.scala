@@ -1,0 +1,62 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.InvertedIndex
+
+/** Related-term mining: document-level co-occurrence scored by pointwise
+  * mutual information (Church & Hanks, Comp. Ling. 1990) — the association
+  * layer behind "related searches" / thesaurus-style query suggestion.
+  * The reference has no term-association surface; this derives one from
+  * the same posting lists (doc-frequency form: each posting row is one
+  * (term, doc) incidence, so co-occurrence counts need no positions).
+  *
+  * PMI(s, t) = ln( N · c(s,t) / (df_s · df_t) ) over the document event
+  * space: c(s,t) = #docs containing both, df from the standing term stats,
+  * N = corpus size. `minCo` suppresses the classic PMI low-count noise
+  * (a 1-in-N coincidence scores higher than a real collocation).
+  *
+  * Plan shape at scale: the seed postings are a term-predicate-pushdown
+  * scan (`term IN (...)`); the co-occurrence join is doc_id-equi against
+  * the postings table — one co-partitioned shuffle — and the count
+  * aggregates with map-side partials before the (seed, term) exchange.
+  * Cost is Σ_s df(s) · avgdl join rows, linear in the seeds' corpus
+  * footprint; callers bound the seed list (the serving case: one seed per
+  * suggestion slot). df lookups join the vocabulary-sized term stats,
+  * seed-side broadcast.
+  */
+object Related {
+
+  /** @param seeds  seed terms (already tokenizer-normalized)
+    * @param topM   related terms kept per seed
+    * @param minCo  minimum co-document count
+    * @return (seed, term, n_co, pmi, rank). */
+  def terms(index: InvertedIndex, seeds: Seq[String], topM: Int = 10,
+      minCo: Long = 2L): DataFrame = {
+    val seedPost = index.postings
+      .filter(col("term").isin(seeds: _*))
+      .select(col("term").as("seed"), col("doc_id"))
+    val co = index.postings.select(col("term"), col("doc_id"))
+      .join(seedPost, Seq("doc_id"))
+      .filter(col("term") =!= col("seed"))
+      .groupBy(col("seed"), col("term"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    val dfs = index.termStats.select(col("term"), col("df"))
+    val scored = co
+      .join(dfs.withColumnRenamed("term", "seed")
+        .withColumnRenamed("df", "df_s"), Seq("seed"))
+      .join(dfs.withColumnRenamed("df", "df_t"), Seq("term"))
+      .withColumn("pmi",
+        log((lit(index.numDocs) * col("n_co")).cast("double") /
+          (col("df_s") * col("df_t")).cast("double")))
+    val w = Window.partitionBy(col("seed"))
+      .orderBy(graft.Canon.rankKey(col("pmi")).desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topM)
+      .select(col("seed"), col("term"), col("n_co"), col("pmi"),
+        col("rank"))
+  }
+}

@@ -232,6 +232,21 @@ class PlanSpec extends SparkSpec {
       s"MLT scoring must not shuffle the postings:\n$p")
   }
 
+  test("PRF keeps both passes broadcast: postings never join-shuffled") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(graft.query.Prf.search(idx, QuerySet.df(spark), cfg))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"PRF must broadcast the bounded query/feedback sides:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PRF:\n$p")
+  }
+
+  test("related-term mining co-partitions on doc_id: no CartesianProduct") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(graft.query.Related.terms(idx, Seq("merge", "sort")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in Related:\n$p")
+  }
+
   test("code-curation scanners are narrow map-only passes: no Exchange, no UDF") {
     import graft.ops.CodeCuration
     for (df <- Seq(CodeCuration.secretScan(docs), CodeCuration.redact(docs),

@@ -82,6 +82,24 @@ class JobsSpec extends SparkSpec {
     assert(mlt.count() > 0)
     assert(mlt.columns.contains("seed_doc"))
 
+    // prf is a batch mode: re-use the ranked-output shape of join/wand
+    val queries = s"$work/q.jsonl"
+    Files.writeString(java.nio.file.Paths.get(queries),
+      """{"query_id": "j1", "question": "merge join"}""")
+    SearchJob.main(Array("--index", s"$work/idx", "--queries", queries,
+      "--output", s"$work/pf", "--mode", "prf", "--fb-docs", "5",
+      "--fb-terms", "3", "--keep-session", "true"))
+    val pf = ranked(s"$work/pf")
+    assert(pf.count() > 0)
+    assert(pf.columns.toSet == Set("query_id", "doc_id", "score", "rank"))
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/r",
+      "--mode", "related", "--seeds", "merge,sort", "--keep-session",
+      "true"))
+    val rel = ranked(s"$work/r")
+    assert(rel.count() > 0)
+    assert(rel.columns.toSet == Set("seed", "term", "n_co", "pmi", "rank"))
+
     // grep needs the corpus (texts), not the inverted index
     SearchJob.main(Array("--index", s"$work/idx", "--corpus", corpus,
       "--output", s"$work/g", "--mode", "grep", "--pattern", "the",

@@ -131,6 +131,18 @@ class SearchOpsSpec extends SparkSpec {
     assert(Expansion.prefix(idx, "zzz").isEmpty)
   }
 
+  test("suggest ranks completions by df then term, postings untouched") {
+    import spark.implicits._
+    // th* terms all have df 1 -> pure term-asc order decides
+    val th = Expansion.suggest(idx, "th", m = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(th == Seq(("them", 1L), ("then", 1L), ("there", 1L)), s"$th")
+    // sort (df 2) beats any df-1 term sharing the prefix
+    val so = Expansion.suggest(idx, "s", m = 1).as[(String, Long)].head()
+    assert(so == ("sort", 2L), s"$so")
+    assert(Expansion.suggest(idx, "zzz", m = 5).isEmpty)
+  }
+
   test("fuzzy expansion matches within the edit budget, multi-term included") {
     import spark.implicits._
     val d2 = Seq((1L, "merge sort"), (2L, "marge things"), (3L, "verge here"),
@@ -143,6 +155,60 @@ class SearchOpsSpec extends SparkSpec {
     val strict = Expansion.fuzzy(i2, "merge", maxDist = 0)
       .collect().map(_.getLong(0)).toSet
     assert(strict == Set(1L), s"got $strict")
+  }
+
+  test("PRF expands past the first pass and weights expansion terms") {
+    import spark.implicits._
+    val qs = Seq((1L, "bubble")).toDF("query_id", "question")
+    // pass 1: only doc 1 contains "bubble"
+    val first = Bm25.search(idx, qs, cfg).select("doc_id")
+      .as[Long].collect().toSet
+    assert(first == Set(1L), s"first pass: $first")
+    // feedback terms from doc 1 by sum(tf)*idf, originals excluded:
+    // sort (tf 2 * idf ln 2.8) > beats (ln 14/3) > merge (ln 14/11);
+    // fbTerms = 2 keeps {sort, beats} at weight 0.5
+    val prf = Prf.search(idx, qs, cfg, fbDocs = 10, fbTerms = 2,
+      lambda = 0.5, k = 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect()
+    val byDoc = prf.map(r => r._1 -> r._2).toMap
+    assert(byDoc.contains(2L),
+      s"doc 2 (sort, no bubble) must enter via expansion: ${byDoc.keySet}")
+    assert(prf.minBy(_._3)._1 == 1L, "the bubble doc still ranks first")
+    // doc 2 matches only the expansion term "sort" -> its PRF score is
+    // exactly lambda * the plain-BM25 score of query "sort" on doc 2
+    val sortOnly = Bm25.score(idx,
+      Bm25.queryTerms(Seq((9L, "sort")).toDF("query_id", "question"), cfg))
+      .filter(col("doc_id") === 2L).select("score").as[Double].head()
+    assert(math.abs(byDoc(2L) - 0.5 * sortOnly) < 1e-12,
+      s"${byDoc(2L)} vs ${0.5 * sortOnly}")
+  }
+
+  test("related terms rank by PMI with exact co-document counts") {
+    import spark.implicits._
+    val res = Related.terms(idx, Seq("merge"), topM = 20, minCo = 1L)
+      .select("term", "n_co", "pmi", "rank")
+      .as[(String, Long, Double, Int)].collect()
+    val byTerm = res.map(r => r._1 -> r).toMap
+    // merge is in docs 1,2,3,4,6 (df 5, N 6): order co-occurs in 3,
+    // sort in 2; d5-only terms never co-occur and must be absent
+    assert(byTerm("order")._2 == 3L && byTerm("sort")._2 == 2L,
+      s"co counts: ${byTerm.view.mapValues(_._2).toMap}")
+    assert(!byTerm.contains("merge"), "seed must not relate to itself")
+    assert(!byTerm.contains("nothing") && !byTerm.contains("relevant"))
+    // PMI(merge, order) = ln(N*c/(df_s*df_t)) = ln(6*3/(5*3)) = ln 1.2
+    assert(math.abs(byTerm("order")._3 - math.log(6.0 * 3 / (5 * 3)))
+      < 1e-12)
+    // "here" co-occurs once but also lives in doc 5 -> negative PMI
+    assert(byTerm("here")._3 < 0, s"here pmi: ${byTerm("here")._3}")
+    // every full-overlap term (df = co count) ties at ln 1.2 -> rank 1 is
+    // term-ascending: "and" (doc 3 only, co 1, df 1) sorts first
+    assert(res.minBy(_._4)._1 == "and", s"rank1: ${res.minBy(_._4)._1}")
+    assert(math.abs(res.minBy(_._4)._3 - math.log(1.2)) < 1e-12)
+    // minCo filter drops the singletons
+    val capped = Related.terms(idx, Seq("merge"), topM = 20, minCo = 2L)
+      .select("term").as[String].collect().toSet
+    assert(capped == Set("order", "sort", "words"), s"minCo 2: $capped")
   }
 
   test("decontamination flags exactly the docs sharing an n-gram with eval") {
