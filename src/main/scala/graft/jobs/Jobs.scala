@@ -125,6 +125,7 @@ object BuildIndexJob {
   *                    [--lambda 0.5]
   *   --mode related   --seeds merge,sort [--top-m 10] [--min-co 2]
   *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
+  *   --mode regex     --corpus corpus.parquet --pattern "malloc|calloc"
   *                    [--trigrams /idx/trigrams]  (pre-built postings;
   *                    auto-discovered under --index, else derived from
   *                    the corpus on the fly)
@@ -197,6 +198,17 @@ object SearchJob {
           .map(spark.read.parquet(_))
           .getOrElse(graft.query.Grep.trigramPostings(corpus))
         graft.query.Grep.search(posting, corpus,
+          Seq(("q0", a("pattern"))).toDF("query_id", "pattern"))
+          .orderBy(col("doc_id").asc).limit(k)
+      case "regex" =>
+        import spark.implicits._
+        val corpus = spark.read.parquet(a("corpus"))
+        val posting = a.get("trigrams")
+          .orElse(Some(s"${a("index")}/trigrams") // BuildIndexJob --trigrams
+            .filter(p => new java.io.File(p).isDirectory))
+          .map(spark.read.parquet(_))
+          .getOrElse(graft.query.Grep.trigramPostings(corpus))
+        graft.query.RegexSearch.search(posting, corpus,
           Seq(("q0", a("pattern"))).toDF("query_id", "pattern"))
           .orderBy(col("doc_id").asc).limit(k)
       case other => sys.error(s"unknown --mode $other")

@@ -1,0 +1,101 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regex search over a code corpus via the character-trigram index — the
+  * query mode that completes the [[Grep]] layer (exact substrings) into
+  * the full Google-Code-Search surface.
+  *
+  * Beyond the reference (`src/bm25_search.py` ranks whole-token BM25
+  * matches; it can express neither `foo_[a-z]+\(` nor `malloc|calloc`):
+  * regex is THE code-search query language, and a 100 TB corpus cannot
+  * run `regexp_like(text, pattern)` over every document per query.
+  * [[RegexCompile]] turns each pattern into requirement groups — AND of
+  * OR-of-literal-alternatives that every match must contain — so the
+  * trigram posting lists prune the corpus to a candidate set and the
+  * real regex engine verifies only that bounded slice. The prefilter is
+  * a superset by construction: results are EXACTLY the brute-force scan.
+  *
+  * Scale shape: patterns compile executor-side (a UDF over the tiny
+  * query set — regex AST analysis is not expressible in Catalyst), the
+  * requirement rows broadcast into the postings scan, candidates
+  * aggregate map-side, and the verify touches only candidate documents.
+  * Patterns with no extractable requirement (`.*`, `a|b.`, unsupported
+  * syntax) take the full verify scan EXPLICITLY — same disclosed
+  * fallback as [[Grep]]'s sub-trigram literals.
+  */
+object RegexSearch {
+
+  /** Requirement groups per pattern; null marks the full-scan fallback. */
+  private val compileUdf =
+    udf((p: String) => RegexCompile.compile(p).orNull)
+
+  /** Regex search of `patterns` (query_id, pattern) against `docs`
+    * (doc_id, text) using `postings` from [[Grep.trigramPostings]].
+    * Returns (query_id, doc_id, first_match) — identical rows to
+    * [[bruteForce]], at trigram-pruned cost for indexable patterns. */
+  def search(postings: DataFrame, docs: DataFrame,
+      patterns: DataFrame): DataFrame = {
+    val pats = patterns
+      .select(col("query_id"), col("pattern"),
+        compileUdf(col("pattern")).as("groups"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+
+    val idxPats = pats.filter(col("groups").isNotNull)
+    // Requirement rows: (query, AND-group, OR-alternative, trigram). An
+    // alternative is satisfied when ALL its trigrams hit; a group when
+    // ANY alternative is; a query when ALL groups are. O(queries ×
+    // pattern-length) rows — broadcast into the postings probe.
+    val req = idxPats
+      .select(col("query_id"), posexplode(col("groups")))
+      .withColumnsRenamed(Map("pos" -> "group_id", "col" -> "alts"))
+      .select(col("query_id"), col("group_id"), posexplode(col("alts")))
+      .withColumnsRenamed(Map("pos" -> "alt_id", "col" -> "alt"))
+      .select(col("query_id"), col("group_id"), col("alt_id"),
+        size(array_distinct(Grep.trigrams(col("alt")))).as("n_alt_tri"),
+        explode(array_distinct(Grep.trigrams(col("alt")))).as("trigram"))
+    val nGroups = idxPats
+      .select(col("query_id"), size(col("groups")).as("n_groups"))
+
+    val candidates = postings
+      .join(broadcast(req), Seq("trigram"))
+      .groupBy(col("query_id"), col("doc_id"), col("group_id"),
+        col("alt_id"), col("n_alt_tri"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_alt_tri")) // alternative satisfied
+      .select(col("query_id"), col("doc_id"), col("group_id")).distinct()
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("g_hit")) // distinct by construction
+      .join(broadcast(nGroups), Seq("query_id"))
+      .filter(col("g_hit") === col("n_groups")) // all groups satisfied
+      .select(col("query_id"), col("doc_id"))
+
+    val verifiedIdx = candidates
+      .join(corpus, Seq("doc_id"))
+      .join(broadcast(idxPats.select(col("query_id"), col("pattern"))),
+        Seq("query_id"))
+      .filter(expr("regexp_like(text, pattern)"))
+
+    // Un-indexable patterns: the full verify scan is the honest cost and
+    // is taken explicitly (and only when such patterns exist).
+    val scanPats = pats.filter(col("groups").isNull)
+      .select(col("query_id"), col("pattern"))
+    val verifiedScan = corpus
+      .crossJoin(broadcast(scanPats))
+      .filter(expr("regexp_like(text, pattern)"))
+
+    verifiedIdx.unionByName(verifiedScan)
+      .select(col("query_id"), col("doc_id"),
+        expr("regexp_extract(text, pattern, 0)").as("first_match"))
+  }
+
+  /** Reference brute force: one regex pass over every (query, doc) pair.
+    * Spec-only — the exactness witness for [[search]]. */
+  def bruteForce(docs: DataFrame, patterns: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .crossJoin(patterns.select(col("query_id"), col("pattern")))
+      .filter(expr("regexp_like(text, pattern)"))
+      .select(col("query_id"), col("doc_id"),
+        expr("regexp_extract(text, pattern, 0)").as("first_match"))
+}

@@ -270,6 +270,19 @@ class PlanSpec extends SparkSpec {
       s"patterns >= one trigram must never touch all (query x doc) pairs:\n$p")
   }
 
+  test("regex search probes the trigram postings via broadcast; no " +
+      "CartesianProduct for indexable patterns") {
+    import spark.implicits._
+    val pats = Seq(("p1", "merge .* sort"), ("p2", "wor(d|k)s here"))
+      .toDF("query_id", "pattern")
+    val p = plan(graft.query.RegexSearch.search(
+      graft.query.Grep.trigramPostings(docs), docs, pats))
+    assert(p.contains("BroadcastHashJoin"),
+      s"requirement groups must broadcast into the postings scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"indexable patterns must never touch all (query x doc) pairs:\n$p")
+  }
+
   test("clone-pair mining and PageRank never materialize an unbounded " +
       "cartesian") {
     import spark.implicits._

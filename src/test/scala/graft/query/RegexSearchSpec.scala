@@ -1,0 +1,120 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** Regex search over the trigram index: the compiler must extract SOUND
+  * requirement groups (never drop a match) and the index path must
+  * reproduce the brute-force regexp scan exactly — candidates are a
+  * superset by construction, verification makes them exact. */
+class RegexSearchSpec extends SparkSpec {
+
+  // ---- RegexCompile extraction (pure, no Spark) ----
+
+  test("literal runs, classes, and products compile to exact groups") {
+    assert(RegexCompile.compile("merge batch") ===
+      Some(Seq(Seq("merge batch"))))
+    assert(RegexCompile.compile("wind[eo]w") ===
+      Some(Seq(Seq("windew", "window"))))
+    assert(RegexCompile.compile("cat|dog") === Some(Seq(Seq("cat", "dog"))))
+    assert(RegexCompile.compile("(stream|vector) table") ===
+      Some(Seq(Seq("stream table", "vector table"))))
+    assert(RegexCompile.compile("quer(y|ies) (fast|slow)") ===
+      Some(Seq(Seq("queries fast", "queries slow",
+        "query fast", "query slow"))))
+  }
+
+  test("gaps split into AND groups; breakers flush the literal run") {
+    assert(RegexCompile.compile("sort .* window") ===
+      Some(Seq(Seq("sort "), Seq(" window"))))
+    // `.` consumes an unknown char: the run before it is too short to
+    // prune, the run after carries the requirement
+    assert(RegexCompile.compile("ha.h value") === Some(Seq(Seq("h value"))))
+    // first copy of e+ extends the run (gro+up requires "gro")
+    assert(RegexCompile.compile("gro+up") === Some(Seq(Seq("gro"))))
+    // anchors are zero-width: they must NOT break the run
+    assert(RegexCompile.compile("^key agg$") === Some(Seq(Seq("key agg"))))
+    // bounded repetition with a small finite language stays exact
+    assert(RegexCompile.compile("ab{2}c") === Some(Seq(Seq("abbc"))))
+  }
+
+  test("unprunable or unsupported patterns fall back (None), never lie") {
+    assert(RegexCompile.compile(".*").isEmpty)
+    assert(RegexCompile.compile("(merge)?").isEmpty) // can match ""
+    assert(RegexCompile.compile("big|a").isEmpty) // one short branch
+    assert(RegexCompile.compile("a.b").isEmpty) // runs all < 3 chars
+    assert(RegexCompile.compile("(?=x)abc").isEmpty) // lookahead
+    assert(RegexCompile.compile("(a)\\1").isEmpty) // backreference
+    assert(RegexCompile.compile("ab(").isEmpty) // invalid syntax
+  }
+
+  test("sound under negated classes, shorthands, and lazy quantifiers") {
+    // [^x] and \w consume one char from a large set: run breakers
+    assert(RegexCompile.compile("abc[^x]def") ===
+      Some(Seq(Seq("abc"), Seq("def"))))
+    assert(RegexCompile.compile("foo\\w+bar") ===
+      Some(Seq(Seq("foo"), Seq("bar"))))
+    // \b is ZERO-width but must still break the run — "foo\bbar" never
+    // matches "foobar", but extraction may not claim "foobar" either
+    assert(RegexCompile.compile("foo\\bbar") ===
+      Some(Seq(Seq("foo"), Seq("bar"))))
+    // lazy quantifiers match the same language as greedy ones
+    assert(RegexCompile.compile("sort .*? window") ===
+      Some(Seq(Seq("sort "), Seq(" window"))))
+  }
+
+  // ---- index path == brute force ----
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "def merge_sort(xs): return sorted(xs)"),
+      (2L, "val mergeSort = (xs: List[Int]) => xs.sorted"),
+      (3L, "quick brown fox window table"),
+      (4L, "group by key agg value"),
+      (5L, "sort the rows then window the sort"),
+      (6L, "ab"),
+      (7L, "stream table vector table query fast")).toDF("doc_id", "text")
+  }
+
+  private def run(pats: Seq[(String, String)]) = {
+    import spark.implicits._
+    val p = pats.toDF("query_id", "pattern")
+    val got = RegexSearch
+      .search(Grep.trigramPostings(docs), docs, p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val want = RegexSearch.bruteForce(docs, p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    (got, want)
+  }
+
+  test("index path == brute force across indexable, fallback, and " +
+      "zero-hit patterns") {
+    val (got, want) = run(Seq(
+      "r1" -> "merge_sort\\(", // literal with escaped metachar
+      "r2" -> "wind[eo]w", // class expansion
+      "r3" -> "sort .* window", // two AND groups across a gap
+      "r4" -> "(stream|vector) table", // alternation product
+      "r5" -> "gro+up", // plus extends the run
+      "r6" -> "^def ", // anchored
+      "r7" -> "zz+top", // prunable but zero hits
+      "r8" -> "big|a", // unprunable: full-scan fallback
+      "r9" -> "xs\\b")) // word boundary (fallback-side breaker)
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.contains(("r1", 1L, "merge_sort(")),
+      "escaped metachar must match literally")
+    assert(want.exists(t => t._1 == "r3" && t._2 == 5L),
+      "gap pattern must match across the .* span")
+    assert(!want.exists(_._1 == "r7"), "absent pattern matches nothing")
+    assert(want.count(_._1 == "r8") > 0,
+      "fallback patterns still verify over the full corpus")
+  }
+
+  test("greedy first_match agrees between index and scan legs") {
+    val (got, want) = run(Seq("g1" -> "sort .* window"))
+    assert(got == want)
+    // greedy .* spans to the LAST ' window' occurrence in doc 5
+    assert(want.contains(("g1", 5L, "sort the rows then window")))
+  }
+}
