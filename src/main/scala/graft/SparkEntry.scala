@@ -89,6 +89,29 @@ object SparkEntry {
           substring(col("text"), 21, 12).as("pattern"))
         .filter(length(col("pattern")) === 12)
 
+    /** Fixed regex query set over the corpus vocabulary — one pattern per
+      * compiler path: exact literal, char class, gap AND-groups (`.*`),
+      * alternation product, plus-extension, any-char break, anchor, a
+      * zero-hit pattern, and the disclosed full-scan fallback (`big|a`
+      * has a trigram-free branch). Shared verbatim with the oracle's
+      * VALUES CTE. No backslash escapes: Java and RE2 must agree. */
+    val regexPatternList: Seq[(String, String)] = Seq(
+      "r1" -> "merge batch",
+      "r2" -> "wind[eo]w table",
+      "r3" -> "sort .* window",
+      "r4" -> "(stream|vector) table",
+      "r5" -> "quer(y|ies) (fast|slow)",
+      "r6" -> "gro+up",
+      "r7" -> "ha.h value",
+      "r8" -> "^key agg",
+      "r9" -> "zz+top",
+      "r10" -> "big|a")
+
+    def regexPatterns(s: SparkSession): DataFrame = {
+      import s.implicits._
+      regexPatternList.toDF("query_id", "pattern")
+    }
+
     /** Corpus with deterministically injected secrets/PII (mirrors
       * OracleSql.scanCorpus) so the scanners have real hits to find:
       * AWS-shaped key (md5-derived, upper-hex ⊂ [0-9A-Z]), email, IPv4,
@@ -418,6 +441,17 @@ object SparkEntry {
           graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- similarity: int8 scalar-quantized cosine top-10 — the
+    //      serving-memory path (1 byte/dim, integer dot products; the
+    //      per-vector scale cancels in cosine). All arithmetic is exact
+    //      small-integer, so scores are bit-identical cross-engine ----
+    "q_ann_quant" -> ((s, dir) =>
+      Similarity.quantizedTopK(embeddings(s, dir),
+          col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"),
+          graft.Canon.r(col("cosine"), 4).as("cosine"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
@@ -562,6 +596,18 @@ object SparkEntry {
     "q_suggest" -> ((s, dir) =>
       graft.query.Expansion.suggest(plans.index(s, dir), "s", m = 5)),
 
+    // ---- did-you-mean: batch noisy-channel spelling correction —
+    //      candidates within 1 edit rank by (distance, df desc, term);
+    //      an exact vocabulary hit ranks itself at distance 0. Mixed
+    //      term lengths exercise both the trigram-probe leg and the
+    //      disclosed short-term vocabulary-scan leg ----
+    "q_didyoumean" -> ((s, dir) => {
+      import s.implicits._
+      graft.query.Expansion.didYouMean(plans.index(s, dir),
+        Seq("windoq", "custmer", "merje", "qery", "sort").toDF("query_term"),
+        maxDist = 1, m = 3)
+    }),
+
     // ---- fuzzy retrieval: vocabulary terms within 1 Levenshtein edit of
     //      the (misspelled) query term ----
     "q_fuzzy" -> ((s, dir) =>
@@ -578,6 +624,17 @@ object SparkEntry {
       val d = docs(s, dir)
       graft.query.Grep.search(graft.query.Grep.trigramPostings(d), d,
         plans.grepPatterns(s, dir))
+    }),
+
+    // ---- regex search: patterns compile to trigram requirement groups
+    //      (the Google-Code-Search recipe), candidates come from the
+    //      posting lists, and regexp_like verifies only the pruned slice
+    //      — result ≡ the brute-force regex scan; un-indexable patterns
+    //      take the disclosed full-scan leg ----
+    "q_regex" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.query.RegexSearch.search(graft.query.Grep.trigramPostings(d),
+        d, plans.regexPatterns(s))
     }),
 
     // ---- ctags layer: flat symbol table (def/class/module/import) via
@@ -1147,6 +1204,33 @@ object SparkEntry {
           |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
 
+      // int8 scalar quantization: q = floor(v*127/max|v| + 0.5); the
+      // quantized values are exact small integers in both engines, so
+      // dot/norms/cosine are bit-identical doubles with no rounding risk
+      "q_ann_quant" -> withCtes(Seq(embeddingExploded,
+        "qmx AS (SELECT vec_id, max(abs(v)) AS mx FROM e GROUP BY 1)",
+        """eq AS (
+          |  SELECT e.vec_id, e.dim,
+          |    CASE WHEN m.mx > 0 THEN floor(e.v * 127.0 / m.mx + 0.5)
+          |      ELSE 0 END AS qv8
+          |  FROM e JOIN qmx m USING (vec_id))""".stripMargin,
+        "qq AS (SELECT vec_id AS query_vec, dim, qv8 AS qqv FROM eq" +
+          " WHERE vec_id % 100 = 0)",
+        """agg AS (
+          |  SELECT q.query_vec, e.vec_id, sum(q.qqv * e.qv8) AS dot,
+          |    sqrt(sum(e.qv8 * e.qv8)) AS dn, sqrt(sum(q.qqv * q.qqv)) AS qn
+          |  FROM qq q JOIN eq e USING (dim) GROUP BY 1, 2)""".stripMargin,
+        """cosined AS (
+          |  SELECT query_vec, vec_id,
+          |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
+          |      AS cosine
+          |  FROM agg)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(floor(cosine * 1e4 + 0.5) / 1e4
+          |  AS DOUBLE) AS cosine, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
+          |WHERE rank <= 10""".stripMargin),
+
       "q_ann_lsh" -> withCtes(Seq(embeddingExploded) ++ lshBucketCtes ++ Seq(
         "qb AS (SELECT vec_id AS query_vec, bucket, dim, v AS qv FROM eb" +
           " WHERE vec_id % 100 = 0)",
@@ -1578,6 +1662,23 @@ object SparkEntry {
         expansionScore("levenshtein(p.term, 'merje') <= 1")),
         expansionTail(TopK)),
 
+      // did-you-mean: brute-force noisy-channel oracle — every vocabulary
+      // term within 1 edit, ranked by (distance, df DESC, term)
+      "q_didyoumean" -> withCtes(Seq(tokArrays, toks, doclen, postings,
+        stats, termstats,
+        "dym_q(query_term) AS (VALUES ('windoq'), ('custmer')," +
+          " ('merje'), ('qery'), ('sort'))"),
+        """SELECT query_term, term, dist, df, rank FROM (
+          |  SELECT query_term, term, dist, df, row_number() OVER (
+          |    PARTITION BY query_term
+          |    ORDER BY dist ASC, df DESC, term ASC) AS rank
+          |  FROM (SELECT q.query_term, t.term,
+          |      CAST(levenshtein(q.query_term, t.term) AS BIGINT) AS dist,
+          |      t.df
+          |    FROM dym_q q JOIN termstats t
+          |      ON levenshtein(q.query_term, t.term) <= 1))
+          |WHERE rank <= 3""".stripMargin),
+
       // grep: the oracle is the BRUTE-FORCE substring scan — the trigram
       // index path must reproduce it exactly (candidate superset +
       // verification). Patterns are 12-char slices of every 23rd doc.
@@ -1592,6 +1693,20 @@ object SparkEntry {
           |  CAST(strpos(d.text, q.pattern) AS BIGINT) AS match_pos
           |FROM grep_pats q JOIN documents d
           |  ON strpos(d.text, q.pattern) > 0""".stripMargin),
+
+      // regex search: the oracle is the BRUTE-FORCE regexp scan — the
+      // trigram-compiled index path must reproduce it exactly. Pattern
+      // strings are shared verbatim with plans.regexPatterns; both
+      // engines run leftmost-first greedy matching (Java regex / RE2
+      // default) so first_match agrees byte-for-byte.
+      "q_regex" -> withCtes(Seq(
+        "regex_pats(query_id, pattern) AS (VALUES " +
+          plans.regexPatternList
+            .map { case (q, p) => s"('$q', '$p')" }.mkString(", ") + ")"),
+        """SELECT q.query_id, d.doc_id,
+          |  regexp_extract(d.text, q.pattern, 0) AS first_match
+          |FROM regex_pats q JOIN documents d
+          |  ON regexp_matches(d.text, q.pattern)""".stripMargin),
 
       // ctags layer: flat symbol table over the code-construct corpus
       "q_symbols" -> withCtes(Seq(moduleCorpus, codeSymbols),

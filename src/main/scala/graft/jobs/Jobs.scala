@@ -117,6 +117,7 @@ object BuildIndexJob {
   *   --mode proximity --terms merge,order [--window 5]
   *   --mode prefix    --prefix mer
   *   --mode fuzzy     --term merje [--max-dist 1]
+  *   --mode didyoumean --terms windoq,qery [--max-dist 1] [--top-m 3]
   *                    [--term-trigrams /idx/term_trigrams]  (pre-built
   *                    dictionary; auto-discovered under --index when
   *                    BuildIndexJob ran with --trigrams true)
@@ -184,6 +185,19 @@ object SearchJob {
               Some(spark.read.parquet(p))
             else None
           })
+      case "didyoumean" =>
+        import spark.implicits._
+        graft.query.Expansion.didYouMean(idx,
+          a("terms").split(",").toSeq.toDF("query_term"),
+          maxDist = a.getOrElse("max-dist", "1").toInt,
+          m = a.getOrElse("top-m", "3").toInt,
+          trigramDict = a.get("term-trigrams").map(spark.read.parquet(_))
+            .orElse {
+              val p = s"${a("index")}/term_trigrams"
+              if (new java.io.File(p).isDirectory)
+                Some(spark.read.parquet(p))
+              else None
+            })
       case "mlt" =>
         val seeds = a("seeds").split(",").map(_.toLong).toSeq
         graft.query.MoreLikeThis.search(idx,

@@ -195,6 +195,51 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Per-vector symmetric int8 scalar quantization — the memory story
+    * for vector serving at corpus scale: 1 byte/dim instead of 8 (the
+    * 64-dim table drops 8×; a 100 TB float corpus serves from 12.5 TB),
+    * and the dot product becomes exact small-integer arithmetic.
+    *
+    * q_i = floor(v_i · 127 / max|v| + 0.5) ∈ [-127, 127]; the per-vector
+    * scale CANCELS in cosine, so quantized cosine approximates the float
+    * cosine with no rescaling at query time. Every step (mul, div,
+    * floor, integer sums) is IEEE-exact and order-independent, so the
+    * quantized scores are bit-identical across engines and partitionings
+    * — no Canon rounding needed anywhere before the final display round.
+    *
+    * @return (vec_id, qemb: array<tinyint>, qn: double) — narrow, one
+    *         row per vector; persist this table as the serving copy. */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val emb = transform(col("embedding"), _.cast("double"))
+    embeddings
+      .select(col("vec_id"), emb.as("emb"),
+        aggregate(emb, lit(0.0), (acc, x) => greatest(acc, abs(x))).as("mx"))
+      .select(col("vec_id"),
+        transform(col("emb"), x =>
+          when(col("mx") > 0.0, floor(x * 127.0 / col("mx") + 0.5))
+            .otherwise(0.0).cast("tinyint")).as("qemb"))
+      .withColumn("qn", sqrt(aggregate(col("qemb"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x.cast("long")).cast("double")))
+  }
+
+  /** Integer-dot cosine top-k over the quantized table — the int8
+    * serving path ([[bruteForceTopK]]'s shape at 1/8 the bytes; compose
+    * with [[buckets]]/[[ivfAssignments]] for the candidate-pruned form). */
+  def quantizedTopK(embeddings: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
+    val qz = quantize(embeddings)
+    val q = qz.filter(queryPred).select(col("vec_id").as("query_vec"),
+      col("qemb").as("qq"), col("qn").as("qqn"))
+    val agg = qz.crossJoin(broadcast(q))
+      .withColumn("idot", aggregate(
+        zip_with(col("qq"), col("qemb"),
+          (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("cosine",
+        cosine(col("idot").cast("double"), col("qn"), col("qqn")))
+    rankTopK(agg, k)
+  }
+
   /** LSH-bucketed ANN: cosine top-k within the query's bucket only. */
   def lshTopK(embeddings: DataFrame, queryPred: Column,
       k: Int, numPlanes: Int = 8): DataFrame = {

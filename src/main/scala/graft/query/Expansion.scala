@@ -99,6 +99,62 @@ object Expansion {
     searchExpanded(index, expanded, k, p)
   }
 
+  /** Did-you-mean: batch noisy-channel spelling correction. For every
+    * input term, vocabulary candidates within `maxDist` edits rank by
+    * (edit distance asc, df desc, term asc) — closest first, corpus
+    * frequency as the channel prior, term as the deterministic tiebreak.
+    * An exactly-spelled term ranks itself at distance 0 ("no correction
+    * needed" is a first-class answer).
+    *
+    * Plan shape: terms long enough for the shared-trigram bound to prune
+    * (|trigrams(q)| − 3·maxDist ≥ 1) probe the same trigram dictionary
+    * as [[fuzzy]]; shorter terms take the disclosed vocabulary-scan leg
+    * (few-terms × vocabulary — bounded, and the 3·maxDist bound genuinely
+    * cannot prune them). Levenshtein runs only as a confirm.
+    *
+    * @param queryTerms one string column `query_term`
+    * @return (query_term, term, dist, df, rank) top-m per input term */
+  def didYouMean(index: InvertedIndex, queryTerms: DataFrame,
+      maxDist: Int = 1, m: Int = 3,
+      trigramDict: Option[DataFrame] = None): DataFrame = {
+    val q = queryTerms
+      .select(col("query_term"),
+        array_distinct(Grep.trigrams(col("query_term"))).as("qtris"))
+      .withColumn("n_q", size(col("qtris")))
+    val minSharedOk = col("n_q") - lit(3 * maxDist) >= 1
+    val idxQ = q.filter(minSharedOk)
+    val scanQ = q.filter(!minSharedOk).select(col("query_term"))
+
+    val dict = trigramDict.getOrElse(termTrigrams(index.termStats))
+    val req = idxQ.select(col("query_term"), col("n_q"),
+      explode(col("qtris")).as("trigram"))
+    val candIdx = dict.join(broadcast(req), Seq("trigram"))
+      .groupBy(col("query_term"), col("term"), col("n_q"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= col("n_q") - lit(3 * maxDist))
+      .select(col("query_term"), col("term"))
+    // sub-trigram vocabulary terms never enter the dictionary but can
+    // still be within maxDist — a sarg-able sliver, not a full scan
+    val shorts = index.termStats.filter(length(col("term")) < 3)
+      .select(col("term"))
+    val candShort = idxQ.select(col("query_term")).crossJoin(shorts)
+    val candScan = scanQ
+      .crossJoin(index.termStats.select(col("term")))
+    val cands = candIdx.unionByName(candShort).unionByName(candScan)
+
+    val w = Window.partitionBy(col("query_term"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    cands
+      .join(index.termStats.select(col("term"), col("df")), Seq("term"))
+      .withColumn("dist", levenshtein(col("query_term"), col("term")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("query_term"), col("term"),
+        col("dist").cast("long").as("dist"), col("df"),
+        col("rank").cast("long").as("rank"))
+  }
+
   private def searchExpanded(index: InvertedIndex, expandedTerms: DataFrame,
       k: Int, p: Bm25.Params): DataFrame = {
     val ts = broadcast(expandedTerms.select(col("term"), col("idf")))

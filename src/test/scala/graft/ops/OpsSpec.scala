@@ -234,6 +234,36 @@ class OpsSpec extends SparkSpec {
         "LSH candidate must share the query's bucket")
   }
 
+  test("int8 quantization: 1-byte storage, self at rank 1, high recall " +
+      "vs the float baseline") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val pred = col("vec_id") % 250 === 0
+    val qz = Similarity.quantize(emb)
+    // the storage claim: the quantized column is BYTES, not doubles
+    assert(qz.schema("qemb").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      qz.schema("qemb").dataType.simpleString == "array<tinyint>",
+      s"qemb must be array<tinyint>, got ${qz.schema("qemb").dataType}")
+    // values stay in the int8 envelope
+    val mx = qz.select(max(aggregate(col("qemb"), lit(0L),
+      (a, x) => greatest(a, abs(x.cast("long")))))).head.getLong(0)
+    assert(mx <= 127L, s"quantized magnitude $mx exceeds int8")
+
+    val quant = Similarity.quantizedTopK(emb, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    for ((q, v, rank) <- quant if rank == 1)
+      assert(v == q, s"query $q should still find itself at rank 1")
+    // recall@10 vs the exact float top-10: scalar quantization of a
+    // 64-dim vector perturbs each dim by <= 1/254 of the max — ranks
+    // barely move
+    val bf = Similarity.bruteForceTopK(emb, pred, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = quant.count { case (q, v, _) => bf.contains((q, v)) }
+    val recall = hits.toDouble / bf.size
+    assert(recall >= 0.9, s"quantized recall@10 $recall < 0.9")
+  }
+
   test("language id is deterministic and marker-driven") {
     import spark.implicits._
     val corpus = Seq(

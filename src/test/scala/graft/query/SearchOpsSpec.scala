@@ -157,6 +157,45 @@ class SearchOpsSpec extends SparkSpec {
     assert(strict == Set(1L), s"got $strict")
   }
 
+  test("did-you-mean ranks by (distance, df, term) == brute force, " +
+      "both legs") {
+    import spark.implicits._
+    // "windoq" (6 chars) takes the trigram-probe leg at maxDist=1;
+    // "qery" and "sort" (< 6) take the disclosed vocabulary-scan leg
+    val terms = Seq("windoq", "qery", "sort").toDF("query_term")
+    val d2 = Seq((1L, "window sort query merge"), (2L, "window sort sort"),
+      (3L, "windows query")).toDF("doc_id", "text")
+    val i2 = graft.index.IndexBuilder.build(d2, cfg)
+    val got = Expansion.didYouMean(i2, terms, maxDist = 1, m = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    // brute force: full vocabulary cross, same ranking
+    val vocab = i2.termStats.select(col("term"), col("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      q <- Seq("windoq", "qery", "sort")
+      ranked = vocab.map { case (t, df) => (t, df, lev(q, t)) }
+        .filter(_._3 <= 1)
+        .sortBy { case (t, df, dist) => (dist, -df, t) }
+        .take(3).zipWithIndex
+      ((t, _, dist), i) <- ranked
+    } yield (q, t, dist.toLong, (i + 1).toLong)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // an exactly-spelled term ranks itself first at distance 0
+    assert(got.contains(("sort", "sort", 0L, 1L)))
+    // the misspelling corrects to the real word through the trigram leg
+    assert(got.contains(("windoq", "window", 1L, 1L)))
+  }
+
   test("PRF expands past the first pass and weights expansion terms") {
     import spark.implicits._
     val qs = Seq((1L, "bubble")).toDF("query_id", "question")
