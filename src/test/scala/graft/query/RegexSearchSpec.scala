@@ -117,4 +117,86 @@ class RegexSearchSpec extends SparkSpec {
     // greedy .* spans to the LAST ' window' occurrence in doc 5
     assert(want.contains(("g1", 5L, "sort the rows then window")))
   }
+
+  // ---- property: compiled requirements are SOUND on random patterns ----
+  //
+  // The generator builds (pattern, witness) pairs by construction — the
+  // witness matches the pattern — over a 4-letter alphabet (small, so
+  // literals collide and the run/cap machinery is stressed). Soundness:
+  // for any string containing a match, every requirement group must hold
+  // at least one alternative that is a substring of that string;
+  // otherwise the index path would drop a true match.
+
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val alpha = Gen.oneOf('a', 'b', 'c', 'd')
+
+  /** (pattern fragment, witness generator) for one quantifiable atom. */
+  private def atom(depth: Int): Gen[(String, Gen[String])] =
+    if (depth <= 0) alpha.map(c => (c.toString, Gen.const(c.toString)))
+    else Gen.frequency(
+      5 -> alpha.map(c => (c.toString, Gen.const(c.toString))),
+      1 -> Gen.const((".", alpha.map(_.toString))),
+      1 -> Gen.nonEmptyListOf(alpha).map(_.distinct).map(cs =>
+        (s"[${cs.mkString}]", Gen.oneOf(cs).map(_.toString))),
+      2 -> Gen.lzy(alternation(depth - 1).map { case (p, wg) =>
+        (s"($p)", wg)
+      }))
+
+  private def repeated(depth: Int): Gen[(String, Gen[String])] =
+    atom(depth).flatMap { case (p, wg) =>
+      def times(lo: Int, hi: Int): Gen[String] =
+        Gen.chooseNum(lo, hi).flatMap(k =>
+          Gen.listOfN(k, wg).map(_.mkString))
+      Gen.frequency(
+        6 -> Gen.const((p, wg)),
+        1 -> Gen.const((s"$p*", times(0, 2))),
+        1 -> Gen.const((s"$p+", times(1, 3))),
+        1 -> Gen.const((s"$p?", times(0, 1))),
+        1 -> Gen.chooseNum(0, 2).flatMap(m => Gen.chooseNum(0, 2).map(d =>
+          (s"$p{$m,${m + d}}", times(m, m + d)))))
+    }
+
+  private def concatenation(depth: Int): Gen[(String, Gen[String])] =
+    Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, repeated(depth)))
+      .map { parts =>
+        val pat = parts.map(_._1).mkString
+        val wg = parts.foldLeft(Gen.const("")) { (acc, part) =>
+          acc.flatMap(s => part._2.map(s + _))
+        }
+        (pat, wg)
+      }
+
+  private def alternation(depth: Int): Gen[(String, Gen[String])] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, concatenation(depth)))
+      .map { branches =>
+        (branches.map(_._1).mkString("|"),
+          Gen.oneOf(branches).flatMap(_._2))
+      }
+
+  test("property: requirement groups never drop a matching document") {
+    val genCase = for {
+      (p, wg) <- alternation(2)
+      w <- wg
+      pre <- Gen.listOf(alpha).map(_.mkString)
+      suf <- Gen.listOf(alpha).map(_.mkString)
+    } yield (p, pre + w + suf)
+    checkProp(Prop.forAll(genCase) { case (p, s) =>
+      // generator sanity: the embedded witness really is a find() match
+      val matches = java.util.regex.Pattern.compile(p).matcher(s).find()
+      val sound = RegexCompile.compile(p) match {
+        case None => true // full-scan fallback is trivially sound
+        case Some(groups) =>
+          groups.forall(g => g.exists(alt => s.contains(alt))) &&
+            groups.forall(_.forall(_.length >= 3))
+      }
+      matches && sound
+    })
+  }
 }
