@@ -349,6 +349,34 @@ object SparkEntry {
           graft.Canon.r(col("rscore"), 3).as("rscore"),
           col("rerank").cast("long").as("rerank"))),
 
+    // ---- reciprocal-rank fusion of the BM25 list and the embedding
+    //      rerank list (SIGIR'09) — the hybrid-search combiner: rank-only,
+    //      so no score calibration across retrievers is needed ----
+    "q_rrf" -> ((s, dir) => {
+      val bm = plans.ranked(s, dir)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val rr = Rerank.rescore(plans.ranked(s, dir), embeddings(s, dir))
+        .select(col("query_id"), col("doc_id"), col("rerank").as("rank"))
+      graft.query.Fusion.rrf(Seq(bm, rr), k0 = 60, k = TopK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("rrf"), 6).as("rrf"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- LTR feature extraction: the per-(query, candidate) feature
+    //      vector (match/frequency/rarity/length families + the BM25
+    //      baseline) in ONE postings pass — the training-data product
+    //      between retrieval and LambdaMART-style model training ----
+    "q_ltr_features" -> ((s, dir) =>
+      graft.query.LtrFeatures.features(plans.index(s, dir),
+          QuerySet.df(s), cfg)
+        .select(col("query_id"), col("doc_id"), col("n_matched"),
+          col("matched_qtf"), col("sum_tf"), col("max_tf"),
+          graft.Canon.r(col("sum_idf"), 4).as("sum_idf"),
+          graft.Canon.r(col("max_idf"), 4).as("max_idf"),
+          col("doc_len"),
+          graft.Canon.r(col("bm25"), 4).as("bm25"))),
+
     // ---- the reference's headline claim, engine form: nDCG@10 of the
     //      reranked list vs the BM25 list (reference README.md:73-77,
     //      0.57 -> 0.65 lift) ----
@@ -895,6 +923,54 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY query_id
           |    ORDER BY floor(rscore * 1e6 + 0.5) DESC, doc_id ASC) AS rerank
           |FROM rs""".stripMargin),
+
+      // reciprocal-rank fusion: both source lists' CTE chains compose,
+      // then rrf = 1/(60+rank_bm25) + 1/(60+rank_rerank) — a single IEEE
+      // add of two exact reciprocals, bit-identical across engines
+      "q_rrf" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
+        embeddingExploded) ++ rerankCtes ++ Seq(
+        """rrf_rr AS (
+          |  SELECT query_id, doc_id, row_number() OVER (
+          |    PARTITION BY query_id
+          |    ORDER BY floor(rscore * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM rs)""".stripMargin,
+        """rrf_u AS (
+          |  SELECT query_id, doc_id,
+          |    1.0 / CAST(60 + rank AS DOUBLE) AS c FROM ranked
+          |  UNION ALL
+          |  SELECT query_id, doc_id,
+          |    1.0 / CAST(60 + rank AS DOUBLE) AS c FROM rrf_rr)""".stripMargin,
+        """rrf_s AS (
+          |  SELECT query_id, doc_id, sum(c) AS rrf FROM rrf_u
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT query_id, doc_id, rrf, rank FROM (
+          |  SELECT query_id, doc_id,
+          |    CAST(floor(rrf * 1e6 + 0.5) / 1e6 AS DOUBLE) AS rrf,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY floor(rrf * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM rrf_s)
+          |WHERE rank <= 100""".stripMargin),
+
+      // LTR features: every family is an aggregate of the same joined
+      // row stream the BM25 oracle already uses
+      "q_ltr_features" -> withCtes(coreCtes,
+        """SELECT q.query_id, p.doc_id,
+          |  count(*) AS n_matched,
+          |  CAST(sum(q.qtf) AS BIGINT) AS matched_qtf,
+          |  CAST(sum(p.tf) AS BIGINT) AS sum_tf,
+          |  CAST(max(p.tf) AS BIGINT) AS max_tf,
+          |  CAST(floor(sum(t.idf) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS sum_idf,
+          |  CAST(floor(max(t.idf) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS max_idf,
+          |  CAST(min(d.doc_len) AS BIGINT) AS doc_len,
+          |  CAST(floor(sum(q.qtf * t.idf * p.tf * 2.2 /
+          |      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |    * 1e4 + 0.5) / 1e4 AS DOUBLE) AS bm25
+          |FROM qterms q
+          |JOIN postings p USING (term)
+          |JOIN termstats t USING (term)
+          |JOIN doclen d ON p.doc_id = d.doc_id
+          |CROSS JOIN stats s
+          |GROUP BY 1, 2""".stripMargin),
 
       "q_rerank_ndcg" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
         embeddingExploded) ++ rerankCtes ++ Seq(gold,

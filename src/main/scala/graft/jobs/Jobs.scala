@@ -22,6 +22,7 @@ import graft.sources.Jsonl
   *   spark-submit --class graft.jobs.SearchJob app.jar \
   *     --index /idx --queries queries.jsonl|parquet --output /out
   *     [--k 100] [--mode join|wand] [--rerank embeddings.parquet]
+  *     [--fuse rrf]  (with --rerank: RRF-fuse both lists, don't replace)
   *   spark-submit --class graft.jobs.EvalJob app.jar \
   *     --results /out --gold gold.jsonl [--k 10]
   */
@@ -229,9 +230,18 @@ object SearchJob {
     }
     val out = a.get("rerank") match {
       case Some(embPath) if batch =>
-        Rerank.rescore(ranked, spark.read.parquet(embPath))
-          .withColumnRenamed("rerank", "rank")
-          .withColumnRenamed("rscore", "score")
+        val rr = Rerank.rescore(ranked, spark.read.parquet(embPath))
+        if (a.get("fuse").contains("rrf"))
+          // hybrid serving: keep BOTH orders and combine by rank (RRF)
+          // instead of replacing the BM25 order with the reranker's
+          graft.query.Fusion.rrf(Seq(
+            ranked.select(col("query_id"), col("doc_id"), col("rank")),
+            rr.select(col("query_id"), col("doc_id"),
+              col("rerank").as("rank"))), k = k)
+            .withColumnRenamed("rrf", "score")
+        else
+          rr.withColumnRenamed("rerank", "rank")
+            .withColumnRenamed("rscore", "score")
       case Some(_) =>
         sys.error("--rerank applies to the batch modes (join|wand)")
       case None => ranked

@@ -1,0 +1,46 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09): combine
+  * ranked lists from heterogeneous retrievers — BM25, the embedding
+  * reranker, WAND, ANN — without score calibration, using only ranks:
+  *
+  *   rrf(d) = Σ_lists 1 / (k0 + rank_list(d))
+  *
+  * Rank-based fusion beats score interpolation when the source scores
+  * live on different scales (BM25 sums vs cosine), which is exactly the
+  * multi-retriever serving stack this engine exposes. Beyond the
+  * reference (its reranker REPLACES the BM25 order; fusion keeps both
+  * signals and is the standard hybrid-search combiner).
+  *
+  * Scale shape: inputs are already-ranked top-k lists (bounded per
+  * query), so the union is lists×k rows per query; one (query, doc)
+  * aggregation and one per-query rank window — both partitioned by
+  * query_id, no corpus-sized state anywhere.
+  *
+  * Determinism: with two lists the per-doc sum is a single IEEE add of
+  * two exact reciprocals — bit-identical on any engine or partitioning;
+  * ranks use the canonical floor-rounded key.
+  */
+object Fusion {
+
+  /** Fuse ranked lists (each (query_id, doc_id, rank)) into an RRF-ranked
+    * top-k. Docs missing from a list simply contribute nothing. */
+  def rrf(lists: Seq[DataFrame], k0: Int = 60, k: Int = 100): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    val u = lists.map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (col("rank").cast("double") + lit(k0.toDouble)))
+          .as("c")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(graft.Canon.rankKey(col("rrf")).desc, col("doc_id").asc)
+    u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"))
+  }
+}

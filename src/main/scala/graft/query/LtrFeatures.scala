@@ -1,0 +1,56 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.index.InvertedIndex
+
+/** Learning-to-rank feature extraction — the training-data product that
+  * sits between retrieval and model training. For every (query,
+  * candidate) pair the standard LTR feature families are computed in ONE
+  * postings pass (the same broadcast join shape as [[Bm25.score]]):
+  *
+  *  - match features: n_matched (distinct query terms present),
+  *    matched_qtf (query-token occurrences covered)
+  *  - frequency features: sum_tf, max_tf
+  *  - rarity features: sum_idf, max_idf (over matched terms)
+  *  - document feature: doc_len
+  *  - the model-free baseline: the BM25 score itself
+  *
+  * Extends the reference's training surface (`src/dataset.py` emits
+  * (query, doc, label) pairs; real LTR pipelines — LambdaMART et al. —
+  * need the per-pair feature vector too). Join [[TrainingPairs]] labels
+  * on (query_id, doc_id) to get the full training table.
+  *
+  * Scale shape: one broadcast of the enriched query terms into the
+  * postings scan, one (query_id, doc_id) aggregation with map-side
+  * partials — no extra shuffle beyond what scoring already pays, because
+  * every feature is an aggregate of the same joined row stream.
+  */
+object LtrFeatures {
+
+  def features(index: InvertedIndex, queries: DataFrame,
+      cfg: TokenizerConfig, p: Bm25.Params = Bm25.Params()): DataFrame = {
+    val qt = Bm25.queryTerms(queries, cfg)
+      .join(index.termStats, Seq("term"))
+      .select(col("term"), col("query_id"), col("qtf"), col("idf"))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    index.postings // (term, doc_id, tf, doc_len) — doc_len rides along
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("term_score",
+        col("qtf") * col("idf") *
+          (col("tf") * lit(p.k1 + 1.0)) / (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("qtf")).cast("long").as("matched_qtf"),
+        sum(col("tf")).cast("long").as("sum_tf"),
+        max(col("tf")).cast("long").as("max_tf"),
+        sum(col("idf")).as("sum_idf"),
+        max(col("idf")).as("max_idf"),
+        min(col("doc_len")).cast("long").as("doc_len"),
+        sum(col("term_score")).as("bm25"))
+  }
+}

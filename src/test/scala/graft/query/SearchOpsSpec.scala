@@ -196,6 +196,48 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.contains(("windoq", "window", 1L, 1L)))
   }
 
+  test("RRF fuses ranked lists by reciprocal rank; single-list docs " +
+      "contribute one term; ties break on doc_id") {
+    import spark.implicits._
+    val a = Seq(("q1", 10L, 1), ("q1", 20L, 2), ("q1", 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q1", 20L, 1), ("q1", 10L, 2), ("q1", 40L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Fusion.rrf(Seq(a, b), k0 = 60, k = 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3).toList
+    def c(r: Int) = 1.0 / (60 + r)
+    // 10 and 20 tie at 1/61 + 1/62 (opposite ranks) -> doc_id ascending;
+    // 30 and 40 each appear in ONE list at rank 3 -> 1/63, doc_id order
+    assert(got.map(_._1) == List(10L, 20L, 30L, 40L), s"order: $got")
+    assert(math.abs(got.head._2 - (c(1) + c(2))) < 1e-12)
+    assert(math.abs(got(1)._2 - (c(2) + c(1))) < 1e-12)
+    assert(math.abs(got(2)._2 - c(3)) < 1e-12)
+    assert(got.map(_._3) == List(1, 2, 3, 4))
+  }
+
+  test("LTR features: one postings pass reproduces BM25 and the match " +
+      "stats exactly") {
+    import spark.implicits._
+    val qs = Seq(("q1", "merge sort")).toDF("query_id", "question")
+    val feats = LtrFeatures.features(idx, qs, cfg).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // doc 1 "merge sort beats bubble sort": tf(merge)=1 tf(sort)=2, len 5
+    val d1 = feats(("q1", 1L))
+    assert(d1.getLong(2) == 2L, "n_matched")
+    assert(d1.getLong(3) == 2L, "matched_qtf")
+    assert(d1.getLong(4) == 3L, "sum_tf")
+    assert(d1.getLong(5) == 2L, "max_tf")
+    assert(d1.getLong(8) == 5L, "doc_len")
+    // the bm25 feature IS the retrieval score — same formula, same rows
+    val scores = Bm25.score(idx, Bm25.queryTerms(qs, cfg)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scores.keySet == feats.keySet,
+      "feature rows = scored candidate rows")
+    for ((k, r) <- feats)
+      assert(math.abs(r.getDouble(9) - scores(k)) < 1e-12, s"bm25 at $k")
+  }
+
   test("PRF expands past the first pass and weights expansion terms") {
     import spark.implicits._
     val qs = Seq((1L, "bubble")).toDF("query_id", "question")
