@@ -413,8 +413,15 @@ object Bench {
     // cost by orders of magnitude, so the bench should let compute
     // dominate too; fewer-but-cleaner attempts beat more capped ones.
     val docsCap = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
-      .getOrElse(1000000L)
-    def docsOfN(n: Int): Long = math.min(docsCap, 400000L * n)
+      .getOrElse(1500000L)
+    // 600k docs per small-leg core (was 400k through r3): the fixed
+    // per-leg job cost projects to a ~0.91 efficiency ceiling at 1.2M
+    // docs vs ~0.86 at 800k, and the longer integration window averages
+    // host-throttle noise that swung same-config attempts 0.45-0.80 in
+    // one evening. Fewer-but-cleaner attempts beat more capped ones.
+    val docsPerCore = sys.env.get("SPARK_GRAFT_SCALE_DOCS_PER_CORE")
+      .map(_.toLong).getOrElse(600000L)
+    def docsOfN(n: Int): Long = math.min(docsCap, docsPerCore * n)
     val maxDocs = docsOfN((primary +: bonus).max)
 
     // Materialize the scaling corpus ONCE as a parquet table (untimed):
