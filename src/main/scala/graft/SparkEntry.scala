@@ -480,6 +480,19 @@ object SparkEntry {
           graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- similarity: the PERSISTED-layout serving path — IVF probe
+    //      (cosine-ranked centroids: quantization keeps direction, drops
+    //      scale) + int8 scoring inside the probed lists only ----
+    "q_ann_serving" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val (assign, cent) = Similarity.ivfAssignments(e)
+      Similarity.servedTopK(Similarity.quantize(e), assign, cent,
+          col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"),
+          graft.Canon.r(col("cosine"), 4).as("cosine"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
@@ -1296,6 +1309,49 @@ object SparkEntry {
           |  SELECT q.query_vec, e.vec_id, sum(q.qqv * e.qv8) AS dot,
           |    sqrt(sum(e.qv8 * e.qv8)) AS dn, sqrt(sum(q.qqv * q.qqv)) AS qn
           |  FROM qq q JOIN eq e USING (dim) GROUP BY 1, 2)""".stripMargin,
+        """cosined AS (
+          |  SELECT query_vec, vec_id,
+          |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
+          |      AS cosine
+          |  FROM agg)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(floor(cosine * 1e4 + 0.5) / 1e4
+          |  AS DOUBLE) AS cosine, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
+          |WHERE rank <= 10""".stripMargin),
+
+      // the persisted ANN serving path: IVF probe by int8-query-vs-float-
+      // centroid cosine, then int8 scoring inside the probed lists
+      "q_ann_serving" -> withCtes(Seq(embeddingExploded) ++ ivfCtes ++ Seq(
+        "qmx AS (SELECT vec_id, max(abs(v)) AS mx FROM e GROUP BY 1)",
+        """eq AS (
+          |  SELECT e.vec_id, e.dim,
+          |    CASE WHEN m.mx > 0 THEN floor(e.v * 127.0 / m.mx + 0.5)
+          |      ELSE 0 END AS qv8
+          |  FROM e JOIN qmx m USING (vec_id))""".stripMargin,
+        "qsq AS (SELECT vec_id AS query_vec, dim, qv8 AS qqv FROM eq" +
+          " WHERE vec_id % 100 = 0)",
+        """pagg AS (
+          |  SELECT q.query_vec, c.cid, sum(q.qqv * c.cv) AS dot,
+          |    sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(q.qqv * q.qqv)) AS qn
+          |  FROM qsq q JOIN c3 c USING (dim) GROUP BY 1, 2)""".stripMargin,
+        """probes AS (
+          |  SELECT query_vec, cid FROM (
+          |    SELECT query_vec, cid, row_number() OVER (
+          |      PARTITION BY query_vec
+          |      ORDER BY floor((CASE WHEN cn > 0 AND qn > 0
+          |        THEN dot / (qn * cn) ELSE 0 END) * 1e6 + 0.5) DESC,
+          |        cid ASC) AS pr
+          |    FROM pagg)
+          |  WHERE pr <= 4)""".stripMargin,
+        "cand AS (SELECT p.query_vec, a.vec_id FROM probes p" +
+          " JOIN a3 a USING (cid))",
+        """agg AS (
+          |  SELECT c.query_vec, c.vec_id, sum(q.qqv * e.qv8) AS dot,
+          |    sqrt(sum(e.qv8 * e.qv8)) AS dn, sqrt(sum(q.qqv * q.qqv)) AS qn
+          |  FROM cand c JOIN eq e ON e.vec_id = c.vec_id
+          |  JOIN qsq q ON q.query_vec = c.query_vec AND q.dim = e.dim
+          |  GROUP BY 1, 2)""".stripMargin,
         """cosined AS (
           |  SELECT query_vec, vec_id,
           |    CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END

@@ -95,6 +95,20 @@ object BuildIndexJob {
         .sortWithinPartitions("trigram")
         .write.mode("overwrite").parquet(s"${a("output")}/term_trigrams")
     }
+    a.get("ann").foreach { embPath =>
+      // vector serving tables: int8 quantized copy (1 byte/dim), IVF
+      // assignments partition-sorted by cid so probes prune at the scan,
+      // broadcast-sized centroids
+      val emb = spark.read.parquet(embPath)
+      graft.ops.Similarity.quantize(emb)
+        .write.mode("overwrite").parquet(s"${a("output")}/ann/quantized")
+      val (assign, cent) = graft.ops.Similarity.ivfAssignments(emb,
+        nCentroids = a.getOrElse("ann-centroids", "16").toInt)
+      assign.repartition(math.max(1, partitions / 4), col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite").parquet(s"${a("output")}/ann/assign")
+      cent.write.mode("overwrite").parquet(s"${a("output")}/ann/centroids")
+    }
     println(s"indexed ${idx.numDocs} docs, avgdl ${idx.avgdl}")
     if (a.getOrElse("validate", "false").toBoolean) {
       val problems = Spimi.validateIngest(docs, JobArgs.cfg(a), a("output"),
@@ -128,6 +142,7 @@ object BuildIndexJob {
   *   --mode related   --seeds merge,sort [--top-m 10] [--min-co 2]
   *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
   *   --mode regex     --corpus corpus.parquet --pattern "malloc|calloc"
+  *   --mode ann       --vec-ids 100,200 [--n-probe 4]  (needs --ann build)
   *                    [--trigrams /idx/trigrams]  (pre-built postings;
   *                    auto-discovered under --index, else derived from
   *                    the corpus on the fly)
@@ -215,6 +230,16 @@ object SearchJob {
         graft.query.Grep.search(posting, corpus,
           Seq(("q0", a("pattern"))).toDF("query_id", "pattern"))
           .orderBy(col("doc_id").asc).limit(k)
+      case "ann" =>
+        // persisted int8+IVF vector serving (BuildIndexJob --ann)
+        val base = s"${a("index")}/ann"
+        val ids = a("vec-ids").split(",").map(_.toLong).toSeq
+        graft.ops.Similarity.servedTopK(
+          spark.read.parquet(s"$base/quantized"),
+          spark.read.parquet(s"$base/assign"),
+          spark.read.parquet(s"$base/centroids"),
+          col("vec_id").isin(ids: _*), k,
+          nProbe = a.getOrElse("n-probe", "4").toInt)
       case "regex" =>
         import spark.implicits._
         val corpus = spark.read.parquet(a("corpus"))

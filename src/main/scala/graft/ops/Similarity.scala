@@ -240,6 +240,50 @@ object Similarity {
     rankTopK(agg, k)
   }
 
+  /** IVF + int8 serving: top-k over the PERSISTED vector index — the
+    * query probes its `nProbe` best centroid lists and scores int8
+    * cosine only inside them. This is the table layout a 100 TB vector
+    * corpus serves from: `quantized` at 1 byte/dim (8× smaller than the
+    * float table), `assign` written partitioned/sorted by `cid` so the
+    * candidate read prunes to nProbe/nCentroids of the corpus at the
+    * parquet scan, `centroids` broadcast-sized.
+    *
+    * The centroid probe ranks by COSINE (descending), not d2: int8
+    * quantization keeps each vector's direction but drops its scale, so
+    * only scale-invariant geometry survives — documented divergence from
+    * [[ivfTopK]]'s float-space d2 probe. */
+  def servedTopK(quantized: DataFrame, assign: DataFrame,
+      centroids: DataFrame, queryPred: Column, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val q = quantized.filter(queryPred)
+      .select(col("vec_id").as("query_vec"),
+        transform(col("qemb"), _.cast("double")).as("qq"),
+        col("qn").as("qqn"))
+    val cent = centroids.select(col("cid"), col("cemb"),
+      norm(col("cemb")).as("cn"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        cosine(dot(col("qq"), col("cemb")), col("qqn"), col("cn")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_vec"))
+          .orderBy(graft.Canon.rankKey(col("pcos")).desc, col("cid").asc)))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_vec"), col("cid"))
+    val candidates = probes.join(assign, Seq("cid"))
+      .select(col("query_vec"), col("vec_id"))
+    val agg = candidates
+      .join(quantized, Seq("vec_id"))
+      .join(q.select(col("query_vec"), col("qq"), col("qqn")),
+        Seq("query_vec"))
+      .withColumn("idot", aggregate(
+        zip_with(col("qq"), col("qemb"),
+          (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine",
+        cosine(col("idot"), col("qn"), col("qqn")))
+    rankTopK(agg, k)
+  }
+
   /** LSH-bucketed ANN: cosine top-k within the query's bucket only. */
   def lshTopK(embeddings: DataFrame, queryPred: Column,
       k: Int, numPlanes: Int = 8): DataFrame = {

@@ -147,6 +147,41 @@ class JobsSpec extends SparkSpec {
     assert(f.columns.toSet == Set("doc_id", "score", "rank"))
   }
 
+  test("BuildIndexJob --ann persists the int8+IVF serving tables and " +
+      "SearchJob --mode ann serves from them") {
+    spark
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft-jobs-ann").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    val embPath = sf("sf0.001") + "/embeddings.parquet"
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx",
+      "--partitions", "4", "--ann", embPath, "--keep-session", "true"))
+    val qz = spark.read.parquet(s"$work/idx/ann/quantized")
+    assert(qz.schema("qemb").dataType.simpleString == "array<tinyint>",
+      "persisted vectors must be the 1-byte copy")
+    assert(new java.io.File(s"$work/idx/ann/assign").isDirectory &&
+      new java.io.File(s"$work/idx/ann/centroids").isDirectory)
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/a1",
+      "--mode", "ann", "--vec-ids", "0,250", "--k", "10",
+      "--keep-session", "true"))
+    val served = spark.read.parquet(s"$work/a1/ranked")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(served.nonEmpty)
+    // each query's own list is its best-cosine probe: self at rank 1
+    for ((q, v, rank) <- served if rank == 1)
+      assert(v == q, s"query $q must find itself at rank 1")
+    // persisted-path result == in-memory servedTopK over the same inputs
+    val emb = spark.read.parquet(embPath)
+    val (assign, cent) = graft.ops.Similarity.ivfAssignments(emb)
+    val direct = graft.ops.Similarity.servedTopK(
+        graft.ops.Similarity.quantize(emb), assign, cent,
+        col("vec_id").isin(0L, 250L), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(served.toSet == direct.toSet,
+      "serving from parquet must equal the in-memory plan")
+  }
+
   test("CurateJob and CurateCodeJob write survivor tables") {
     spark
     val work = Files.createTempDirectory("graft-curate-jobs").toString
