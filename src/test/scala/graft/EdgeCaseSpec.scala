@@ -125,6 +125,73 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.ops.Winnowing.clonePairs(fps).count() == 0)
   }
 
+  test("regex search: empty pattern set, empty corpus, pattern longer " +
+      "than every doc, and an everything-matcher") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val posting = graft.query.Grep.trigramPostings(docs)
+    assert(graft.query.RegexSearch.search(posting, docs,
+      Seq.empty[(String, String)].toDF("query_id", "pattern")).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.query.RegexSearch.search(
+      graft.query.Grep.trigramPostings(emptyDocs), emptyDocs,
+      Seq(("p", "alpha")).toDF("query_id", "pattern")).count() == 0)
+    assert(graft.query.RegexSearch.search(posting, docs,
+      Seq(("p", "alpha beta gamma delta")).toDF("query_id", "pattern"))
+      .count() == 0)
+    // `.*` compiles to the full-scan fallback and matches every doc,
+    // first_match = the whole (newline-free) text
+    val all = graft.query.RegexSearch.search(posting, docs,
+      Seq(("a", ".*")).toDF("query_id", "pattern")).collect()
+    assert(all.length == 2 && all.forall(_.getString(2).nonEmpty))
+  }
+
+  test("int8 quantization: zero vectors quantize to zero and score 0; " +
+      "served ANN over a zero-vector corpus is rank-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: no direction
+      (1L, Seq(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Seq(-1.0f, -2.0f, 3.0f, -0.5f))) // antipode of 1
+      .toDF("vec_id", "embedding")
+    val qz = graft.ops.Similarity.quantize(emb).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Byte](1), r.getDouble(2))).toMap
+    assert(qz(0L)._1.forall(_ == 0) && qz(0L)._2 == 0.0,
+      "zero vector quantizes to all-zero, norm 0")
+    assert(qz(1L)._1.map(_.toInt) == Seq(42, 85, -127, 21),
+      s"round-half-up int8: ${qz(1L)._1}")
+    val top = graft.ops.Similarity.quantizedTopK(emb, col("vec_id") === 0L, 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // a zero query scores 0 against everything; order falls to doc_id
+    assert(top.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(top.forall(_._2 == 0.0))
+  }
+
+  test("did-you-mean: empty vocabulary and an unfixable term return " +
+      "nothing, not an error") {
+    import spark.implicits._
+    val idx = IndexBuilder.build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), cfg)
+    val terms = Seq("windoq").toDF("query_term")
+    assert(graft.query.Expansion.didYouMean(idx, terms).count() == 0)
+    val idx2 = IndexBuilder.build(
+      Seq((1L, "completely unrelated words")).toDF("doc_id", "text"), cfg)
+    assert(graft.query.Expansion
+      .didYouMean(idx2, Seq("zzzzzzz").toDF("query_term")).count() == 0)
+  }
+
+  test("RRF of a single list reproduces its order; empty lists are fine") {
+    import spark.implicits._
+    val a = Seq(("q", 5L, 1), ("q", 9L, 2)).toDF("query_id", "doc_id", "rank")
+    val solo = graft.query.Fusion.rrf(Seq(a), k = 10).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(solo.toSeq == Seq((5L, 1), (9L, 2)))
+    val empty = Seq.empty[(String, Long, Int)]
+      .toDF("query_id", "doc_id", "rank")
+    assert(graft.query.Fusion.rrf(Seq(a, empty), k = 10).count() == 2)
+  }
+
   test("query longer than any document and k larger than corpus") {
     import spark.implicits._
     val docs = Seq((1L, "merge"), (2L, "sort")).toDF("doc_id", "text")
