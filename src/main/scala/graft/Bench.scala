@@ -174,6 +174,49 @@ object Bench {
 
   private def effectiveCores(maxT: Int): Double = probeCores(maxT, 6000)
 
+  @volatile private var bwSink = 0L
+  private val bwBufs = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+
+  /** Memory-bandwidth probe: aggregate GB/s of `threads` parallel
+    * sequential scanners over thread-private 128 MB long arrays (far
+    * beyond L3, so every pass streams from DRAM). Motivation: the
+    * host's sustained throttle turned out to cap more than CPU burn —
+    * in one measured window every CPU probe read clean (>= 0.95 of
+    * width) while the 8-core leg ran ~1.7x its clean-window time and
+    * the 2-core leg barely moved, i.e. an AGGREGATE memory-bandwidth
+    * cap that the wide leg saturates and the narrow leg doesn't. This
+    * probe measures that axis directly: bw(4N)/(4*bw(N)) is the
+    * PHYSICAL ceiling on the bandwidth-bound fraction of any N-vs-4N
+    * comparison on a shared-memory box — a real cluster adds DRAM
+    * channels with every executor; the sandbox stand-in cannot.
+    * Readings are disclosed per leg so a bandwidth-capped window is
+    * visible in the artifact rather than inferred. Buffers allocate
+    * once and are reused (48g driver heap; 32 threads x 128 MB = 4 GB
+    * retained worst case). */
+  private def probeBandwidth(threads: Int, ms: Long = 1500): Double = {
+    val words = (128 << 20) / 8
+    while (bwBufs.size < threads)
+      bwBufs += Array.tabulate(words)(_.toLong) // tabulate faults pages in
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val end = System.nanoTime + ms * 1000000L
+    val t0 = System.nanoTime
+    val ts = (0 until threads).map { i =>
+      val a = bwBufs(i)
+      new Thread(() => {
+        var bytes = 0L; var s = 0L
+        while (System.nanoTime < end) {
+          var j = 0; val n = a.length
+          while (j < n) { s += a(j); j += 1 }
+          bytes += n.toLong * 8
+        }
+        bwSink += s // defeat dead-code elimination
+        total.addAndGet(bytes); ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    total.get / ((System.nanoTime - t0) / 1e9) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -451,9 +494,12 @@ object Bench {
     /** One measured leg of a scaling pair. `qFirst` is the UN-RETRIED
       * first query reading; `q` is min over the leg's (probe-gated)
       * re-runs; `probePost` the sustained-core reading taken right after
-      * the timed work. */
+      * the timed work; `bwPost` the aggregate memory bandwidth (GB/s)
+      * available at this leg's width, measured right after the leg with
+      * its executors stopped. */
     final case class Leg(cores: Int, build: Double, qFirst: Double,
-        q: Double, qRuns: Int, probePost: Double, docs: Long)
+        q: Double, qRuns: Int, probePost: Double, bwPost: Double,
+        docs: Long)
 
     /** One timed leg: full checkpointed build + WAND query batch at
       * `cores`, over the pair's corpus fraction (a deterministic hash
@@ -516,10 +562,15 @@ object Bench {
       blocks.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
       sess.stop()
+      // bandwidth probe AFTER executors stop: we want the host's
+      // available DRAM bandwidth at this width, not contention with our
+      // own shutdown
+      val bwPost = probeBandwidth(cores)
       System.err.println(f"[bench] scalingRun(cores=$cores%d, n=$n%d): " +
         f"build=$tBuild%.1fs query=$tQuery%.1fs (first $qFirst%.1fs, " +
-        f"$qRuns%d runs) probePost=$probePost%.1f docs=$cnt%d")
-      Leg(cores, tBuild, qFirst, tQuery, qRuns, probePost, cnt)
+        f"$qRuns%d runs) probePost=$probePost%.1f bwPost=$bwPost%.1fGB/s " +
+        f"docs=$cnt%d")
+      Leg(cores, tBuild, qFirst, tQuery, qRuns, probePost, bwPost, cnt)
     }
 
 
@@ -540,6 +591,13 @@ object Bench {
       def qeFirst: Double = smalls.head.qFirst / (4.0 * bigs.head.qFirst)
       def docs: Long = smalls.head.docs
       def score: Double = math.min(ie, qe)
+      /** Physical ceiling on bandwidth-bound scaling in this attempt's
+        * window: the best DRAM bandwidth observed at the wide width over
+        * 4x the best at the narrow width. 1.0 means the box could feed a
+        * 4x-wider leg 4x the bytes; anything lower bounds what ANY
+        * bandwidth-bound job can score here, engine regardless. */
+      def bwScale: Double = bigs.map(_.bwPost).max /
+        (4.0 * smalls.map(_.bwPost).max)
       def retried: Boolean = bigs.size > 1 || smalls.size > 1 ||
         (bigs ++ smalls).exists(_.qRuns > 1)
     }
@@ -600,7 +658,7 @@ object Bench {
       attempts += a
       System.err.println(f"[bench] attempt n=$n: index_eff=${a.ie}%.3f " +
         f"query_eff=${a.qe}%.3f (probes $pre%.1f/$mid%.1f, " +
-        f"runs ${smalls.size}v${bigs.size})")
+        f"runs ${smalls.size}v${bigs.size}, bw_ceiling=${a.bwScale}%.3f)")
       a
     }
 
@@ -619,7 +677,8 @@ object Bench {
 
     def legJson(l: Leg): String =
       s"""{"cores":${l.cores},"build":${l.build},"q_first":${l.qFirst},""" +
-      s""""q":${l.q},"q_runs":${l.qRuns},"probe_post":${l.probePost}}"""
+      s""""q":${l.q},"q_runs":${l.qRuns},"probe_post":${l.probePost},""" +
+      s""""bw_post_gbs":${l.bwPost}}"""
 
     /** Gate fields + headline — everything EXCEPT the attempt detail, so
       * the line stays short enough that any stdout tail window holds it
@@ -636,7 +695,8 @@ object Bench {
             s""""query_eff_first":${x.qeFirst},""" +
             s""""small_runs":${x.smalls.map(legJson).mkString("[", ",", "]")},""" +
             s""""big_runs":${x.bigs.map(legJson).mkString("[", ",", "]")},""" +
-            s""""probe_pre":${x.probePre},"probe_mid":${x.probeMid}}""")
+            s""""probe_pre":${x.probePre},"probe_mid":${x.probeMid},""" +
+            s""""bw_scale_ceiling":${x.bwScale}}""")
           .mkString(""""attempts":[""", ",", "],")
       s"""{"n_small":${a.n},"n_big":${4 * a.n},""" +
       s""""estimator":"best-attempt (adjacent legs; probe-gated, """ +
