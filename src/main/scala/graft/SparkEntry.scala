@@ -450,6 +450,18 @@ object SparkEntry {
       Sampling.stratified(docs(s, dir), col("lang"), 40)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- temperature-flattened domain mixing (T=2, integer-sqrt
+    //      weights — bit-exact quotas by construction) over the skewed
+    //      lang axis: en's raw share is flattened toward the tail ----
+    "q_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(docs(s, dir), col("lang"), 200)),
+
+    // ---- CCNet-style bigram-LM cross-entropy quality scoring: model
+    //      trained on the even-doc_id half, every doc scored (the odd
+    //      half exercises the unseen-bigram smoothing path) ----
+    "q_lm_score" -> ((s, dir) =>
+      graft.ops.LanguageModel.score(docs(s, dir))),
+
     // ---- text normalization ----
     "q_normalize" -> ((s, dir) => TextAnalysis.normalized(docs(s, dir))),
 
@@ -1179,6 +1191,59 @@ object SparkEntry {
           |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 40""".stripMargin,
+
+      // integer-sqrt temperature-2 mixing quotas: every step is integer
+      // arithmetic (floor(sqrt()) of an exact small int, bigint mul,
+      // integer division), so the quota is bit-identical cross-engine
+      "q_domain_mix" ->
+        """WITH counts AS (
+          |  SELECT lang AS domain, count(*) AS n FROM documents GROUP BY 1),
+          |wts AS (
+          |  SELECT domain, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          |  FROM counts),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wts),
+          |quotas AS (
+          |  SELECT domain, (200 * w) // wsum AS quota
+          |  FROM wts CROSS JOIN tot),
+          |ranked AS (
+          |  SELECT doc_id, lang AS domain,
+          |         row_number() OVER (PARTITION BY lang
+          |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          |  FROM documents)
+          |SELECT r.doc_id, r.domain, q.quota
+          |FROM ranked r JOIN quotas q USING (domain)
+          |WHERE r.rn <= q.quota""".stripMargin,
+
+      // bigram LM cross-entropy: model = even-doc_id half, add-one
+      // smoothing; ln's ulp noise dies under the 6-decimal Canon round
+      "q_lm_score" ->
+        s"""WITH lm_toks AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term,
+          |         generate_subscripts(regexp_extract_all(lower(text), '\\w+'), 1) AS pos
+          |  FROM documents),
+          |lm_big AS (
+          |  SELECT doc_id, term AS w1,
+          |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          |  FROM lm_toks),
+          |lm_bigrams AS (
+          |  SELECT doc_id, w1, w2, count(*) AS m
+          |  FROM lm_big WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+          |lm_model AS (
+          |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c
+          |  FROM lm_bigrams WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+          |lm_ctx AS (
+          |  SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM lm_model GROUP BY 1),
+          |lm_vocab AS (
+          |  SELECT count(DISTINCT term) AS v FROM lm_toks WHERE doc_id % 2 = 0)
+          |SELECT b.doc_id, CAST(sum(b.m) AS BIGINT) AS n_bigrams,
+          |  ${graft.Canon.sql(
+              "-sum(b.m * ln((coalesce(mo.c, 0) + 1.0) / " +
+              "(coalesce(cx.ctx, 0) + vv.v))) / sum(b.m)", 6)} AS cross_entropy
+          |FROM lm_bigrams b
+          |LEFT JOIN lm_model mo ON b.w1 = mo.w1 AND b.w2 = mo.w2
+          |LEFT JOIN lm_ctx cx ON b.w1 = cx.w1
+          |CROSS JOIN lm_vocab vv
+          |GROUP BY b.doc_id""".stripMargin,
 
       "q_normalize" ->
         """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(text,

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style
+  * perplexity quality filter (Wenzek et al., LREC'20 — public method):
+  * train a word-bigram model with add-one smoothing on a deterministic
+  * half of the corpus, score EVERY document by per-bigram cross-entropy.
+  * Low entropy ⇒ fluent/templated text, high entropy ⇒ noise — the
+  * standard signal an LLM-training pipeline thresholds on (reference has
+  * no counterpart; this extends the quality family in [[TextAnalysis]]).
+  *
+  * Everything is exact-arithmetic-portable: counts are integers, the
+  * smoothed probability is a ratio of exact-integer-valued doubles
+  * (correctly-rounded IEEE division in both engines), and the only
+  * libm call is `ln` whose ulp-level engine differences vanish under
+  * [[graft.Canon]] 6-decimal rounding of the per-doc mean.
+  *
+  * Scale shape (100 TB lens): bigram construction is NARROW (a per-doc
+  * `transform` over the token array — the position dimension never
+  * shuffles); the model is ONE (w1,w2) aggregation over the training
+  * half; scoring pre-aggregates to (doc, bigram) grain so a doc's
+  * repeated bigrams join the model once, then two co-partitioned left
+  * joins (bigram-keyed model, w1-keyed contexts) and a per-doc sum.
+  * Stopword-context skew in the w1 join is plain key skew that AQE
+  * skew-join splitting handles — no row explosion anywhere: every
+  * intermediate is bounded by the (doc, distinct-bigram) grain of the
+  * corpus itself.
+  */
+object LanguageModel {
+
+  /** (doc_id, w1, w2, m) — per-document bigram multiplicities over the
+    * raw lowercase `\w+` token stream ([[TextAnalysis.rawTokens]] — the
+    * same stream the quality/token-count family shares). Docs with
+    * fewer than two tokens have no bigrams and drop out here. */
+  def bigramRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.rawTokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+
+  /** Cross-entropy of every document under the bigram model trained on
+    * the even-doc_id half (a deterministic, SQL-trivial split — the odd
+    * half genuinely exercises the unseen-bigram smoothing path).
+    *
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = |train vocabulary|;
+    * H(doc) = −Σ m·ln P / Σ m over the doc's bigram multiplicities.
+    * Output: (doc_id, n_bigrams, cross_entropy) — entropy Canon-rounded
+    * to 6 decimals; docs with < 2 tokens are absent (no bigrams).
+    */
+  def score(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = bigramRows(docs, idCol, textCol)
+    val train = bg.filter(col("doc_id") % 2 === 0)
+    val model = train.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c"))
+    val contexts = model.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    // scalar broadcast: |distinct train tokens| — the smoothing mass
+    val vocab = docs
+      .filter(col(idCol).cast("long") % 2 === 0)
+      .select(explode(TextAnalysis.rawTokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    bg.join(model, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ctx"), lit(0L)) + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (-sum(col("m") * col("lp")) / sum(col("m"))).as("h"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.Canon.r(col("h"), 6).as("cross_entropy"))
+  }
+}

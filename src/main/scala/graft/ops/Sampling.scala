@@ -37,4 +37,40 @@ object Sampling {
       1, 8), 16, 10).cast("double") / 4294967296.0
     df.filter(draw < fraction)
   }
+
+  /** Temperature-flattened domain mixing — the training-data "data
+    * mixture" step (the Pile / multilingual-LM sampling recipe, public:
+    * sample domain s with weight ∝ p_s^(1/T) so small domains are
+    * up-weighted relative to their raw share). T = 2 here, i.e. weights
+    * ∝ √n_s — and the square root is taken in INTEGER space
+    * (w_s = ⌊√n_s⌋, quota_s = ⌊k·w_s / Σw⌋ by integer division) so the
+    * quota is bit-exact in any engine: no libm `pow`, no double sum
+    * whose order could flip a floor at a representation boundary. The
+    * ulp-level difference from true √-weighting is irrelevant to a
+    * mixing heuristic and buys exact cross-engine reproducibility.
+    *
+    * Within each domain the quota is filled in deterministic md5 order
+    * ([[stratified]]'s rule), so the sample is a pure function of the
+    * data. Shuffles: one tiny domain-count aggregation (collapses
+    * map-side), one broadcast of the quota table, one window keyed on
+    * the domain — rank-only, rows beyond the quota are filtered before
+    * any downstream op. Output: (keyCol, domain, quota).
+    */
+  def domainMix(df: DataFrame, domain: Column, totalQuota: Long,
+      keyCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("wsum"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col("domain"),
+        expr(s"(${totalQuota}L * w) DIV wsum").as("quota"))
+    val w = Window.partitionBy(domain)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("domain", domain)
+      .join(broadcast(quotas), Seq("domain"))
+      .filter(col("rn") <= col("quota"))
+      .select(col(keyCol), col("domain"), col("quota"))
+  }
 }

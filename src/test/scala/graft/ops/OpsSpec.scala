@@ -344,6 +344,50 @@ class OpsSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("domain mix: integer-sqrt temperature quotas, partition-invariant") {
+    import spark.implicits._
+    // skewed domains: A=100, B=25, C=4 -> weights 10, 5, 2 (wsum 17);
+    // k=20 -> quotas 200//17=11, 100//17=5, 40//17=2 (hand-checked)
+    val rows = (1L to 100L).map((_, "A")) ++
+      (101L to 125L).map((_, "B")) ++ (126L to 129L).map((_, "C"))
+    val df = rows.toDF("doc_id", "dom")
+    val got = Sampling.domainMix(df, col("dom"), 20, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDom = got.groupBy(_._2).map { case (d, xs) => d -> xs.length }
+    assert(byDom == Map("A" -> 11, "B" -> 5, "C" -> 2))
+    assert(got.filter(_._2 == "A").forall(_._3 == 11L))
+    assert(got.filter(_._2 == "C").forall(_._3 == 2L))
+    // flattening: A's raw share of 20 would be floor(20*100/129)=15 > 11
+    val again = Sampling.domainMix(df.repartition(7), col("dom"), 20,
+      "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == again.toSet, "sample must be partition-invariant")
+  }
+
+  test("bigram LM cross-entropy matches the hand-built model") {
+    import spark.implicits._
+    // train half = even doc_ids {0, 2, 4}: model c(a,b)=3, c(b,a)=1,
+    // c(b,c)=2; contexts a->3, b->3; vocab {a,b,c,z} -> V=4
+    val corpus = Seq(
+      (0L, "a b a b c"), (2L, "a b c"), (4L, "z"),
+      (1L, "a b x"), (3L, "x y")).toDF("doc_id", "text")
+    val got = LanguageModel.score(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def canon(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val exp = Map(
+      0L -> (4L, canon(-(2 * math.log(4.0 / 7) + math.log(2.0 / 7) +
+        math.log(3.0 / 7)) / 4)),
+      2L -> (2L, canon(-(math.log(4.0 / 7) + math.log(3.0 / 7)) / 2)),
+      // odd half: (a,b) seen, (b,x) unseen bigram under a seen context,
+      // (x,y) fully unseen -> pure 1/V smoothing mass
+      1L -> (2L, canon(-(math.log(4.0 / 7) + math.log(1.0 / 7)) / 2)),
+      3L -> (1L, canon(-math.log(1.0 / 4))))
+    assert(got == exp, s"got $got")
+    // the single-token train doc has no bigrams: absent from output,
+    // present in the vocabulary (V=4 is what makes doc 3's score ln 4)
+    assert(!got.contains(4L))
+  }
+
   test("multimodal: payload metadata matches source bytes") {
     val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
     val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
