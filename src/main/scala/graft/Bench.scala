@@ -235,7 +235,8 @@ object Bench {
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "ann_brute", "ann_lsh", "ann_quant",
         "decontaminate", "curate_code", "grep_substring", "regex_search",
-        "clone_pairs", "code_graph_pagerank")
+        "clone_pairs", "code_graph_pagerank", "lm_score", "dsir_weights",
+        "ann_pq", "semdedup", "bpe_train")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -372,6 +373,23 @@ object Bench {
       graft.ops.CodeGraph.pageRank(graft.ops.CodeGraph.importEdges(syms),
         nodes).count()
     })._1
+
+    // LLM-pipeline scoring passes over the full document table
+    results("lm_score") = timeWarm(
+      graft.ops.LanguageModel.score(docsDf).count())._1
+    results("dsir_weights") = timeWarm(graft.ops.Dsir.weights(
+      docsDf, col("lang") === "en").count())._1
+    // PQ line covers the WHOLE pipeline (codebook training + encode +
+    // ADC query batch) — training is the dominant term at this scale
+    // and would be index-time work in serving
+    results("ann_pq") = timeWarm(graft.ops.ProductQuant.adcTopK(
+      emb, col("vec_id") % 100 === 0, 10).count())._1
+    results("semdedup") = timeWarm(graft.ops.SemDedup.flag(
+      emb.select(col("vec_id"), col("embedding"))).count())._1
+    // BPE: 8 merge rounds over the 3k-doc word table (train() runs its
+    // own actions; the returned merge table is driver-built)
+    results("bpe_train") = time(
+      graft.ops.Bpe.train(docsDf.limit(3000), 8).count())._1
 
     idx.postings.unpersist(); blocksDf.unpersist()
     s.stop()

@@ -439,16 +439,106 @@ object OracleSql {
 
   /** IVF quantizer, 3 Lloyd iterations UNROLLED (a fixed iteration count
     * is SQL-expressible even though "iterative k-means" in general is
-    * not): seeds = first 16 vec_ids in md5 order, then a1/c1..a3/c3.
-    * Final assignment CTE is `a3`, final centroids `c3`. */
-  val ivfCtes: Seq[String] = Seq(
-    """seeds AS (
+    * not): seeds = first 16 vec_ids of `src` in md5 order, then
+    * a1/c1..a3/c3. Final assignment CTE is `a3`, final centroids `c3`.
+    * `src` parameterizes the vector table so derived corpora (e.g. the
+    * injected-duplicate `dup_emb`) can reuse the chain. */
+  def ivfCtesFrom(src: String): Seq[String] = Seq(
+    s"""seeds AS (
+      |  SELECT vec_id, rn - 1 AS cid FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+      |    FROM $src)
+      |  WHERE rn <= 16)""".stripMargin,
+    "c0 AS (SELECT s.cid, e.dim, e.v AS cv FROM e JOIN seeds s USING (vec_id))"
+  ) ++ lloydIter("c0", "a1", "c1") ++ lloydIter("c1", "a2", "c2") ++
+    lloydIter("c2", "a3", "c3")
+
+  val ivfCtes: Seq[String] = ivfCtesFrom("embeddings")
+
+  /** BPE training, `rounds` merge rounds unrolled (mirrors
+    * [[graft.ops.Bpe.train]]): word table with char segmentation, then
+    * per round pair-count → argmax (freq desc, lhs, rhs) → delimited
+    * replace. The replace is the same non-regex left-to-right scan in
+    * both engines — the property that makes the trainer unrollable. */
+  def bpeSql(rounds: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT word, count(*) AS n,
+        |    array_to_string(string_split(word, ''), ' ') AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+'))
+        |          AS word
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val roundCtes = (1 to rounds).flatMap { i =>
+      val w = s"w${i - 1}"
+      Seq(
+        s"""p$i AS (
+           |  SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS freq FROM (
+           |    SELECT n, sym AS lhs,
+           |           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS rhs
+           |    FROM (SELECT word, n,
+           |            unnest(string_split(syms, ' ')) AS sym,
+           |            generate_subscripts(string_split(syms, ' '), 1) AS pos
+           |          FROM $w))
+           |  WHERE rhs IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+        s"""b$i AS (
+           |  SELECT lhs, rhs, freq FROM p$i
+           |  ORDER BY freq DESC, lhs, rhs LIMIT 1)""".stripMargin) ++
+        (if (i == rounds) Nil else Seq(
+          s"""w$i AS (
+             |  SELECT w.word, w.n,
+             |    trim(replace(' ' || w.syms || ' ',
+             |      ' ' || b.lhs || ' ' || b.rhs || ' ',
+             |      ' ' || b.lhs || b.rhs || ' ')) AS syms
+             |  FROM $w w CROSS JOIN b$i b)""".stripMargin))
+    }
+    val body = (1 to rounds)
+      .map(i => s"SELECT $i AS round, lhs, rhs, freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    withCtes(base +: roundCtes, body)
+  }
+
+  /** One PQ Lloyd assignment: per (vector, subspace) nearest codebook
+    * entry, tie-break (d2, cid) — mirrors
+    * [[graft.ops.ProductQuant.codebooks]]'s min(struct(dd, cid)). */
+  private def pqAssign(cin: String, aout: String): String =
+    s"""$aout AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM (SELECT es.vec_id, es.sub, c.cid,
+       |        sum((es.v - c.cv) * (es.v - c.cv)) AS d2
+       |      FROM es JOIN $cin c ON es.sub = c.sub AND es.sdim = c.sdim
+       |      GROUP BY 1, 2, 3))
+       |  WHERE rn = 1)""".stripMargin
+
+  private def pqUpdate(ain: String, cout: String): String =
+    s"""$cout AS (
+       |  SELECT a.cid, es.sub, es.sdim, avg(es.v) AS cv
+       |  FROM es JOIN $ain a ON es.vec_id = a.vec_id AND es.sub = a.sub
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Product-quantization chain over `e` (mirrors
+    * [[graft.ops.ProductQuant]], m=8 subspaces × 8 dims, k=16, 2 Lloyd
+    * rounds with the LAST round assignment-only): subspace split `es`,
+    * seeds = first 16 vec_ids in md5 order, pc0 → pa1 → pc1 → pa2.
+    * Final codes CTE is `pa2`; the codebook generation it was assigned
+    * against (and that ADC must look up) is `pc1`. */
+  val pqCtes: Seq[String] = Seq(
+    """es AS (
+      |  SELECT vec_id, ((dim - 1) // 8)::INT AS sub,
+      |         ((dim - 1) % 8)::INT + 1 AS sdim, v
+      |  FROM e)""".stripMargin,
+    """pseeds AS (
       |  SELECT vec_id, rn - 1 AS cid FROM (
       |    SELECT vec_id, row_number() OVER (
       |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
       |    FROM embeddings)
       |  WHERE rn <= 16)""".stripMargin,
-    "c0 AS (SELECT s.cid, e.dim, e.v AS cv FROM e JOIN seeds s USING (vec_id))"
-  ) ++ lloydIter("c0", "a1", "c1") ++ lloydIter("c1", "a2", "c2") ++
-    lloydIter("c2", "a3", "c3")
+    "pc0 AS (SELECT s.cid, es.sub, es.sdim, es.v AS cv" +
+      " FROM es JOIN pseeds s USING (vec_id))",
+    pqAssign("pc0", "pa1"),
+    pqUpdate("pa1", "pc1"),
+    pqAssign("pc1", "pa2"))
 }

@@ -438,6 +438,23 @@ object SparkEntry {
           graft.Canon.r(col("cosine"), 4).as("cosine"))
     }),
 
+    // ---- dedup: SemDedup (Abbas et al. 2023) — cluster with the IVF
+    //      quantizer, flag lower-id-similar neighbors within clusters;
+    //      same injected-duplicate corpus as q_dedup_embed ----
+    "q_semdedup" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dup = e
+        .union(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        .union(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.05f))
+              .as("embedding")))
+      graft.ops.SemDedup.flag(dup, threshold = 0.95)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("is_dup"))
+    }),
+
     // ---- dedup: near-dup clustering (connected components over pairs) ----
     "q_dedup_clusters" -> ((s, dir) => {
       val corpus = plans.dupCorpus(s, dir)
@@ -461,6 +478,15 @@ object SparkEntry {
     //      half exercises the unseen-bigram smoothing path) ----
     "q_lm_score" -> ((s, dir) =>
       graft.ops.LanguageModel.score(docs(s, dir))),
+
+    // ---- DSIR importance weights: hashed-bigram features, target =
+    //      the English slice, weight = Σ cnt·(ln p − ln q) ----
+    "q_dsir" -> ((s, dir) =>
+      graft.ops.Dsir.weights(docs(s, dir), col("lang") === "en")),
+
+    // ---- BPE tokenizer training, 4 merge rounds (fixed rounds unroll
+    //      into oracle CTEs; the merge table is the shipped artifact) ----
+    "q_bpe_merges" -> ((s, dir) => graft.ops.Bpe.train(docs(s, dir), 4)),
 
     // ---- text normalization ----
     "q_normalize" -> ((s, dir) => TextAnalysis.normalized(docs(s, dir))),
@@ -504,6 +530,16 @@ object SparkEntry {
           graft.Canon.r(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))
     }),
+
+    // ---- similarity: product-quantization ADC top-10 (Jégou TPAMI'11)
+    //      — the m-bytes-per-vector serving layout; codes scanned
+    //      narrow, per-query distance tables broadcast; rank ascending
+    //      by approximate L2 ----
+    "q_ann_pq" -> ((s, dir) =>
+      graft.ops.ProductQuant.adcTopK(embeddings(s, dir),
+          col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"), col("adist"),
+          col("rank").cast("long").as("rank"))),
 
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
@@ -1150,6 +1186,39 @@ object SparkEntry {
           |  AS DOUBLE) AS cosine
           |FROM cosd WHERE cosine >= 0.9""".stripMargin),
 
+      // SemDedup: IVF-cluster the injected-dup corpus (ivfCtesFrom so
+      // the seeds come from dup_emb), pair within clusters, flag the
+      // HIGHER id of every pair clearing the Canon-keyed 0.95 threshold
+      "q_semdedup" -> withCtes(Seq(
+        """dup_emb AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+          |    WHERE vec_id % 20 = 0
+          |  UNION ALL SELECT vec_id + 200000,
+          |    [x + 0.05::FLOAT FOR x IN embedding]
+          |  FROM embeddings WHERE vec_id % 30 = 0)""".stripMargin,
+        """e AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+          |         CAST(unnest(embedding) AS DOUBLE) AS v
+          |  FROM dup_emb)""".stripMargin) ++ ivfCtesFrom("dup_emb") ++ Seq(
+        """ea AS (
+          |  SELECT e.vec_id, a.cid, e.dim, e.v
+          |  FROM e JOIN a3 a USING (vec_id))""".stripMargin,
+        """spairs AS (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na,
+          |    sqrt(sum(b.v * b.v)) AS nb
+          |  FROM ea a JOIN ea b ON a.cid = b.cid AND a.dim = b.dim
+          |    AND a.vec_id < b.vec_id
+          |  GROUP BY 1, 2)""".stripMargin,
+        """sdups AS (
+          |  SELECT DISTINCT vec_b AS vec_id FROM spairs
+          |  WHERE floor((CASE WHEN na > 0 AND nb > 0
+          |    THEN dot / (na * nb) ELSE 0 END) * 1e6 + 0.5) >= 950000)"""
+          .stripMargin),
+        """SELECT a.vec_id, a.cid, (d.vec_id IS NOT NULL) AS is_dup
+          |FROM a3 a LEFT JOIN sdups d USING (vec_id)""".stripMargin),
+
       "q_dedup_clusters" -> ("WITH RECURSIVE " + Seq(dupCorpus, shingleRows,
         minhashCtes,
         """cand AS (
@@ -1244,6 +1313,47 @@ object SparkEntry {
           |LEFT JOIN lm_ctx cx ON b.w1 = cx.w1
           |CROSS JOIN lm_vocab vv
           |GROUP BY b.doc_id""".stripMargin,
+
+      // BPE: 4 training rounds unrolled — pair-count, argmax, delimited
+      // replace per round; identical replace semantics both engines
+      "q_bpe_merges" -> bpeSql(4),
+
+      // DSIR: hashed-bigram buckets via the first 8 md5 hex chars (the
+      // same engine-portable integer recipe both sides); p/q are add-one
+      // ratios of exact integers, Canon kills ln's ulp on the sum
+      "q_dsir" ->
+        s"""WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term,
+          |         generate_subscripts(regexp_extract_all(lower(text), '\\w+'), 1) AS pos
+          |  FROM documents),
+          |big AS (
+          |  SELECT doc_id, term AS w1,
+          |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          |  FROM toks),
+          |bigm AS (
+          |  SELECT doc_id, w1, w2, count(*) AS m
+          |  FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+          |feats AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 4096 AS f,
+          |    CAST(sum(m) AS BIGINT) AS cnt
+          |  FROM bigm GROUP BY 1, 2),
+          |tf AS (
+          |  SELECT f, CAST(sum(cnt) AS BIGINT) AS tf FROM feats
+          |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+          |  GROUP BY 1),
+          |qf AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS qf FROM feats GROUP BY 1),
+          |tt AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS t FROM tf),
+          |qt AS (SELECT CAST(sum(qf) AS BIGINT) AS q FROM qf),
+          |model AS (
+          |  SELECT q1.f,
+          |    ln((coalesce(t1.tf, 0) + 1.0) / (tt.t + 4096.0)) AS lp,
+          |    ln((q1.qf + 1.0) / (qt.q + 4096.0)) AS lq
+          |  FROM qf q1 LEFT JOIN tf t1 USING (f) CROSS JOIN tt CROSS JOIN qt)
+          |SELECT fe.doc_id, CAST(sum(fe.cnt) AS BIGINT) AS n_feats,
+          |  ${graft.Canon.sql("sum(fe.cnt * (m.lp - m.lq))", 6)} AS dsir_weight
+          |FROM feats fe JOIN model m USING (f)
+          |GROUP BY 1""".stripMargin,
 
       "q_normalize" ->
         """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(text,
@@ -1426,6 +1536,27 @@ object SparkEntry {
           |  AS DOUBLE) AS cosine, rank
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
           |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
+          |WHERE rank <= 10""".stripMargin),
+
+      // product quantization: pa2 = the m codes per vector, pc1 = the
+      // codebook generation they were assigned against; ADC = the
+      // query's (sub, cid) distance table joined to the codes, summed
+      "q_ann_pq" -> withCtes(Seq(embeddingExploded) ++ pqCtes ++ Seq(
+        "qes AS (SELECT vec_id AS query_vec, sub, sdim, v FROM es" +
+          " WHERE vec_id % 100 = 0)",
+        """pdtab AS (
+          |  SELECT q.query_vec, c.sub, c.cid,
+          |    sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+          |  FROM qes q JOIN pc1 c ON q.sub = c.sub AND q.sdim = c.sdim
+          |  GROUP BY 1, 2, 3)""".stripMargin,
+        """padist AS (
+          |  SELECT d.query_vec, a.vec_id, sum(d.d2) AS adist
+          |  FROM pa2 a JOIN pdtab d ON a.sub = d.sub AND a.cid = d.cid
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(floor(adist * 1e6 + 0.5) / 1e6
+          |  AS DOUBLE) AS adist, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY floor(adist * 1e6 + 0.5) ASC, vec_id ASC) AS rank FROM padist)
           |WHERE rank <= 10""".stripMargin),
 
       "q_ann_lsh" -> withCtes(Seq(embeddingExploded) ++ lshBucketCtes ++ Seq(

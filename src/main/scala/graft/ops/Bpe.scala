@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich, Haddow, Birch,
+  * "Neural machine translation of rare words with subword units",
+  * ACL 2016 — the public BPE recipe every modern LLM tokenizer family
+  * descends from; no reference counterpart).
+  *
+  * Distributed shape: training state is the WORD table — (distinct word,
+  * corpus count, current symbol segmentation) — which is vocabulary-
+  * sized, not corpus-sized: the 100 TB corpus is touched ONCE to count
+  * words, and every merge round then runs on the bounded vocabulary
+  * (pair counting = one narrow explode + one partial-agg exchange over
+  * at most Σ|word| rows; applying the winning merge is a narrow map).
+  * The driver holds one (pair, count) row per round — `numMerges` rows
+  * total, the same bounded-collect contract as the IVF seeds.
+  *
+  * Symbol segmentations live as SPACE-DELIMITED strings and a merge
+  * applies as `replace(' '||syms||' ', ' l r ', ' lr ')` — the identical
+  * non-regex left-to-right scan in Spark and DuckDB, which is what makes
+  * fixed-round training UNROLLABLE into oracle CTEs (an honest replace
+  * caveat, stated here: inside a run of three-plus IDENTICAL symbols the
+  * left-to-right scan merges every other occurrence in one round and
+  * picks up the rest in later rounds — both engines agree exactly, and
+  * canonical BPE reaches the same fixpoint).
+  *
+  * Tie-break: highest count, then (left, right) ascending — ASCII-binary
+  * in both engines over `\w+` tokens.
+  */
+object Bpe {
+
+  /** (word, n, syms) — distinct lowercase `\w+` tokens with corpus
+    * counts, segmentation initialized to single characters. */
+  def wordTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.rawTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      // split-by-empty keeps a trailing "" in Spark (Pattern.split with
+      // limit -1) — drop zero-length symbols before joining
+      .withColumn("syms", array_join(
+        filter(split(col("word"), ""), x => length(x) > 0), " "))
+
+  /** Weighted adjacent-pair counts of the current segmentation. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("n"), split(col("syms"), " ").as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("n"),
+        explode(zip_with(col("ss"),
+          slice(col("ss"), lit(2), size(col("ss"))),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .filter(col("p.rhs").isNotNull)
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("n")).as("freq"))
+
+  /** Train `numMerges` rounds; returns the merge table
+    * (round, lhs, rhs, freq) — the artifact a tokenizer ships. */
+  def train(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordTable(docs, textCol).cache()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to numMerges) {
+      val best = pairCounts(words)
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, f) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, l, r, f))
+        val prev = words
+        words = words.withColumn("syms",
+          trim(call_function("replace",
+            concat(lit(" "), col("syms"), lit(" ")),
+            lit(s" $l $r "), lit(s" $l$r ")))).cache()
+        words.count()
+        prev.unpersist()
+      }
+    }
+    val out = merges.toSeq.toDF("round", "lhs", "rhs", "freq")
+    words.unpersist()
+    out
+  }
+
+  /** Apply a learned merge list to fresh text — the tokenize-with-vocab
+    * half of the contract: (doc_id, bpe_tokens). Merges apply in
+    * training order via the same delimited replace. */
+  def segment(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spaced = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextAnalysis.rawTokens(col(textCol))).as("word"))
+      .withColumn("syms", array_join(
+        filter(split(col("word"), ""), x => length(x) > 0), " "))
+    val applied = merges.foldLeft(spaced) { case (df, (l, r)) =>
+      df.withColumn("syms",
+        trim(call_function("replace",
+          concat(lit(" "), col("syms"), lit(" ")),
+          lit(s" $l $r "), lit(s" $l$r "))))
+    }
+    applied.groupBy(col("doc_id"))
+      .agg(flatten(collect_list(split(col("syms"), " "))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_bpe_tokens"))
+  }
+}

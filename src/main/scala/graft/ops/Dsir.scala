@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS 2023 — public method; no reference counterpart): score every
+  * document by how much more likely its hashed-bigram features are under
+  * a TARGET distribution (the slice you want more of) than under the raw
+  * corpus. High weight ⇒ target-like; downstream pipelines resample or
+  * threshold on it. This is the standard pretraining-mixture selection
+  * signal alongside [[LanguageModel.score]]'s perplexity filter.
+  *
+  * Features are word bigrams hashed into `b` buckets via the first 8 hex
+  * chars of md5 — the same engine-portable integer recipe as
+  * [[Sampling.byFraction]]'s draw, so the oracle reproduces the bucket
+  * ids exactly. Both feature models use add-one smoothing:
+  * p_f = (tf_f + 1) / (T + b) over the target slice, q_f likewise over
+  * the whole corpus; weight(doc) = Σ_f cnt_f · (ln p_f − ln q_f). All
+  * inputs to `ln` are ratios of exact-integer-valued doubles (one
+  * correctly-rounded IEEE division each), so the only cross-engine noise
+  * is ln's ulp, which dies under the 6-decimal [[graft.Canon]] round of
+  * the per-doc sum.
+  *
+  * Scale shape (100 TB lens): bigram construction is NARROW per doc
+  * ([[LanguageModel.bigramRows]]); the per-doc feature table is one
+  * (doc, bucket)-grain aggregation; both feature models are ≤ `b` rows
+  * (b = 4096 default) — broadcast-sized AT ANY CORPUS SIZE, which is the
+  * whole point of hashed features; scoring is one broadcast join plus a
+  * per-doc sum. No all-pairs anything, no vocabulary-sized state.
+  */
+object Dsir {
+
+  /** Engine-portable bucket of a (w1, w2) bigram: first 8 md5 hex chars
+    * as an integer, mod `b`. */
+  private def bucket(w1: Column, w2: Column, b: Int): Column =
+    conv(substring(md5(concat(w1, lit(" "), w2).cast("binary")), 1, 8),
+      16, 10).cast("long") % b
+
+  /** (doc_id, f, cnt) — per-document hashed-bigram feature counts. */
+  def features(docs: DataFrame, b: Int = 4096, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    LanguageModel.bigramRows(docs, idCol, textCol)
+      .groupBy(col("doc_id"), bucket(col("w1"), col("w2"), b).as("f"))
+      .agg(sum(col("m")).as("cnt"))
+
+  /** Importance weight of every document with ≥ 1 bigram.
+    *
+    * @param targetPred row predicate over `docs` marking the target
+    *                   slice (e.g. `col("lang") === "en"`)
+    * @return (doc_id, n_feats, dsir_weight) — weight Canon-rounded to 6
+    *         decimals */
+  def weights(docs: DataFrame, targetPred: Column,
+      b: Int = 4096): DataFrame = {
+    val feats = features(docs, b)
+    val targetIds = docs.filter(targetPred).select(col("doc_id"))
+    // target model: bounded at b rows however large the slice is
+    val tf = feats.join(targetIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("f")).agg(sum(col("cnt")).as("tf"))
+    val qf = feats.groupBy(col("f")).agg(sum(col("cnt")).as("qf"))
+    val tTot = tf.agg(sum(col("tf")).as("t"))
+    val qTot = qf.agg(sum(col("qf")).as("q"))
+    // one broadcast model table: (f, tf, qf) + scalar totals
+    val model = qf.join(tf, Seq("f"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(qTot))
+      .select(col("f"),
+        log((coalesce(col("tf"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("t"), lit(0L)) + lit(b.toDouble))).as("lp"),
+        log((col("qf") + lit(1.0)) / (col("q") + lit(b.toDouble))).as("lq"))
+    feats.join(broadcast(model), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * (col("lp") - col("lq"))).as("w"))
+      .select(col("doc_id"), col("n_feats"),
+        graft.Canon.r(col("w"), 6).as("dsir_weight"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for vector serving (Jégou, Douze, Schmid,
+  * "Product quantization for nearest neighbor search", TPAMI 2011 —
+  * public method; from-scratch implementation, no reference counterpart).
+  *
+  * The vector is split into `m` contiguous subvectors; each subspace gets
+  * its own `k`-centroid codebook (mini-k-means, deterministic seeds), and
+  * a vector is stored as `m` small centroid ids. Search is asymmetric
+  * distance computation (ADC): the FLOAT query builds an m×k table of
+  * exact subspace distances once, and every candidate's approximate
+  * distance is m table lookups — no float vector is ever read at scan
+  * time.
+  *
+  * Why this is the 100 TB layout: the serving table is `m` bytes per
+  * vector (64-dim float64 drops 64×: a 100 TB embedding corpus serves
+  * from ~1.6 TB of codes), the codebook is m·k subvectors (broadcast-
+  * sized at any corpus size), and the scan side of [[adcTopK]] is one
+  * NARROW pass over the code table — the distance table rides in as a
+  * broadcast, so the only shuffle anywhere is the final per-query top-k.
+  *
+  * Determinism mirrors [[Similarity.ivfAssignments]]: seeds are the
+  * first `k` vectors in md5(vec_id) order (each seed donates its slice
+  * to every subspace), Lloyd assignment breaks distance ties by centroid
+  * id, the iteration count is fixed, and the final codes and the ADC
+  * table reference the SAME codebook generation (the update step is
+  * skipped after the last assignment). All ranking runs over
+  * [[graft.Canon.rankKey]] so ulp-level sum-order noise cannot flip an
+  * order cross-engine.
+  */
+object ProductQuant {
+
+  /** (vec_id, sub, semb) — one row per (vector, subspace), `semb` the
+    * subspace's `dims/m` contiguous components. Pure narrow explode. */
+  def subVectors(embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.cast("int").as("sub"),
+            slice(col("emb"), s * subDim + 1, lit(subDim)).as("semb"))))
+          .as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.semb").as("semb"))
+
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace codebooks + final assignments.
+    *
+    * `iters` Lloyd rounds where the LAST round is assignment-only, so the
+    * returned codes were assigned against the returned codebook — the
+    * invariant [[adcTopK]]'s table lookups rely on.
+    *
+    * Shuffle shape per round: the assignment is a narrow fold against the
+    * broadcast codebook + one (vec_id, sub)-keyed min; the update carries
+    * `partitions × m × k` partial per-dimension (sum,count) rows (static
+    * `subDim` avg columns — the dimension axis never becomes rows).
+    *
+    * @return (assign (vec_id, sub, cid), codebook (sub, cid, cemb)) */
+  def codebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val sv = subVectors(embeddings, m, subDim)
+    val seedIds = embeddings
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("vec_id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seedDf = seedIds.toSeq.toDF("vec_id", "cid")
+    var cb = sv.join(broadcast(seedDf), Seq("vec_id"))
+      .select(col("sub"), col("cid"), col("semb").as("cemb"))
+    var assign: DataFrame = null
+    for (i <- 0 until iters) {
+      assign = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("dd", d2(col("semb"), col("cemb")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dd"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
+      if (i < iters - 1) {
+        val avgs = (0 until subDim).map(d =>
+          avg(element_at(col("semb"), d + 1)).as(s"c$d"))
+        cb = sv.join(assign, Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(avgs.head, avgs.tail: _*)
+          .select(col("sub"), col("cid"),
+            array((0 until subDim).map(d => col(s"c$d")): _*).as("cemb"))
+      }
+    }
+    (assign, cb)
+  }
+
+  /** (vec_id, codes: array<int>) — the serving table: `m` small ints per
+    * vector, codes[s] = the subspace-s centroid id. */
+  def encode(assign: DataFrame): DataFrame =
+    assign.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid")))),
+        _.getField("cid")).as("codes"))
+
+  /** ADC top-k: every query (float side) against the code table.
+    *
+    * The query's m×k distance table pivots to one nested
+    * `map<sub, map<cid, d2>>` per query (cid-keyed, so an empty cluster
+    * can never misalign a lookup) and BROADCASTS; the corpus side is a
+    * single narrow scan of (vec_id, codes) where the approximate distance
+    * is an m-lookup fold. Rank ascending by Canon-rounded distance,
+    * vec_id tie-break.
+    *
+    * Output: (query_vec, vec_id, adist, rank). */
+  def adcTopK(embeddings: DataFrame, queryPred: Column, topK: Int,
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val subDim = dims / m
+    val (assign, cb) = codebooks(embeddings, m, k, iters)
+    val codes = encode(assign)
+    val qsv = subVectors(embeddings.filter(queryPred), m, subDim)
+      .select(col("vec_id").as("query_vec"), col("sub"), col("semb"))
+    val dtab = qsv.join(broadcast(cb), Seq("sub"))
+      .withColumn("dd", d2(col("semb"), col("cemb")))
+      .groupBy(col("query_vec"), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("dd"))))
+        .as("trow"))
+      .groupBy(col("query_vec"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("trow"))))
+        .as("dtab"))
+    val agg = codes.crossJoin(broadcast(dtab))
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"),
+          sequence(lit(0), lit(m - 1)).cast("array<int>"),
+          (code, s) => element_at(element_at(col("dtab"), s), code)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_vec"))
+      .orderBy(graft.Canon.rankKey(col("adist")).asc, col("vec_id").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_vec"), col("vec_id"),
+        graft.Canon.r(col("adist"), 6).as("adist"), col("rank"))
+  }
+}

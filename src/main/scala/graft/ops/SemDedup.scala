@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDedup — semantic deduplication over an embedding column (Abbas,
+  * Tirumala, Simig, Ganguli, Morcos, "SemDedup: Data-efficient learning
+  * at web-scale through semantic deduplication", 2023 — public method;
+  * no reference counterpart).
+  *
+  * The published recipe verbatim: k-means-cluster the embeddings, then
+  * inside each cluster mark every vector that has a sufficiently-cosine-
+  * similar neighbor, keeping one representative per near-duplicate set.
+  * Clustering bounds the quadratic pair space to per-cluster blocks —
+  * with `nCentroids` scaled ∝ corpus size (the paper runs 50k clusters
+  * at web scale) the expected cluster is O(n/nCentroids) and the pair
+  * work stays linear-ish; the coarse quantizer is the SAME deterministic
+  * mini-k-means the IVF index uses ([[Similarity.ivfAssignments]]), so a
+  * pipeline that serves ANN and dedups shares one clustering pass.
+  *
+  * Keeper rule (deterministic, engine-portable): within a cluster a
+  * vector is a duplicate iff some LOWER-id vector in the cluster clears
+  * the cosine threshold against it — the same first-seen-wins convention
+  * as [[Dedup.exact]]. Threshold comparison runs on the Canon rank key
+  * (6 decimals) so an ulp of dot-product noise cannot flip a verdict
+  * cross-engine.
+  *
+  * @return (vec_id, cid, is_dup) — one row per input vector. */
+object SemDedup {
+
+  def flag(embeddings: DataFrame, threshold: Double = 0.95,
+      nCentroids: Int = 16, iters: Int = 3): DataFrame = {
+    val (assign, _) =
+      Similarity.ivfAssignments(embeddings, nCentroids, iters)
+    val e = embeddings.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("norm", Similarity.norm(col("emb")))
+      .join(assign, Seq("vec_id"))
+    val a = e.select(col("cid"), col("vec_id").as("vec_a"),
+      col("emb").as("ea"), col("norm").as("na"))
+    val b = e.select(col("cid"), col("vec_id").as("vec_b"),
+      col("emb").as("eb"), col("norm").as("nb"))
+    // pairs only within a cluster, earlier id -> later id
+    val dupIds = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        Similarity.cosine(Similarity.dot(col("ea"), col("eb")),
+          col("na"), col("nb")))
+      .filter(graft.Canon.rankKey(col("cosine")) >=
+        graft.Canon.rankKey(lit(threshold)))
+      .select(col("vec_b").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("cid"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+}

@@ -388,6 +388,129 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("bpe training reproduces the hand-computed merge sequence") {
+    import spark.implicits._
+    // the classic subword corpus: low x5, lower x2, newest x6, widest x3
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val got = Bpe.train(corpus, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // r1: (e,s)=9 beats (s,t)=9 on lhs; r2: (es,t)=9; r3: (l,o)=7 beats
+    // (o,w)=7; r4: (lo,w)=7 — each hand-counted from the word table
+    assert(got.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), s"got ${got.toSeq}")
+    // applying the merges segments an UNSEEN word along learned units
+    val fresh = Seq((9L, "lowest lowest")).toDF("doc_id", "text")
+    val seg = Bpe.segment(fresh,
+      got.toSeq.map(m => (m._2, m._3))).collect()
+    assert(seg.length == 1 && seg(0).getInt(1) == 4,
+      "lowest -> [low, est] twice = 4 bpe tokens")
+  }
+
+  test("semdedup: exact duplicate vectors flagged, cluster with originals") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dup = emb.union(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding")))
+    val got = SemDedup.flag(dup, threshold = 0.95, nCentroids = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(got.size == dup.count())
+    val copies = emb.filter(col("vec_id") % 10 === 0).collect()
+      .map(_.getLong(0) + 5000).toSet
+    copies.foreach { d =>
+      assert(got(d)._2, s"exact copy $d must be flagged")
+      assert(got(d)._1 == got(d - 5000)._1,
+        "identical vectors must land in the same cluster")
+    }
+    assert(got.filter(_._2._2).keySet == copies,
+      "random base vectors must not clear the 0.95 threshold")
+  }
+
+  test("dsir weights match a hand-computed model; target docs score high") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b", "en"), (2L, "c d c d", "fr"),
+      (3L, "a b", "en"), (4L, "x", "en")).toDF("doc_id", "text", "lang")
+    val b = 8
+    def bucket(w1: String, w2: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$w1 $w2".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % b
+    }
+    // per-doc feature counts (bigrams with multiplicity, bucketed)
+    def feats(toks: Seq[String]): Map[Long, Long] =
+      toks.zip(toks.tail).groupBy(identity).toSeq.map { case ((x, y), g) =>
+        bucket(x, y) -> g.size.toLong }
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val byDoc = Map(1L -> feats(Seq("a", "b", "a", "b")),
+      2L -> feats(Seq("c", "d", "c", "d")), 3L -> feats(Seq("a", "b")))
+    val tfm = Seq(1L, 3L).flatMap(byDoc(_).toSeq)
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val qfm = byDoc.values.flatMap(_.toSeq)
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val (t, q) = (tfm.values.sum.toDouble, qfm.values.sum.toDouble)
+    def canon(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val exp = byDoc.map { case (d, fs) =>
+      d -> (fs.values.sum, canon(fs.map { case (f, c) =>
+        c * (math.log((tfm.getOrElse(f, 0L) + 1.0) / (t + b)) -
+          math.log((qfm(f) + 1.0) / (q + b))) }.sum)) }
+    val got = Dsir.weights(corpus, col("lang") === "en", b).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == exp, s"got $got expected $exp")
+    assert(!got.contains(4L), "single-token doc has no bigram features")
+    // the off-target doc must weigh less than the target docs
+    assert(got(2L)._2 < got(1L)._2 && got(2L)._2 < got(3L)._2)
+  }
+
+  test("product quantization: dense codes, ADC self-minimality, " +
+      "partition invariance") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val pred = col("vec_id") % 100 === 0
+    val nVec = emb.count().toInt
+    val (assign, _) = ProductQuant.codebooks(emb)
+    val codes = ProductQuant.encode(assign).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length == nVec)
+    assert(codes.forall { case (_, cs) =>
+      cs.length == 8 && cs.forall(c => c >= 0 && c < 16) })
+    // the query's own code is the per-subspace argmin, so no candidate
+    // may score strictly below it — this breaks if codes and the ADC
+    // table ever reference different codebook generations
+    val got = ProductQuant.adcTopK(emb, pred, topK = nVec).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    got.map(_._1).distinct.foreach { q =>
+      val rows = got.filter(_._1 == q)
+      val self = rows.find(_._2 == q).get
+      assert(rows.forall(_._3 >= self._3), s"query $q beat its own code")
+    }
+    val again = ProductQuant.adcTopK(emb.repartition(7), pred, topK = nVec)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSet == again.toSet, "ADC must be partition-invariant")
+  }
+
+  test("product quantization: well-separated clusters recalled exactly") {
+    import spark.implicits._
+    // 4 clusters at distant corners of the 64-cube, deterministic jitter
+    val rows = for (c <- 0 until 4; i <- 0 until 10) yield (
+      (c * 100 + i).toLong,
+      (0 until 64).map(d =>
+        (if (((c >> (d % 2)) & 1) == 1) 10.0 else -10.0) +
+          ((d * 31 + i * 7) % 5) * 0.01).toArray)
+    val emb = rows.toDF("vec_id", "embedding")
+    val res = ProductQuant.adcTopK(emb, col("vec_id") % 100 === 0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.length == 40, "4 queries x top-10")
+    assert(res.forall { case (q, v) => q / 100 == v / 100 },
+      "every ADC top-10 hit must come from the query's own cluster")
+  }
+
   test("multimodal: payload metadata matches source bytes") {
     val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
     val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
