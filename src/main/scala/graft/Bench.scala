@@ -236,7 +236,7 @@ object Bench {
         "dedup_simhash_pairs", "ann_brute", "ann_lsh", "ann_quant",
         "decontaminate", "curate_code", "grep_substring", "regex_search",
         "clone_pairs", "code_graph_pagerank", "lm_score", "dsir_weights",
-        "ann_pq", "semdedup", "bpe_train")
+        "ann_pq", "ann_ivfpq", "semdedup", "bpe_train")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -383,6 +383,8 @@ object Bench {
     // ADC query batch) — training is the dominant term at this scale
     // and would be index-time work in serving
     results("ann_pq") = timeWarm(graft.ops.ProductQuant.adcTopK(
+      emb, col("vec_id") % 100 === 0, 10).count())._1
+    results("ann_ivfpq") = timeWarm(graft.ops.ProductQuant.ivfAdcTopK(
       emb, col("vec_id") % 100 === 0, 10).count())._1
     results("semdedup") = timeWarm(graft.ops.SemDedup.flag(
       emb.select(col("vec_id"), col("embedding"))).count())._1

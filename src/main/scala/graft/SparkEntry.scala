@@ -541,6 +541,16 @@ object SparkEntry {
         .select(col("query_vec"), col("vec_id"), col("adist"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- similarity: IVFADC (Jégou §IV / FAISS IVFx,PQy) — coarse
+    //      IVF probe routes each query to 4 of 16 posting lists, ADC
+    //      scores only the codes inside them; the composed serving
+    //      layout for 100 TB corpora ----
+    "q_ann_ivfpq" -> ((s, dir) =>
+      graft.ops.ProductQuant.ivfAdcTopK(embeddings(s, dir),
+          col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"), col("adist"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
@@ -1552,6 +1562,45 @@ object SparkEntry {
         """padist AS (
           |  SELECT d.query_vec, a.vec_id, sum(d.d2) AS adist
           |  FROM pa2 a JOIN pdtab d ON a.sub = d.sub AND a.cid = d.cid
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(floor(adist * 1e6 + 0.5) / 1e6
+          |  AS DOUBLE) AS adist, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY floor(adist * 1e6 + 0.5) ASC, vec_id ASC) AS rank FROM padist)
+          |WHERE rank <= 10""".stripMargin),
+
+      // IVFADC: the ivf chain (a3 assignments / c3 centroids) and the
+      // pq chain (pa2 codes / pc1 codebook) share `e` and compose —
+      // probes pick 4 lists per query, padist only sums candidates
+      // inside them
+      "q_ann_ivfpq" -> withCtes(
+        Seq(embeddingExploded) ++ ivfCtes ++ pqCtes ++ Seq(
+        "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +
+          " WHERE vec_id % 100 = 0)",
+        """probes AS (
+          |  SELECT query_vec, cid FROM (
+          |    SELECT query_vec, cid, row_number() OVER (
+          |      PARTITION BY query_vec ORDER BY d2, cid) AS pr
+          |    FROM (SELECT q.query_vec, c.cid,
+          |        sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+          |      FROM q JOIN c3 c USING (dim) GROUP BY 1, 2))
+          |  WHERE pr <= 4)""".stripMargin,
+        "qes AS (SELECT vec_id AS query_vec, sub, sdim, v FROM es" +
+          " WHERE vec_id % 100 = 0)",
+        """pdtab AS (
+          |  SELECT q.query_vec, c.sub, c.cid,
+          |    sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+          |  FROM qes q JOIN pc1 c ON q.sub = c.sub AND q.sdim = c.sdim
+          |  GROUP BY 1, 2, 3)""".stripMargin,
+        """cand AS (
+          |  SELECT p.query_vec, a.vec_id
+          |  FROM probes p JOIN a3 a USING (cid))""".stripMargin,
+        """padist AS (
+          |  SELECT c.query_vec, c.vec_id, sum(d.d2) AS adist
+          |  FROM cand c
+          |  JOIN pa2 a ON a.vec_id = c.vec_id
+          |  JOIN pdtab d ON d.query_vec = c.query_vec
+          |    AND d.sub = a.sub AND d.cid = a.cid
           |  GROUP BY 1, 2)""".stripMargin),
         """SELECT query_vec, vec_id, CAST(floor(adist * 1e6 + 0.5) / 1e6
           |  AS DOUBLE) AS adist, rank

@@ -107,14 +107,44 @@ object ProductQuant {
         array_sort(collect_list(struct(col("sub"), col("cid")))),
         _.getField("cid")).as("codes"))
 
-  /** ADC top-k: every query (float side) against the code table.
-    *
-    * The query's m×k distance table pivots to one nested
-    * `map<sub, map<cid, d2>>` per query (cid-keyed, so an empty cluster
-    * can never misalign a lookup) and BROADCASTS; the corpus side is a
-    * single narrow scan of (vec_id, codes) where the approximate distance
-    * is an m-lookup fold. Rank ascending by Canon-rounded distance,
-    * vec_id tie-break.
+  /** Per-query ADC distance table — (query_vec, dtab: map<sub,
+    * map<cid, d2>>), one row per query (cid-keyed nested map, so an
+    * empty cluster can never misalign a lookup). m×k exact subspace
+    * distances computed once per query against the broadcast codebook. */
+  private def distTables(queries: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    subVectors(queries, m, subDim)
+      .select(col("vec_id").as("query_vec"), col("sub"), col("semb"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("dd", d2(col("semb"), col("cemb")))
+      .groupBy(col("query_vec"), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("dd"))))
+        .as("trow"))
+      .groupBy(col("query_vec"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("trow"))))
+        .as("dtab"))
+
+  /** m-lookup ADC fold of one code row against the joined `dtab`. */
+  private def adcFold(m: Int): Column = aggregate(
+    zip_with(col("codes"),
+      sequence(lit(0), lit(m - 1)).cast("array<int>"),
+      (code, s) => element_at(element_at(col("dtab"), s), code)),
+    lit(0.0), (acc, x) => acc + x)
+
+  private def rankAdc(agg: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_vec"))
+      .orderBy(graft.Canon.rankKey(col("adist")).asc, col("vec_id").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_vec"), col("vec_id"),
+        graft.Canon.r(col("adist"), 6).as("adist"), col("rank"))
+  }
+
+  /** ADC top-k: every query (float side) against the FULL code table —
+    * the exhaustive-PQ baseline. The distance table rides in as a
+    * broadcast; the corpus side is a single narrow scan of
+    * (vec_id, codes) where the approximate distance is an m-lookup
+    * fold. Rank ascending by Canon-rounded distance, vec_id tie-break.
     *
     * Output: (query_vec, vec_id, adist, rank). */
   def adcTopK(embeddings: DataFrame, queryPred: Column, topK: Int,
@@ -123,27 +153,52 @@ object ProductQuant {
     val subDim = dims / m
     val (assign, cb) = codebooks(embeddings, m, k, iters)
     val codes = encode(assign)
-    val qsv = subVectors(embeddings.filter(queryPred), m, subDim)
-      .select(col("vec_id").as("query_vec"), col("sub"), col("semb"))
-    val dtab = qsv.join(broadcast(cb), Seq("sub"))
-      .withColumn("dd", d2(col("semb"), col("cemb")))
-      .groupBy(col("query_vec"), col("sub"))
-      .agg(map_from_entries(collect_list(struct(col("cid"), col("dd"))))
-        .as("trow"))
-      .groupBy(col("query_vec"))
-      .agg(map_from_entries(collect_list(struct(col("sub"), col("trow"))))
-        .as("dtab"))
-    val agg = codes.crossJoin(broadcast(dtab))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"),
-          sequence(lit(0), lit(m - 1)).cast("array<int>"),
-          (code, s) => element_at(element_at(col("dtab"), s), code)),
-        lit(0.0), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("query_vec"))
-      .orderBy(graft.Canon.rankKey(col("adist")).asc, col("vec_id").asc)
-    agg.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_vec"), col("vec_id"),
-        graft.Canon.r(col("adist"), 6).as("adist"), col("rank"))
+    val dtab = distTables(embeddings.filter(queryPred), cb, m, subDim)
+    rankAdc(codes.crossJoin(broadcast(dtab))
+      .withColumn("adist", adcFold(m)), topK)
+  }
+
+  /** IVFADC — the composed 100 TB vector-serving layout (Jégou TPAMI'11
+    * §IV; the FAISS `IVFx,PQy` family): an IVF coarse quantizer
+    * ([[Similarity.ivfAssignments]] — the SAME deterministic clustering
+    * the float IVF index and SemDedup use) routes each query to its
+    * `nProbe` nearest posting lists, and ADC scoring runs ONLY over the
+    * codes in those lists. This variant quantizes raw vectors, not
+    * coarse residuals (residual encoding needs per-list codebooks —
+    * noted, not implemented); the recall/speed knobs are the standard
+    * nProbe/nCentroids scan fraction times PQ's m-byte memory story.
+    *
+    * Scale shape: the serving table is (cid, vec_id, codes) — m bytes +
+    * one small int per vector, bucketable by `cid` so a probe prunes
+    * partitions; centroids, codebooks, and per-query distance tables all
+    * broadcast; the only shuffle is the final per-query top-k over
+    * nProbe/nCentroids of the corpus.
+    *
+    * Output: (query_vec, vec_id, adist, rank). */
+  def ivfAdcTopK(embeddings: DataFrame, queryPred: Column, topK: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, coarseIters: Int = 3,
+      m: Int = 8, k: Int = 16, pqIters: Int = 2): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val subDim = dims / m
+    val (coarse, cent) = Similarity.ivfAssignments(
+      embeddings, nCentroids, coarseIters)
+    val (assign, cb) = codebooks(embeddings, m, k, pqIters)
+    val serving = encode(assign).join(coarse, Seq("vec_id"))
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_vec"),
+        transform(col("embedding"), _.cast("double")).as("qemb"))
+    // probe selection mirrors Similarity.ivfTopK: full-dim L2 against the
+    // broadcast centroid table, nProbe nearest, (d2, cid) tie-break
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("d2c", d2(col("qemb"), col("cemb")))
+      .withColumn("pr", row_number().over(Window
+        .partitionBy(col("query_vec"))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_vec"), col("cid"))
+    val dtab = distTables(embeddings.filter(queryPred), cb, m, subDim)
+    rankAdc(probes.join(serving, Seq("cid"))
+      .join(broadcast(dtab), Seq("query_vec"))
+      .withColumn("adist", adcFold(m)), topK)
   }
 }

@@ -511,6 +511,39 @@ class OpsSpec extends SparkSpec {
       "every ADC top-10 hit must come from the query's own cluster")
   }
 
+  test("ivfadc: probed-list subset of full ADC, clusters recalled, " +
+      "partition invariance") {
+    import spark.implicits._
+    // same well-separated corners — coarse probe must route each query
+    // to its own cluster's list and ADC must keep the cluster's members
+    val rows = for (c <- 0 until 4; i <- 0 until 10) yield (
+      (c * 100 + i).toLong,
+      (0 until 64).map(d =>
+        (if (((c >> (d % 2)) & 1) == 1) 10.0 else -10.0) +
+          ((d * 31 + i * 7) % 5) * 0.01).toArray)
+    val emb = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 100 === 0
+    // corners are ~80 apart in L2 while same-corner jitter is ~0.1, so
+    // every same-corner coarse list outranks any cross-corner list; 4
+    // probes cover however k-means split 8 centroids over 4 corners
+    val res = ProductQuant.ivfAdcTopK(emb, pred, 10, nCentroids = 8,
+        nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length == 40, "4 queries x top-10")
+    assert(res.forall { case (q, v, _) => q / 100 == v / 100 },
+      "every IVFADC top-10 hit must come from the query's own cluster")
+    // every (query, candidate, adist) must agree with exhaustive ADC on
+    // the same corpus — IVF only prunes, it never changes a distance
+    val full = ProductQuant.adcTopK(emb, pred, topK = 40).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    res.foreach { case (q, v, d) =>
+      assert(full((q, v)) == d, s"adist diverged for ($q,$v)") }
+    val again = ProductQuant.ivfAdcTopK(emb.repartition(7), pred, 10,
+        nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.toSet == again.toSet, "IVFADC must be partition-invariant")
+  }
+
   test("multimodal: payload metadata matches source bytes") {
     val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
     val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
