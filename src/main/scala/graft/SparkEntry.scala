@@ -606,6 +606,12 @@ object SparkEntry {
           round(col("mean_token_len"), 6).cast("double").as("mean_token_len"),
           round(col("quality"), 6).cast("double").as("quality"))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+
+    // ---- sequence packing: concat-and-chunk at context length 256 —
+    //      (seq_id, doc_id, tok_start, n_toks) dataloader layout via a
+    //      distributed two-level prefix sum in doc_id order ----
+    "q_pack" -> ((s, dir) =>
+      graft.ops.Pack.sequences(docs(s, dir), seqLen = 256)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
 
     // ---- the COMPOSED curation pipeline over the dup-injected corpus:
@@ -1771,6 +1777,32 @@ object SparkEntry {
           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
           |    AS bpe_ish_tokens
           |FROM documents""".stripMargin,
+
+      // sequence packing: the oracle states the SPEC (one global
+      // running total in doc_id order); the engine implements it as a
+      // two-level prefix sum — same offsets by associativity
+      "q_pack" ->
+        """WITH counts AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+          |      AS n
+          |  FROM documents
+          |  WHERE len(regexp_extract_all(lower(text), '\w+')) > 0),
+          |offs AS (
+          |  SELECT doc_id, n,
+          |    CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND CURRENT ROW) - n AS BIGINT) AS off
+          |  FROM counts),
+          |spans AS (
+          |  SELECT doc_id, n, off,
+          |    unnest(generate_series(CAST(off // 256 AS BIGINT),
+          |      CAST((off + n - 1) // 256 AS BIGINT))) AS seq_id
+          |  FROM offs)
+          |SELECT seq_id, doc_id,
+          |  greatest(off, seq_id * 256) - seq_id * 256 AS tok_start,
+          |  least(off + n, (seq_id + 1) * 256)
+          |    - greatest(off, seq_id * 256) AS n_toks
+          |FROM spans""".stripMargin,
 
       "q_fingerprint" -> withCtes(Seq(
         """sh_arrays AS (

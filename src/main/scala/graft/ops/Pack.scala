@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk layout every GPT-style
+  * pretraining run feeds its dataloader (documents concatenated in a
+  * deterministic order, split every `seqLen` tokens; public recipe,
+  * e.g. GPT-3 §2.1 / Megatron-LM data pipelines; no reference
+  * counterpart): maps every document to the training sequences it lands
+  * in, with its token offset and length inside each.
+  *
+  * The core is a DISTRIBUTED PREFIX SUM of per-document token counts in
+  * doc_id order — the textbook two-level form, because a single global
+  * running-total window would funnel the whole corpus through ONE
+  * partition (the unpartitioned-Window trap PlanSpec polices elsewhere):
+  *
+  *  1. per-doc counts: narrow.
+  *  2. bucket `b = doc_id >> bucketShift` (order-preserving by value, a
+  *     pure function of the row — same determinism argument as the
+  *     vocabulary bucketing in IndexBuilder).
+  *  3. within-bucket running totals: Window partitioned BY BUCKET —
+  *     parallel across buckets.
+  *  4. bucket totals → exclusive bucket prefixes: one Window over
+  *     #buckets ROWS (corpus-size / 2^bucketShift — tune the shift so
+  *     this stays millions, not billions; each row is 16 bytes).
+  *  5. global offset = bucket prefix + within-bucket prefix; chunk
+  *     boundaries are then pure per-row arithmetic (narrow explode of
+  *     the ≤ ⌈n/seqLen⌉+1 spanned sequences).
+  *
+  * Exactly one of anything global: the #buckets-row window. Everything
+  * else is narrow or bucket-parallel. Deterministic for a fixed corpus
+  * regardless of partitioning.
+  *
+  * @return (seq_id, doc_id, tok_start, n_toks) — `tok_start` the
+  *         document slice's offset INSIDE sequence `seq_id`; a document
+  *         spanning a boundary emits one row per sequence it touches.
+  */
+object Pack {
+
+  def sequences(docs: DataFrame, seqLen: Int,
+      bucketShift: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0)
+    val counts = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(TextAnalysis.rawTokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("b", shiftright(col("doc_id"), bucketShift))
+    val withinW = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = counts.withColumn("run", sum(col("n")).over(withinW))
+    val bucketW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = counts.groupBy(col("b")).agg(sum(col("n")).as("bt"))
+      .withColumn("bp", coalesce(sum(col("bt")).over(bucketW), lit(0L)))
+      .select(col("b"), col("bp"))
+    val L = lit(seqLen.toLong)
+    within.join(bpre, Seq("b"))
+      .withColumn("off", col("bp") + col("run") - col("n"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("off") / L).cast("long"),
+        floor((col("off") + col("n") - 1) / L).cast("long"))))
+      .withColumn("gs", greatest(col("off"), col("seq_id") * L))
+      .select(col("seq_id"), col("doc_id"),
+        (col("gs") - col("seq_id") * L).as("tok_start"),
+        (least(col("off") + col("n"), (col("seq_id") + 1) * L) -
+          col("gs")).as("n_toks"))
+  }
+}

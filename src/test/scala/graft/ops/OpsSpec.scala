@@ -544,6 +544,33 @@ class OpsSpec extends SparkSpec {
     assert(res.toSet == again.toSet, "IVFADC must be partition-invariant")
   }
 
+  test("pack: concat-and-chunk spans, bucket-shift and partition " +
+      "invariance") {
+    import spark.implicits._
+    // token counts by doc_id order: 3, 5, 4, 2 → offsets 0, 3, 8, 12;
+    // L=5 → doc 10 fills seq 0 [0,3); doc 11 spans seq 0 [3,5) + seq 1
+    // [5,8); doc 12 spans seq 1 [8,10) + seq 2 [10,12); doc 13 seq 2
+    val corpus = Seq(
+      (10L, "a b c"), (11L, "d e f g h"), (12L, "i j k l"), (13L, "m n"))
+      .toDF("doc_id", "text")
+    val exp = Set(
+      (0L, 10L, 0L, 3L), (0L, 11L, 3L, 2L), (1L, 11L, 0L, 3L),
+      (1L, 12L, 3L, 2L), (2L, 12L, 0L, 2L), (2L, 13L, 2L, 2L))
+    def run(df: org.apache.spark.sql.DataFrame, shift: Int) =
+      Pack.sequences(df, seqLen = 5, bucketShift = shift).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(corpus, 10) == exp)
+    // shift 0 puts every doc in its own bucket — the two-level prefix
+    // sum must still produce the same global offsets
+    assert(run(corpus, 0) == exp, "bucket granularity changed offsets")
+    assert(run(corpus.repartition(7), 1) == exp, "partition-dependent")
+    // conservation: every token lands in exactly one (seq, doc) slice
+    val total = Pack.sequences(corpus, 5).agg(sum(col("n_toks")))
+      .head.getLong(0)
+    assert(total == 14)
+  }
+
   test("multimodal: payload metadata matches source bytes") {
     val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
     val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
