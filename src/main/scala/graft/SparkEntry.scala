@@ -406,6 +406,14 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 4).cast("double").as("jaccard"))),
 
+    // ---- dedup: exact repeated-substring spans (Lee et al. ACL'22
+    //      suffix-array criterion, distributed via window-gram hashing:
+    //      one gram-count window + one doc_id interval merge) ----
+    "q_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(plans.dupCorpus(s, dir))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))),
+
     // ---- dedup: EXACT n-gram Jaccard join (prefix-filtered AllPairs —
     //      no LSH false negatives; same dup corpus as MinHash) ----
     "q_jaccard_join" -> ((s, dir) =>
@@ -1098,6 +1106,44 @@ object SparkEntry {
           |  FROM hashed GROUP BY 1)""".stripMargin),
         "SELECT h.doc_id, g.keeper, g.dup_count, h.doc_id <> g.keeper AS" +
           " is_dup FROM hashed h JOIN groups g USING (content_sha)"),
+
+      // repeated spans: raw \w+ tokens, 8-token windows, duplicated iff
+      // the window gram occurs >= 2 times corpus-wide, gaps-and-islands
+      // interval merge — the same algorithm stated as one SQL chain
+      "q_repeated_spans" -> withCtes(Seq(dupCorpus,
+        """rs_t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |  FROM dup_corpus)""".stripMargin,
+        """rs_w AS (
+          |  SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS pos,
+          |         ts
+          |  FROM rs_t WHERE len(ts) >= 8)""".stripMargin,
+        """rs_g AS (
+          |  SELECT doc_id, pos,
+          |    md5(array_to_string(list_slice(ts, pos + 1, pos + 8), ' '))
+          |      AS g
+          |  FROM rs_w)""".stripMargin,
+        """rs_hits AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt
+          |    FROM rs_g) WHERE cnt >= 2)""".stripMargin,
+        """rs_pm AS (
+          |  SELECT doc_id, pos,
+          |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS prev_end
+          |  FROM rs_hits)""".stripMargin,
+        """rs_isl AS (
+          |  SELECT doc_id, pos,
+          |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+          |        THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS island
+          |  FROM rs_pm)""".stripMargin),
+        """SELECT doc_id, min(pos) AS span_start,
+          |  max(pos) + 8 AS span_end, count(*) AS n_windows
+          |FROM rs_isl GROUP BY doc_id, island""".stripMargin),
 
       "q_minhash_pairs" -> withCtes(Seq(dupCorpus, shingleRows, minhashCtes,
         """cand AS (

@@ -290,6 +290,64 @@ object Dedup {
           .reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** Exact repeated-substring spans — the suffix-array dedup criterion of
+    * Lee et al., ACL'22 ("Deduplicating Training Data Makes Language
+    * Models Better": drop any ≥ L-token substring that occurs twice in
+    * the corpus), re-expressed relationally: a token position is
+    * duplicated iff some L-token window covering it occurs ≥ 2 times
+    * corpus-wide, and maximal duplicated regions are the merged intervals
+    * of the duplicated windows. Equivalent to the suffix-array scan for
+    * spans ≥ L (every duplicated substring of length ≥ L is a chain of
+    * duplicated L-windows and vice versa) without ever building a global
+    * suffix array — which does not distribute; window hashing does.
+    *
+    * Plan shape (100 TB lens): window grams are a NARROW per-doc
+    * transform+posexplode (≈ one row per token — the same volume every
+    * shingle op here already handles); duplication is ONE count window
+    * partitioned by the gram hash ([[exact]]'s one-scan form — partition
+    * size = one gram's corpus multiplicity); the interval merge is two
+    * windows + a groupBy all clustered by doc_id — ONE doc_id exchange,
+    * since HashPartitioning(doc_id) already satisfies the (doc_id,
+    * island) grouping. Two shuffles end-to-end, both AQE-balanceable.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — token offsets,
+    * end exclusive, spans ≥ L tokens; overlapping/adjacent windows merge
+    * (gaps-and-islands over running max end). */
+  def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val L = minLen
+    val wins = docs.select(col(idCol).cast("long").as("doc_id"),
+        regexp_extract_all(lower(col(textCol)), lit("(?U)\\w+"), lit(0))
+          .as("ts"))
+      .filter(size(col("ts")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ts")) - L),
+          i => md5(concat_ws(" ", slice(col("ts"), i + 1, lit(L)))
+            .cast("binary"))))
+        .as(Seq("pos", "g")))
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    val hits = wins.withColumn("cnt", count(lit(1)).over(byGram))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val W = org.apache.spark.sql.expressions.Window
+    val byDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + L)
+      .over(byDoc.rowsBetween(W.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`,
     * mined with pigeonhole blocking (Manku et al., WWW'07 — public
     * algorithm): split the `bits`-bit signature into `maxDist + 1`

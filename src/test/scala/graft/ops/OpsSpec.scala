@@ -544,6 +544,39 @@ class OpsSpec extends SparkSpec {
     assert(res.toSet == again.toSet, "IVFADC must be partition-invariant")
   }
 
+  test("repeated spans: cross-doc and within-doc duplicated substrings, " +
+      "interval merge, partition invariance") {
+    import spark.implicits._
+    // docs 1/2 share the 5-token run "one two three four five"; doc 3
+    // repeats "x y z" within itself; doc 4 is clean. L=3.
+    val corpus = Seq(
+      (1L, "one two three four five alpha beta gamma"),
+      (2L, "zzz one two three four five qqq rrr"),
+      (3L, "x y z p q x y z"),
+      (4L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val exp = Set(
+      (1L, 0L, 5L, 3L), // windows 0,1,2 merge into [0,5)
+      (2L, 1L, 6L, 3L), // same run shifted by the zzz prefix
+      (3L, 0L, 3L, 1L), (3L, 5L, 8L, 1L)) // within-doc repeat, two islands
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.repeatedSpans(df, minLen = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(corpus) == exp)
+    assert(run(corpus.repartition(5)) == exp, "partition-dependent spans")
+    // adjacency merge: doc 1's duplicated windows at pos 0, 3, 6 touch
+    // pairwise ([0,3)+[3,6)+[6,9)) and must chain into ONE region [0,9),
+    // while the window at pos 10 stays a separate island [10,13)
+    val adj = Seq(
+      (1L, "a b c p q r a b c x p q r y"),
+      (2L, "a b c m m m m"), (3L, "p q r n n n n")).toDF("doc_id", "text")
+    val spans1 = Dedup.repeatedSpans(adj, minLen = 3)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans1 == Set((0L, 9L), (10L, 13L)),
+      s"expected merged [0,9) plus island [10,13), got $spans1")
+  }
+
   test("pack: concat-and-chunk spans, bucket-shift and partition " +
       "invariance") {
     import spark.implicits._
