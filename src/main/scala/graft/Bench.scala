@@ -233,7 +233,8 @@ object Bench {
       Seq("query_bm25_join", "query_wand", "query_bool",
         "query_bm25f_wand", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
-        "dedup_simhash_pairs", "ann_brute", "ann_lsh", "ann_quant",
+        "dedup_simhash_pairs", "dedup_spans", "pack_sequences",
+        "ann_brute", "ann_lsh", "ann_quant",
         "decontaminate", "curate_code", "grep_substring", "regex_search",
         "clone_pairs", "code_graph_pagerank", "lm_score", "dsir_weights",
         "ann_pq", "ann_ivfpq", "semdedup", "bpe_train")
@@ -313,6 +314,14 @@ object Bench {
       Dedup.jaccardJoin(docsDf.limit(3000)).count())._1
     results("dedup_simhash_pairs") = timeWarm(
       Dedup.simhashPairs(docsDf.limit(3000)).count())._1
+    // Lee et al. repeated-substring spans over the FULL table — the gram
+    // volume is ~1 row/token; dominant cost is the gram-count window
+    results("dedup_spans") = timeWarm(
+      Dedup.repeatedSpans(docsDf).count())._1
+    // dataloader sequence packing over the full table (two-level prefix
+    // sum + narrow chunk arithmetic at a GPT-style context length)
+    results("pack_sequences") = timeWarm(
+      graft.ops.Pack.sequences(docsDf, seqLen = 2048).count())._1
     results("ann_brute") = timeWarm(Similarity.bruteForceTopK(
       emb, col("vec_id") % 100 === 0, 10).count())._1
     results("ann_lsh") = timeWarm(Similarity.lshTopK(

@@ -185,6 +185,47 @@ object OracleSql {
       |  UNION ALL SELECT doc_id + 200000, text || ' extra token here'
       |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** Repeated-substring span CTE chain over `dup_corpus` (Lee et al.
+    * ACL'22 criterion, L = 8 raw \w+ tokens): window grams, corpus-wide
+    * duplication count, gaps-and-islands interval merge. Ends in
+    * `rs_isl` (doc_id, pos, island); spans follow by grouping. Mirrors
+    * [[graft.ops.Dedup.repeatedSpans]] 1:1. */
+  val repeatedSpanCtes: Seq[String] = Seq(
+    """rs_t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+      |  FROM dup_corpus)""".stripMargin,
+    """rs_w AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS pos,
+      |         ts
+      |  FROM rs_t WHERE len(ts) >= 8)""".stripMargin,
+    """rs_g AS (
+      |  SELECT doc_id, pos,
+      |    md5(array_to_string(list_slice(ts, pos + 1, pos + 8), ' '))
+      |      AS g
+      |  FROM rs_w)""".stripMargin,
+    """rs_hits AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt
+      |    FROM rs_g) WHERE cnt >= 2)""".stripMargin,
+    """rs_pm AS (
+      |  SELECT doc_id, pos,
+      |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_end
+      |  FROM rs_hits)""".stripMargin,
+    """rs_isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS island
+      |  FROM rs_pm)""".stripMargin,
+    """rs_spans AS (
+      |  SELECT doc_id, min(pos) AS span_start,
+      |    max(pos) + 8 AS span_end, count(*) AS n_windows
+      |  FROM rs_isl GROUP BY doc_id, island)""".stripMargin)
+
   /** Winnowing fingerprint CTE chain over corpus CTE/table `src`
     * (k = 4, window = 4): HUGEINT Karp-Rabin token/k-gram hashing
     * congruent to [[graft.ops.Winnowing]]'s 61-bit Mersenne rolling

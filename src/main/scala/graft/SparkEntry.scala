@@ -414,6 +414,13 @@ object SparkEntry {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("n_windows"))),
 
+    // ---- dedup: duplicated-token coverage + keep gate (the doc-level
+    //      filtering form of the repeated-spans criterion) ----
+    "q_repeated_coverage" -> ((s, dir) =>
+      Dedup.repeatedCoverage(plans.dupCorpus(s, dir))
+        .select(col("doc_id"), col("n_toks"), col("dup_toks"),
+          col("dup_frac"), col("keep"))),
+
     // ---- dedup: EXACT n-gram Jaccard join (prefix-filtered AllPairs —
     //      no LSH false negatives; same dup corpus as MinHash) ----
     "q_jaccard_join" -> ((s, dir) =>
@@ -1110,40 +1117,32 @@ object SparkEntry {
       // repeated spans: raw \w+ tokens, 8-token windows, duplicated iff
       // the window gram occurs >= 2 times corpus-wide, gaps-and-islands
       // interval merge — the same algorithm stated as one SQL chain
-      "q_repeated_spans" -> withCtes(Seq(dupCorpus,
-        """rs_t AS (
-          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+      "q_repeated_spans" -> withCtes(dupCorpus +: repeatedSpanCtes,
+        "SELECT doc_id, span_start, span_end, n_windows FROM rs_spans"),
+
+      // duplicated-token coverage + keep gate over the same span chain;
+      // dup_frac is an exact BIGINT/BIGINT IEEE division on both engines
+      "q_repeated_coverage" -> withCtes((dupCorpus +: repeatedSpanCtes) ++ Seq(
+        """rs_lens AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+          |      AS n_toks
           |  FROM dup_corpus)""".stripMargin,
-        """rs_w AS (
-          |  SELECT doc_id, unnest(generate_series(0, len(ts) - 8)) AS pos,
-          |         ts
-          |  FROM rs_t WHERE len(ts) >= 8)""".stripMargin,
-        """rs_g AS (
-          |  SELECT doc_id, pos,
-          |    md5(array_to_string(list_slice(ts, pos + 1, pos + 8), ' '))
-          |      AS g
-          |  FROM rs_w)""".stripMargin,
-        """rs_hits AS (
-          |  SELECT doc_id, pos FROM (
-          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt
-          |    FROM rs_g) WHERE cnt >= 2)""".stripMargin,
-        """rs_pm AS (
-          |  SELECT doc_id, pos,
-          |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-          |      AS prev_end
-          |  FROM rs_hits)""".stripMargin,
-        """rs_isl AS (
-          |  SELECT doc_id, pos,
-          |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
-          |        THEN 1 ELSE 0 END)
-          |      OVER (PARTITION BY doc_id ORDER BY pos
-          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |      AS island
-          |  FROM rs_pm)""".stripMargin),
-        """SELECT doc_id, min(pos) AS span_start,
-          |  max(pos) + 8 AS span_end, count(*) AS n_windows
-          |FROM rs_isl GROUP BY doc_id, island""".stripMargin),
+        """rs_cov AS (
+          |  SELECT doc_id,
+          |    CAST(sum(span_end - span_start) AS BIGINT) AS dup_toks
+          |  FROM rs_spans GROUP BY doc_id)""".stripMargin),
+        """SELECT l.doc_id, l.n_toks,
+          |  coalesce(c.dup_toks, 0) AS dup_toks,
+          |  CASE WHEN l.n_toks > 0 THEN
+          |    CAST(coalesce(c.dup_toks, 0) AS DOUBLE)
+          |      / CAST(l.n_toks AS DOUBLE)
+          |    ELSE 0.0 END AS dup_frac,
+          |  CASE WHEN l.n_toks > 0 THEN
+          |    CAST(coalesce(c.dup_toks, 0) AS DOUBLE)
+          |      / CAST(l.n_toks AS DOUBLE)
+          |    ELSE 0.0 END <= 0.5 AS keep
+          |FROM rs_lens l LEFT JOIN rs_cov c USING (doc_id)""".stripMargin),
 
       "q_minhash_pairs" -> withCtes(Seq(dupCorpus, shingleRows, minhashCtes,
         """cand AS (

@@ -348,6 +348,38 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Per-document duplicated-token coverage — the filtering form of the
+    * [[repeatedSpans]] criterion: what fraction of a doc's tokens sit
+    * inside some corpus-duplicated ≥ minLen-token span, and a keep
+    * decision at `maxFrac`. (Lee et al. trim the spans themselves; a
+    * doc-level coverage gate is the form curation pipelines compose —
+    * boilerplate-heavy docs fail it wholesale.)
+    *
+    * `dup_frac` is an exact BIGINT/BIGINT IEEE division (bit-identical
+    * cross-engine); docs with no duplicated span — or no tokens — score
+    * 0.0 via the left join. Adds one doc_id-grain aggregation over
+    * [[repeatedSpans]]'s output (already clustered by doc_id) plus a
+    * doc_id join against the narrow length projection.
+    * Output: (doc_id, n_toks, dup_toks, dup_frac, keep). */
+  def repeatedCoverage(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8,
+      maxFrac: Double = 0.5): DataFrame = {
+    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(regexp_extract_all(lower(col(textCol)), lit("(?U)\\w+"), lit(0)))
+        .cast("long").as("n_toks"))
+    val cov = repeatedSpans(docs, idCol, textCol, minLen)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start")).as("dup_toks"))
+    lens.join(cov, Seq("doc_id"), "left")
+      .withColumn("dup_toks", coalesce(col("dup_toks"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_toks") > 0,
+          col("dup_toks").cast("double") / col("n_toks").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_toks"), col("dup_toks"),
+        col("dup_frac"), (col("dup_frac") <= maxFrac).as("keep"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`,
     * mined with pigeonhole blocking (Manku et al., WWW'07 — public
     * algorithm): split the `bits`-bit signature into `maxDist + 1`

@@ -577,6 +577,26 @@ class OpsSpec extends SparkSpec {
       s"expected merged [0,9) plus island [10,13), got $spans1")
   }
 
+  test("repeated coverage: duplicated-token fraction and keep gate, " +
+      "incl. span-free and empty docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five alpha beta gamma"), // span [0,5) of 8
+      (2L, "zzz one two three four five qqq rrr"),      // span [1,6) of 8
+      (3L, "x y z p q x y z"),                          // [0,3)+[5,8) of 8
+      (4L, "aa bb cc dd ee ff gg hh"),                  // clean
+      (5L, "ab"),                                       // 1 tok, no window
+      (6L, "")).toDF("doc_id", "text")                  // 0 toks
+    val got = Dedup.repeatedCoverage(corpus, minLen = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    val exp = Set(
+      (1L, 8L, 5L, 0.625, false), (2L, 8L, 5L, 0.625, false),
+      (3L, 8L, 6L, 0.75, false), (4L, 8L, 0L, 0.0, true),
+      (5L, 1L, 0L, 0.0, true), (6L, 0L, 0L, 0.0, true))
+    assert(got == exp)
+  }
+
   test("pack: concat-and-chunk spans, bucket-shift and partition " +
       "invariance") {
     import spark.implicits._
