@@ -109,6 +109,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"curate must not join:\n$p")
   }
 
+  test("repeated spans: two exchanges (gram window + doc_id merge); the " +
+      "island groupBy reuses the doc_id partitioning") {
+    val p = plan(graft.ops.Dedup.repeatedSpans(docs))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"repeatedSpans must shuffle exactly twice — HashPartitioning(" +
+        s"doc_id) must satisfy the (doc_id, island) grouping:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair explosion:\n$p")
+  }
+
+  test("sequence packing: the only unpartitioned window is the " +
+      "#buckets-row bucket-prefix window, fed by a bucket-grain agg") {
+    val p = plan(graft.ops.Pack.sequences(docs, seqLen = 256))
+    // bucket-grain rows only pass through the global window: the plan
+    // must aggregate to bucket grain BEFORE the single-partition exchange
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"exactly one single-partition exchange (bucket prefixes):\n$p")
+    assert(p.contains("HashAggregate"),
+      s"bucket totals must pre-aggregate before the global window:\n$p")
+  }
+
   test("simhash is two exchanges: tf groupBy + per-doc partial-sum groupBy") {
     val p = plan(graft.ops.Dedup.simhash(docs))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
