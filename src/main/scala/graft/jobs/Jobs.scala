@@ -319,6 +319,71 @@ object CurateJob {
   }
 }
 
+/** End-to-end training-data preparation — the composed pipeline a
+  * pretraining run feeds from, each stage an already-verified operator:
+  *
+  *   1. [[graft.ops.Curation.curate]] — exact dedup + language / quality
+  *      / length gates (one exchange);
+  *   2. with `--eval`: [[graft.ops.Decontaminate.flag]] — drop docs
+  *      sharing word n-grams with the held-out eval set (bounded
+  *      broadcast gram set);
+  *   3. [[graft.ops.Dedup.repeatedCoverage]] — drop docs whose
+  *      duplicated-token fraction (Lee et al. ACL'22 spans) exceeds
+  *      `--max-dup-frac`;
+  *   4. [[graft.ops.Pack.sequences]] — concat-and-chunk the survivors
+  *      into `--seq-len`-token training sequences (distributed
+  *      two-level prefix sum).
+  *
+  * Writes `/docs` (surviving doc_id + coverage stats) and `/packed`
+  * (the (seq_id, doc_id, tok_start, n_toks) dataloader span table).
+  * All stage joins are doc_id-keyed left-semi hash joins AQE can
+  * re-balance; nothing is collected to the driver.
+  *
+  *   spark-submit --class graft.jobs.PrepareDataJob app.jar \
+  *     --input corpus.parquet --output /out \
+  *     [--langs en] [--min-quality 0.4] [--min-tokens 20]
+  *     [--max-tokens 5000] [--eval eval.parquet] [--gram-n 5]
+  *     [--span-len 8] [--max-dup-frac 0.5] [--seq-len 2048] */
+object PrepareDataJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-prepare-data")
+    val docs = JobArgs.readDocs(spark, a("input"))
+      .select(col(a.getOrElse("id-col", "doc_id")).cast("long")
+        .as("doc_id"), col(a.getOrElse("text-col", "text")).as("text"))
+    val curated = graft.ops.Curation.curate(docs,
+      langs = a.getOrElse("langs", "en").split(",").toSeq,
+      minQuality = a.getOrElse("min-quality", "0.4").toDouble,
+      minTokens = a.getOrElse("min-tokens", "20").toInt,
+      maxTokens = a.getOrElse("max-tokens", "5000").toInt)
+    var kept = docs.join(curated.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    a.get("eval").foreach { evalPath =>
+      val flags = graft.ops.Decontaminate.flag(kept,
+        JobArgs.readDocs(spark, evalPath),
+        n = a.getOrElse("gram-n", "5").toInt)
+      kept = kept.join(flags.filter(!col("is_contaminated"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    val cov = graft.ops.Dedup.repeatedCoverage(kept,
+      minLen = a.getOrElse("span-len", "8").toInt,
+      maxFrac = a.getOrElse("max-dup-frac", "0.5").toDouble)
+      .filter(col("keep"))
+    kept = kept.join(cov.select("doc_id"), Seq("doc_id"), "left_semi")
+      .cache() // read twice: the stats sink and the packing pass
+    cov.write.mode("overwrite").parquet(s"${a("output")}/docs")
+    graft.ops.Pack.sequences(kept,
+        seqLen = a.getOrElse("seq-len", "2048").toInt)
+      .write.mode("overwrite").parquet(s"${a("output")}/packed")
+    val nDocs = spark.read.parquet(s"${a("output")}/docs").count()
+    val nSeqs = spark.read.parquet(s"${a("output")}/packed")
+      .select("seq_id").distinct().count()
+    println(s"prepared $nDocs docs into $nSeqs sequences")
+    kept.unpersist()
+    JobArgs.maybeStop(spark, a)
+  }
+}
+
 /** Code-corpus curation ([[graft.ops.CodeCuration.curateCode]] — one
   * exchange end-to-end): redact secrets/PII, drop exact duplicates of the
   * redacted content, gate on license allowlist + The-Stack-style quality,

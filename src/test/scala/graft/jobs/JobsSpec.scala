@@ -182,6 +182,33 @@ class JobsSpec extends SparkSpec {
       "serving from parquet must equal the in-memory plan")
   }
 
+  test("PrepareDataJob chains curate -> decontaminate -> coverage -> " +
+      "pack with token conservation") {
+    import org.apache.spark.sql.functions._
+    spark
+    val work = Files.createTempDirectory("graft-jobs-prep").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    // eval set = a corpus slice: 5-gram overlap must knock those docs out
+    val evalPath = s"$work/eval.parquet"
+    spark.read.parquet(corpus).filter(col("doc_id") % 50 === 0)
+      .select("doc_id", "text").write.parquet(evalPath)
+    PrepareDataJob.main(Array("--input", corpus, "--output", s"$work/prep",
+      "--eval", evalPath, "--seq-len", "256", "--keep-session", "true"))
+    val docs = spark.read.parquet(s"$work/prep/docs")
+    val packed = spark.read.parquet(s"$work/prep/packed")
+    assert(docs.count() > 0 && packed.count() > 0)
+    assert(docs.filter(col("doc_id") % 50 === 0).count() == 0,
+      "decontamination must remove the eval-overlapping docs")
+    // conservation: every surviving token lands in exactly one slice
+    val tot = docs.agg(sum("n_toks")).head.getLong(0)
+    assert(packed.agg(sum("n_toks")).head.getLong(0) == tot)
+    // density: every sequence except the final one is exactly full
+    val per = packed.groupBy("seq_id").agg(sum("n_toks").as("t"))
+    val last = per.agg(max("seq_id")).head.getLong(0)
+    assert(per.filter(col("seq_id") < last && col("t") =!= 256)
+      .count() == 0, "non-final sequences must hold exactly seq-len tokens")
+  }
+
   test("CurateJob and CurateCodeJob write survivor tables") {
     spark
     val work = Files.createTempDirectory("graft-curate-jobs").toString
