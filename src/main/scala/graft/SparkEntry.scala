@@ -622,6 +622,18 @@ object SparkEntry {
           round(col("quality"), 6).cast("double").as("quality"))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
 
+    // ---- EXACT corpus length quantiles (order statistics via a
+    //      histogram grain change — never a corpus-wide sort) ----
+    "q_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(docs(s, dir))),
+
+    // ---- per-doc keyword extraction: top-5 tf·idf terms ----
+    "q_keywords" -> ((s, dir) =>
+      graft.query.Keywords.extract(plans.index(s, dir), 5)
+        .select(col("doc_id"), col("term"),
+          graft.Canon.r(col("tfidf"), 4).as("tfidf"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- sequence packing: concat-and-chunk at context length 256 —
     //      (seq_id, doc_id, tok_start, n_toks) dataloader layout via a
     //      distributed two-level prefix sum in doc_id order ----
@@ -1822,6 +1834,42 @@ object SparkEntry {
           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
           |    AS bpe_ish_tokens
           |FROM documents""".stripMargin,
+
+      // exact length quantiles: the same histogram + cumulative-count
+      // order-statistic arithmetic, all integers except the q·N rank
+      // bound (one IEEE multiply + ceil, identical both engines)
+      "q_length_quantiles" ->
+        """WITH h AS (
+          |  SELECT CAST(len(regexp_extract_all(lower(text), '\w+'))
+          |    AS BIGINT) AS len, count(*) AS cnt
+          |  FROM documents GROUP BY 1),
+          |c AS (
+          |  SELECT len, cnt,
+          |    CAST(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+          |  FROM h),
+          |qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+          |  (CAST(0.99 AS DOUBLE)))
+          |SELECT q, min(len) AS len
+          |FROM c JOIN qs
+          |  ON c.cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+          |GROUP BY q""".stripMargin,
+
+      // keywords: top-5 tf·idf terms per doc, Canon rank key + term-asc
+      // tie-break — tfidf is one IEEE multiply of the shared idf
+      "q_keywords" -> withCtes(Seq(tokArrays, toks, doclen, postings,
+        stats, termstats,
+        """kw AS (
+          |  SELECT p.doc_id, p.term, p.tf * t.idf AS tfidf,
+          |    row_number() OVER (PARTITION BY p.doc_id
+          |      ORDER BY floor(p.tf * t.idf * 1e6 + 0.5) DESC,
+          |        p.term ASC) AS rank
+          |  FROM postings p JOIN termstats t USING (term))""".stripMargin),
+        """SELECT doc_id, term,
+          |  CAST(floor(tfidf * 1e4 + 0.5) / 1e4 AS DOUBLE) AS tfidf,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM kw WHERE rank <= 5""".stripMargin),
 
       // sequence packing: the oracle states the SPEC (one global
       // running total in doc_id order); the engine implements it as a

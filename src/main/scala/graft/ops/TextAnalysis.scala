@@ -185,4 +185,38 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long").as("doc_id"),
       array_min(transform(Dedup.shingles(col(textCol)),
         s => md5(s.cast("binary")))).as("fingerprint"))
+
+  /** EXACT corpus length quantiles (order statistics, not a sketch):
+    * quantile q = the smallest token count l such that at least
+    * ⌈q·N⌉ documents have count ≤ l. Spark's `percentile_approx` /
+    * DuckDB's HLL-family sketches are engine-specific; this is the
+    * distributed exact form — and the reason it scales is the GRAIN
+    * CHANGE: lengths aggregate to a (len, cnt) histogram first (one
+    * exchange; distinct lengths are bounded by the max document length,
+    * not the corpus), so the cumulative window and the quantile probe
+    * run over histogram-sized data. Never a corpus-wide sort or a
+    * single-partition window over documents.
+    * Output: (q, len) — one row per requested quantile. */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99), idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(size(rawTokens(col(textCol))).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(W.orderBy(col("len"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(W.orderBy(col("len"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val qdf = docs.sparkSession.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q")
+    // histogram × |qs| rows — bounded; the join predicate keeps only
+    // buckets at/after each quantile's rank, min picks the boundary
+    cum.join(qdf,
+        col("cum") >= ceil(col("q") * col("n").cast("double")).cast("long"))
+      .groupBy(col("q")).agg(min(col("len")).as("len"))
+      .select(col("q"), col("len"))
+  }
 }

@@ -1,0 +1,35 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.InvertedIndex
+
+/** Per-document keyword extraction: every document's top-m terms by
+  * tf·idf over the standing index — the corpus-wide tagging pass
+  * (doc → salient terms) behind faceting, related-content surfaces, and
+  * weak labeling. [[MoreLikeThis]]'s seed-term stage is the bounded-batch
+  * special case of this; here EVERY document is tagged in one pass.
+  *
+  * Plan shape: postings ⋈ termStats is a term-keyed hash join (both
+  * sides shuffle once on term; no broadcast — the vocabulary is
+  * unbounded at corpus scale), then ONE per-doc window for the top-m
+  * rank, its partitions bounded by distinct-terms-per-doc. The tf·idf
+  * weight is a single IEEE multiply of the index's idf, so it is
+  * bit-identical cross-engine; ranking uses [[graft.Canon.rankKey]] with
+  * term-asc tie-break.
+  * Output: (doc_id, term, tfidf, rank). */
+object Keywords {
+
+  def extract(index: InvertedIndex, m: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(graft.Canon.rankKey(col("tfidf")).desc, col("term").asc)
+    index.postings.select(col("term"), col("doc_id"), col("tf"))
+      .join(index.termStats.select(col("term"), col("idf")), Seq("term"))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
+}

@@ -577,6 +577,25 @@ class OpsSpec extends SparkSpec {
       s"expected merged [0,9) plus island [10,13), got $spans1")
   }
 
+  test("length quantiles: exact order statistics over the histogram " +
+      "grain, duplicate lengths, boundary ranks") {
+    import spark.implicits._
+    // lengths 1..10 → q50 = 5th smallest = 5, q90 = 9, q99 = 10
+    val ladder = (1 to 10)
+      .map(n => (n.toLong, (1 to n).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lengthQuantiles(df).collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(run(ladder) == Map(0.5 -> 5L, 0.9 -> 9L, 0.99 -> 10L))
+    // duplicates: lengths (2,2,2,8): ceil(.5*4)=2 → len 2 (cum 3 ≥ 2);
+    // ceil(.9*4)=4 and ceil(.99*4)=4 → len 8
+    val dup = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"),
+      (4L, "g h i j k l m n")).toDF("doc_id", "text")
+    assert(run(dup) == Map(0.5 -> 2L, 0.9 -> 8L, 0.99 -> 8L))
+    assert(run(dup.repartition(7)) == run(dup), "partition-dependent")
+  }
+
   test("repeated coverage: duplicated-token fraction and keep gate, " +
       "incl. span-free and empty docs") {
     import spark.implicits._

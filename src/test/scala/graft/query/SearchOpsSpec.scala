@@ -27,6 +27,27 @@ class SearchOpsSpec extends SparkSpec {
   }
   private lazy val idx = IndexBuilder.build(docs, cfg)
 
+  test("keywords: top-m tf·idf per doc, rare terms outrank common, " +
+      "tfidf tie breaks by term") {
+    import spark.implicits._
+    val kdocs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry cherry"),
+      (3L, "apple dragon")).toDF("doc_id", "text")
+    val kidx = IndexBuilder.build(kdocs, cfg)
+    val got = Keywords.extract(kidx, m = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getString(1))).toMap
+    // n=3; idf(df=2)=ln(1.6), idf(df=1)=ln(8/3)
+    // d1: apple tf2 wins; banana == cherry on tfidf -> banana by term asc
+    assert(got((1L, 1)) == "apple" && got((1L, 2)) == "banana")
+    // d2: cherry tf3 wins over banana
+    assert(got((2L, 1)) == "cherry" && got((2L, 2)) == "banana")
+    // d3: dragon (df=1) outranks apple (df=2) at equal tf
+    assert(got((3L, 1)) == "dragon" && got((3L, 2)) == "apple")
+    // m caps the per-doc rows
+    assert(Keywords.extract(kidx, m = 1).count() == 3)
+  }
+
   test("proximity finds pairs within the window, either order, min dist") {
     // post-filter token positions (min length 3 drops "and"):
     // doc 3: merge@0 ... order@6 -> dist 6; doc 4: order@0 merge@2 -> 2
