@@ -61,6 +61,22 @@ object SparkEntry {
             concat(col("text"), lit(" extra token here")).as("text")))
     }
 
+    /** Corpus with deterministically injected comment/blank lines
+      * (mirrors the q_comment_stats oracle CTE): residue classes append
+      * line-comment, indented-comment + blank, and block-comment tails,
+      * so the comment scanner has real multi-line structure to count. */
+    def commentCorpus(s: SparkSession, dir: String): DataFrame = {
+      val id = col("doc_id")
+      docs(s, dir).select(id, concat(col("text"),
+        when(id % 3 === 0,
+          lit("\n# seeded comment\ncode_line()")).otherwise(lit("")),
+        when(id % 4 === 0,
+          lit("\n  // indented note\n\n")).otherwise(lit("")),
+        when(id % 5 === 0,
+          lit("\n/* block */\n * cont")).otherwise(lit("")))
+        .as("text"))
+    }
+
     /** Corpus with deterministically injected code constructs (mirrors
       * OracleSql.moduleCorpus): every doc declares a module (20 residue
       * classes), and residue classes add a def, a class, and an import
@@ -626,6 +642,13 @@ object SparkEntry {
     //      histogram grain change — never a corpus-wide sort) ----
     "q_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(docs(s, dir))),
+
+    // ---- token-distribution Shannon entropy (repetition/quality) ----
+    "q_entropy" -> ((s, dir) => TextAnalysis.entropy(docs(s, dir))),
+
+    // ---- comment/blank-line stats over the comment-injected corpus ----
+    "q_comment_stats" -> ((s, dir) =>
+      graft.ops.CodeCuration.commentStats(plans.commentCorpus(s, dir))),
 
     // ---- per-doc keyword extraction: top-5 tf·idf terms ----
     "q_keywords" -> ((s, dir) =>
@@ -1855,6 +1878,56 @@ object SparkEntry {
           |FROM c JOIN qs
           |  ON c.cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
           |GROUP BY q""".stripMargin,
+
+      // token-distribution entropy: H = ln(n) - sum(tf·ln tf)/n over the
+      // raw \w+ distribution; Canon(6) absorbs summation-order noise
+      "q_entropy" ->
+        """WITH rt AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+          |  FROM documents),
+          |lens AS (
+          |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM rt),
+          |etoks AS (SELECT doc_id, unnest(ts) AS term FROM rt),
+          |etf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM etoks GROUP BY 1, 2),
+          |eagg AS (
+          |  SELECT doc_id, count(*) AS n_distinct,
+          |    sum(tf * ln(tf)) AS s
+          |  FROM etf GROUP BY 1)
+          |SELECT l.doc_id, l.n_toks,
+          |  CAST(coalesce(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+          |  CAST(floor((CASE WHEN l.n_toks > 0
+          |      THEN ln(l.n_toks) - e.s / CAST(l.n_toks AS DOUBLE)
+          |      ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS entropy
+          |FROM lens l LEFT JOIN eagg e USING (doc_id)""".stripMargin,
+
+      // comment/blank-line stats over the comment-injected corpus;
+      // comment_frac = exact BIGINT/BIGINT division over non-blank lines
+      "q_comment_stats" ->
+        """WITH comment_corpus AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '# seeded comment'
+          |      || chr(10) || 'code_line()' ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || '  // indented note'
+          |      || chr(10) || chr(10) ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '/* block */'
+          |      || chr(10) || ' * cont' ELSE '' END AS text
+          |  FROM documents),
+          |cl AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          |    CAST(len(list_filter(string_split(text, chr(10)),
+          |      x -> regexp_matches(x, '^[ \t]*(#|//|--|/\*|\*)')))
+          |      AS BIGINT) AS n_comment,
+          |    CAST(len(list_filter(string_split(text, chr(10)),
+          |      x -> regexp_matches(x, '^[ \t]*$'))) AS BIGINT) AS n_blank
+          |  FROM comment_corpus)
+          |SELECT doc_id, n_lines, n_comment, n_blank,
+          |  CASE WHEN n_lines - n_blank > 0
+          |    THEN CAST(n_comment AS DOUBLE)
+          |      / CAST(n_lines - n_blank AS DOUBLE)
+          |    ELSE 0.0 END AS comment_frac
+          |FROM cl""".stripMargin,
 
       // keywords: top-5 tf·idf terms per doc, Canon rank key + term-asc
       // tie-break — tfidf is one IEEE multiply of the shared idf

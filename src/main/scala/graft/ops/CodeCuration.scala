@@ -105,6 +105,33 @@ object CodeCuration {
     docs.select(col(idCol).cast("long").as("doc_id"),
       licenseColumn(col(textCol)).as("license"))
 
+  /** Per-file comment/blank-line statistics — the StarCoder-family
+    * documentation signal (files with healthy comment-to-code ratios
+    * train better; near-zero and near-one are both suspect): line split
+    * on \n, a comment line starts (after indentation) with hash, double
+    * slash, double dash, slash-star, or star; a blank line is
+    * whitespace-only. One narrow
+    * map-only pass (per-row array folds, no exchange — the scanner
+    * family's shape); `comment_frac` is an exact BIGINT/BIGINT IEEE
+    * division over non-blank lines.
+    * Output: (doc_id, n_lines, n_comment, n_blank, comment_frac). */
+  def commentStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val comment = filter(lines,
+      l => l.rlike("^[ \\t]*(#|//|--|/\\*|\\*)"))
+    val blank = filter(lines, l => l.rlike("^[ \\t]*$"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(comment).cast("long").as("n_comment"),
+        size(blank).cast("long").as("n_blank"))
+      .withColumn("comment_frac",
+        when(col("n_lines") - col("n_blank") > 0,
+          col("n_comment").cast("double") /
+            (col("n_lines") - col("n_blank")).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** The-Stack-style per-file quality features and keep decision:
     * alphanumeric fraction >= minAlnumFrac, longest whitespace token <=
     * maxTokenLen (the single-line stand-in for max line length — a token

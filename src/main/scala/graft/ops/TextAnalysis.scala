@@ -186,6 +186,36 @@ object TextAnalysis {
       array_min(transform(Dedup.shingles(col(textCol)),
         s => md5(s.cast("binary")))).as("fingerprint"))
 
+  /** Token-distribution Shannon entropy per document — the
+    * compressibility-style quality signal (low entropy = repetitive /
+    * template text; used alongside the Gopher repetition fractions):
+    * H = ln(n) − (Σ_t tf·ln tf)/n over the raw \w+ token distribution.
+    *
+    * One (doc, term) tf exchange + a per-doc partial-agg rollup (the
+    * [[Dedup.simhash]] shape); token-less docs score 0.0 via the left
+    * join against the narrow length projection. The tf·ln(tf) sum is
+    * order-noisy at ~1e-16 rel., so the surfaced entropy goes through
+    * [[graft.Canon.r]](6) — the engine-portable rounding.
+    * Output: (doc_id, n_toks, n_distinct, entropy). */
+  def entropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(rawTokens(col(textCol))).cast("long").as("n_toks"))
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(rawTokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val agg = tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("tf").cast("double") * log(col("tf"))).as("s"))
+    lens.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        graft.Canon.r(
+          when(col("n_toks") > 0,
+            log(col("n_toks")) - col("s") / col("n_toks").cast("double"))
+            .otherwise(lit(0.0)), 6).as("entropy"))
+  }
+
   /** EXACT corpus length quantiles (order statistics, not a sketch):
     * quantile q = the smallest token count l such that at least
     * ⌈q·N⌉ documents have count ≤ l. Spark's `percentile_approx` /

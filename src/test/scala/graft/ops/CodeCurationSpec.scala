@@ -115,6 +115,23 @@ class CodeCurationSpec extends SparkSpec {
     assert(out(3L) == (("mit", 0L)))
   }
 
+  test("comment stats: line-comment styles, indentation, blanks, " +
+      "degenerate docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x = 1\n# c\n  // c2\n\n/* b */\n * cont\nend"),
+      (2L, "-- sql comment"),
+      (3L, "no comments here\njust code"),
+      (4L, "")).toDF("doc_id", "text")
+    val m = CodeCuration.commentStats(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(1L) == ((7L, 4L, 1L, 4.0 / 6.0))) // #, //, /*, * of 6 non-blank
+    assert(m(2L) == ((1L, 1L, 0L, 1.0)))
+    assert(m(3L) == ((2L, 0L, 0L, 0.0)))
+    assert(m(4L) == ((1L, 0L, 1L, 0.0))) // all-blank: frac guards to 0
+  }
+
   test("redaction runs unchanged on a stream (stateless narrow pass)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -577,6 +577,22 @@ class OpsSpec extends SparkSpec {
       s"expected merged [0,9) plus island [10,13), got $spans1")
   }
 
+  test("entropy: uniform, degenerate, mixed and empty distributions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aaa aaa aaa aaa"),  // one type: H = 0
+      (2L, "aaa bbb ccc ddd"),  // uniform over 4: H = ln 4
+      (3L, "aaa aaa bbb bbb"),  // two types: H = ln 2
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.entropy(corpus).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.0)))
+    assert(got(2L) == ((4L, 4L, 1.386294)))
+    assert(got(3L) == ((4L, 2L, 0.693147)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("length quantiles: exact order statistics over the histogram " +
       "grain, duplicate lengths, boundary ranks") {
     import spark.implicits._
