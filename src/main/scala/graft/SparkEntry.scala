@@ -472,6 +472,17 @@ object SparkEntry {
     // ---- dedup: SemDedup (Abbas et al. 2023) — cluster with the IVF
     //      quantizer, flag lower-id-similar neighbors within clusters;
     //      same injected-duplicate corpus as q_dedup_embed ----
+    // ---- ANN incremental ingest: assign a NEW vector batch against the
+    //      FROZEN served quantizer (the text index merge's vector dual) ----
+    "q_ann_upsert" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (_, cent) = Similarity.ivfAssignments(
+        emb.filter(col("vec_id") % 10 =!= 0))
+      Similarity.assignToCentroids(emb.filter(col("vec_id") % 10 === 0),
+          cent)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    }),
+
     "q_semdedup" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val dup = e
@@ -1533,6 +1544,30 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
           |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
+
+      // ANN upsert: train the quantizer on the old slice (3 unrolled
+      // Lloyd rounds -> c3, the SERVED centroid generation), then one
+      // pure assignment pass of the new slice against frozen c3
+      "q_ann_upsert" -> withCtes(Seq(
+        "eold_src AS (SELECT vec_id, embedding FROM embeddings" +
+          " WHERE vec_id % 10 <> 0)",
+        """e AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+          |         CAST(unnest(embedding) AS DOUBLE) AS v
+          |  FROM eold_src)""".stripMargin) ++ ivfCtesFrom("eold_src") ++ Seq(
+        """ne AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+          |         CAST(unnest(embedding) AS DOUBLE) AS v
+          |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin,
+        """na AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY d2, cid) AS rn
+          |    FROM (SELECT n.vec_id, c.cid,
+          |        sum((n.v - c.cv) * (n.v - c.cv)) AS d2
+          |      FROM ne n JOIN c3 c USING (dim) GROUP BY 1, 2))
+          |  WHERE rn = 1)""".stripMargin),
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM na"),
 
       "q_ann_ivf" -> withCtes(Seq(embeddingExploded) ++ ivfCtes ++ Seq(
         "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +

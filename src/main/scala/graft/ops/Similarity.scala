@@ -92,6 +92,27 @@ object Similarity {
           when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _).as("bucket"))
 
+  /** Incremental vector ingest — the ANN dual of the text index's
+    * `IndexBuilder.merge`: assign a batch of vectors to a FROZEN coarse
+    * quantizer (the served centroid table) without re-clustering.
+    * Assignment is a pure per-vector function of (vector, centroids), so
+    * upsert ≡ fresh by construction: assigning old ∪ new equals the
+    * union of the separate assignments against the same centroids.
+    * Centroids broadcast; one narrow d2 fold per (vector, centroid) pair
+    * row; nearest centroid via min(struct(d2, cid)) — distance ties
+    * break by centroid id, the quantizer's determinism contract.
+    * Output: (vec_id, cid). */
+  def assignToCentroids(embeddings: DataFrame,
+      centroids: DataFrame): DataFrame =
+    withNorm(embeddings).select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col("emb"), col("cemb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+
   /** IVF (inverted-file) ANN: a deterministic mini-k-means coarse
     * quantizer partitions the corpus into `nCentroids` lists; a query
     * probes its `nProbe` nearest lists and ranks by cosine only inside
@@ -125,14 +146,9 @@ object Similarity {
     val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
     var assign: DataFrame = null
     for (_ <- 0 until iters) {
-      // assignment: N×C pair rows (centroids broadcast), one d2 fold each
-      assign = e.crossJoin(broadcast(cent))
-        .withColumn("d2", aggregate(
-          zip_with(col("emb"), col("cemb"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"))
+      // assignment: N×C pair rows (centroids broadcast), one d2 fold
+      // each — the same pure function serving upserts use
+      assign = assignToCentroids(embeddings, cent)
       // centroid update: one groupBy(cid) over N single rows; the shuffle
       // carries partial (sum, count) pairs per dimension — partitions ×
       // nCentroids rows — and the output repacks to one array per centroid

@@ -577,6 +577,27 @@ class OpsSpec extends SparkSpec {
       s"expected merged [0,9) plus island [10,13), got $spans1")
   }
 
+  test("assignToCentroids: nearest frozen centroid, tie by cid, " +
+      "upsert ≡ fresh union") {
+    import spark.implicits._
+    val cent = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 10.0)))
+      .toDF("cid", "cemb")
+    val vecs = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(9.0f, 9.0f)),
+      (3L, Seq(5.0f, 5.0f))) // equidistant -> cid 0 by tie rule
+      .toDF("vec_id", "embedding")
+    val got = Similarity.assignToCentroids(vecs, cent).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    // pure function: assigning a union == union of separate assignments
+    val a = vecs.filter(col("vec_id") <= 2)
+    val b = vecs.filter(col("vec_id") === 3)
+    val together = Similarity.assignToCentroids(vecs, cent).collect().toSet
+    val separate = (Similarity.assignToCentroids(a, cent).collect() ++
+      Similarity.assignToCentroids(b, cent).collect()).toSet
+    assert(together == separate)
+  }
+
   test("entropy: uniform, degenerate, mixed and empty distributions") {
     import spark.implicits._
     val corpus = Seq(
