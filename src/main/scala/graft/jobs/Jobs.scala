@@ -319,6 +319,44 @@ object CurateJob {
   }
 }
 
+/** Corpus profiling — the pre-curation analytics pass a pipeline
+  * operator inspects before choosing gates: per-document quality
+  * signals (predicted language, quality score, token counts,
+  * distribution entropy, Gopher repetition fractions — all verified
+  * operators, joined on doc_id) and the corpus-level aggregates (exact
+  * length quantiles via the histogram grain change; docs per predicted
+  * language). Three parquet sinks under --output: /doc_signals,
+  * /length_quantiles, /langs.
+  *
+  *   spark-submit --class graft.jobs.AnalyzeJob app.jar \
+  *     --input corpus.parquet --output /out */
+object AnalyzeJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-analyze")
+    val docs = JobArgs.readDocs(spark, a("input"))
+      .select(col(a.getOrElse("id-col", "doc_id")).cast("long")
+        .as("doc_id"), col(a.getOrElse("text-col", "text")).as("text"))
+    import graft.ops.TextAnalysis
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.langColumn(col("text")).as("pred_lang"),
+      TextAnalysis.qualityColumn(col("text")).as("quality"))
+    val signals = base
+      .join(TextAnalysis.entropy(docs), Seq("doc_id"))
+      .join(TextAnalysis.repetition(docs)
+        .select(col("doc_id"), col("dup_frac").as("bigram_dup_frac"),
+          col("top_frac").as("bigram_top_frac")), Seq("doc_id"))
+    signals.write.mode("overwrite").parquet(s"${a("output")}/doc_signals")
+    TextAnalysis.lengthQuantiles(docs)
+      .write.mode("overwrite").parquet(s"${a("output")}/length_quantiles")
+    base.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"${a("output")}/langs")
+    println(s"profiled ${spark.read.parquet(s"${a("output")}/doc_signals")
+      .count()} docs")
+    JobArgs.maybeStop(spark, a)
+  }
+}
+
 /** End-to-end training-data preparation — the composed pipeline a
   * pretraining run feeds from, each stage an already-verified operator:
   *

@@ -129,6 +129,27 @@ class PlanSpec extends SparkSpec {
       s"bucket totals must pre-aggregate before the global window:\n$p")
   }
 
+  test("length quantiles change grain before going global: histogram " +
+      "agg precedes the one single-partition window") {
+    val p = plan(graft.ops.TextAnalysis.lengthQuantiles(docs))
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"exactly one single-partition exchange (histogram window):\n$p")
+    assert(p.contains("HashAggregate"),
+      s"lengths must aggregate to the (len, cnt) histogram first:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the quantile probe must be a bounded broadcast join:\n$p")
+  }
+
+  test("entropy and keywords never go single-partition or cartesian") {
+    for (df <- Seq(graft.ops.TextAnalysis.entropy(docs),
+        graft.query.Keywords.extract(IndexBuilder.build(docs, cfg)))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"no single-partition funnel:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no pair explosion:\n$p")
+    }
+  }
+
   test("simhash is two exchanges: tf groupBy + per-doc partial-sum groupBy") {
     val p = plan(graft.ops.Dedup.simhash(docs))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,

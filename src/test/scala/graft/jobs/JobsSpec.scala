@@ -209,6 +209,24 @@ class JobsSpec extends SparkSpec {
       .count() == 0, "non-final sequences must hold exactly seq-len tokens")
   }
 
+  test("AnalyzeJob writes per-doc signals and corpus aggregates") {
+    import org.apache.spark.sql.functions._
+    spark
+    val work = Files.createTempDirectory("graft-jobs-analyze").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    AnalyzeJob.main(Array("--input", corpus, "--output", s"$work/prof",
+      "--keep-session", "true"))
+    val sig = spark.read.parquet(s"$work/prof/doc_signals")
+    val nDocs = spark.read.parquet(corpus).count()
+    assert(sig.count() == nDocs, "one signal row per document")
+    assert(Set("pred_lang", "quality", "entropy", "bigram_dup_frac")
+      .subsetOf(sig.columns.toSet))
+    val quant = spark.read.parquet(s"$work/prof/length_quantiles")
+    assert(quant.count() == 3)
+    val langs = spark.read.parquet(s"$work/prof/langs")
+    assert(langs.agg(sum("n_docs")).head.getLong(0) == nDocs)
+  }
+
   test("CurateJob and CurateCodeJob write survivor tables") {
     spark
     val work = Files.createTempDirectory("graft-curate-jobs").toString
