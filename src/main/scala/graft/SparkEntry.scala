@@ -792,6 +792,14 @@ object SparkEntry {
         plans.grepPatterns(s, dir))
     }),
 
+    // ---- grep -C: same trigram-pruned matches plus a fixed-radius
+    //      excerpt (substring clamping identical in both engines) ----
+    "q_grep_context" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.query.Grep.searchWithContext(
+        graft.query.Grep.trigramPostings(d), d, plans.grepPatterns(s, dir))
+    }),
+
     // ---- regex search: patterns compile to trigram requirement groups
     //      (the Google-Code-Search recipe), candidates come from the
     //      posting lists, and regexp_like verifies only the pruned slice
@@ -2301,6 +2309,21 @@ object SparkEntry {
           |    AND length(substring(text, 21, 12)) = 12)""".stripMargin),
         """SELECT q.query_id, d.doc_id,
           |  CAST(strpos(d.text, q.pattern) AS BIGINT) AS match_pos
+          |FROM grep_pats q JOIN documents d
+          |  ON strpos(d.text, q.pattern) > 0""".stripMargin),
+
+      "q_grep_context" -> withCtes(Seq(
+        """grep_pats AS (
+          |  SELECT 'g' || CAST(doc_id AS VARCHAR) AS query_id,
+          |         substring(text, 21, 12) AS pattern
+          |  FROM documents
+          |  WHERE doc_id % 23 = 5
+          |    AND length(substring(text, 21, 12)) = 12)""".stripMargin),
+        """SELECT q.query_id, d.doc_id,
+          |  CAST(strpos(d.text, q.pattern) AS BIGINT) AS match_pos,
+          |  substr(d.text,
+          |    CAST(greatest(1, strpos(d.text, q.pattern) - 20) AS BIGINT),
+          |    CAST(length(q.pattern) + 40 AS BIGINT)) AS excerpt
           |FROM grep_pats q JOIN documents d
           |  ON strpos(d.text, q.pattern) > 0""".stripMargin),
 

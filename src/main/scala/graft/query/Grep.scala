@@ -54,6 +54,32 @@ object Grep {
     * `contains` scan, at trigram-pruned cost for patterns of length >= 3.
     */
   def search(postings: DataFrame, docs: DataFrame,
+      patterns: DataFrame): DataFrame =
+    verified(postings, docs, patterns)
+      .select(col("query_id"), col("doc_id"),
+        instr(col("text"), col("pattern")).cast("long").as("match_pos"))
+
+  /** [[search]] plus a fixed-radius excerpt around the first match — the
+    * `grep -C` serving shape. Same trigram-pruned plan; the excerpt is a
+    * per-row substring (start clamped at 1, length = |pattern| + 2·ctx,
+    * clamped at the text end by substring semantics — identical
+    * clamping in DuckDB's substr, which is what keeps the oracle exact).
+    * Output: (query_id, doc_id, match_pos, excerpt). */
+  def searchWithContext(postings: DataFrame, docs: DataFrame,
+      patterns: DataFrame, ctx: Int = 20): DataFrame =
+    verified(postings, docs, patterns)
+      .withColumn("match_pos",
+        instr(col("text"), col("pattern")).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("match_pos"),
+        col("text").substr(
+          greatest(lit(1L), col("match_pos") - ctx).cast("int"),
+          (length(col("pattern")) + lit(2 * ctx)).cast("int"))
+          .as("excerpt"))
+
+  /** Shared index-pruned match stage: one row per verified (query, doc)
+    * hit, with `text` and `pattern` still attached for the caller's
+    * projection. */
+  private def verified(postings: DataFrame, docs: DataFrame,
       patterns: DataFrame): DataFrame = {
     val pats = patterns.select(col("query_id"), col("pattern"))
     val corpus = docs.select(col("doc_id"), col("text"))
@@ -87,8 +113,7 @@ object Grep {
       .filter(instr(col("text"), col("pattern")) > 0)
 
     verifiedLong.unionByName(verifiedShort)
-      .select(col("query_id"), col("doc_id"),
-        instr(col("text"), col("pattern")).cast("long").as("match_pos"))
+      .select(col("query_id"), col("doc_id"), col("text"), col("pattern"))
   }
 
   /** Reference brute force: one `contains` pass over every (query, doc)

@@ -56,6 +56,26 @@ class GrepSpec extends SparkSpec {
     assert(!want.exists(_._1 == "p3"), "absent pattern matches nothing")
   }
 
+  test("searchWithContext: excerpt window clamps at the text start/end " +
+      "and always contains the match") {
+    import spark.implicits._
+    val p = Seq("c1" -> "merge_sort(", "c2" -> "fox").toDF(
+      "query_id", "pattern")
+    val ctx = Grep.searchWithContext(Grep.trigramPostings(docs), docs, p,
+      ctx = 5).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getString(3)))).toMap
+    // doc 1: match at pos 5 -> window starts at max(1, 5-5)=1
+    assert(ctx(("c1", 1L)) == ((5L, "def merge_sort(xs): r".take(21))))
+    // doc 3: "fox" at pos 13 of a 15-char text -> starts at 8, clamps
+    // at the end (8 chars instead of the full 13-char window)
+    assert(ctx(("c2", 3L)) == ((13L, "rown fox")))
+    // same match positions as search()
+    val pos = Grep.search(Grep.trigramPostings(docs), docs, p).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(ctx.view.mapValues(_._1).toMap == pos)
+  }
+
   test("case-sensitive: code identifiers differ by case") {
     val (got, want) = run(Seq("c1" -> "mergeSort", "c2" -> "MERGESORT"))
     assert(got == want)
