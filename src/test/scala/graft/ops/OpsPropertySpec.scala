@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property tests for the dataloader ops whose correctness argument is
+  * algebraic (prefix-sum associativity; window-chain ≡ suffix-array
+  * criterion): random corpora against straight-line in-memory
+  * references. Samples are few (each is a Spark job) but the generators
+  * bias toward the boundary cases — empty docs, doc-spanning sequences,
+  * overlapping/adjacent duplicated windows. */
+class OpsPropertySpec extends SparkSpec {
+
+  private def checkP(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** In-memory concat-and-chunk: one sequential pass in doc_id order. */
+  private def refPack(docs: Seq[(Long, Seq[String])],
+      l: Int): Set[(Long, Long, Long, Long)] = {
+    var off = 0L
+    val out = Set.newBuilder[(Long, Long, Long, Long)]
+    for ((id, ts) <- docs.sortBy(_._1) if ts.nonEmpty) {
+      val n = ts.size.toLong
+      for (seq <- off / l to (off + n - 1) / l) {
+        val gs = math.max(off, seq * l)
+        out += ((seq, id, gs - seq * l,
+          math.min(off + n, (seq + 1) * l) - gs))
+      }
+      off += n
+    }
+    out.result()
+  }
+
+  /** In-memory Lee-et-al criterion: gram multiset, dup filter, interval
+    * merge per doc over sorted positions. */
+  private def refSpans(docs: Seq[(Long, Seq[String])],
+      l: Int): Set[(Long, Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, ts) =>
+      if (ts.size >= l)
+        (0 to ts.size - l).map(p =>
+          (id, p.toLong, ts.slice(p, p + l).mkString(" ")))
+      else Nil
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    grams.filter(g => counts(g._3) >= 2).groupBy(_._1).flatMap {
+      case (id, hs) =>
+        val spans =
+          scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        for (p <- hs.map(_._2).sorted) {
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s, e, c) = spans.last
+            spans(spans.size - 1) = (s, math.max(e, p + l), c + 1)
+          } else spans += ((p, p + l, 1L))
+        }
+        spans.map { case (s, e, c) => (id, s, e, c) }
+    }.toSet
+  }
+
+  private val word = Gen.oneOf("aa", "bb", "cc")
+  private val corpusGen = for {
+    n <- Gen.chooseNum(1, 8)
+    lens <- Gen.listOfN(n, Gen.chooseNum(0, 8))
+    docs <- Gen.sequence[List[List[String]], List[String]](
+      lens.map(Gen.listOfN(_, word)))
+  } yield docs.zipWithIndex.map { case (ts, i) => ((i * 3 + 1).toLong, ts) }
+
+  private def toDf(docs: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  test("property: pack ≡ in-memory concat-and-chunk at random seqLen " +
+      "and bucketShift") {
+    val gen = for {
+      docs <- corpusGen
+      l <- Gen.chooseNum(1, 7)
+      shift <- Gen.chooseNum(0, 3)
+    } yield (docs, l, shift)
+    checkP(Prop.forAll(gen) { case (docs, l, shift) =>
+      val got = Pack.sequences(toDf(docs), l, bucketShift = shift)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == refPack(docs, l)
+    }, 10)
+  }
+
+  test("property: repeated spans ≡ in-memory suffix-array criterion") {
+    val gen = for {
+      docs <- corpusGen
+      l <- Gen.chooseNum(2, 4)
+    } yield (docs, l)
+    checkP(Prop.forAll(gen) { case (docs, l) =>
+      val got = Dedup.repeatedSpans(toDf(docs), minLen = l).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == refSpans(docs, l)
+    }, 10)
+  }
+}
