@@ -234,6 +234,7 @@ object Bench {
         "query_bm25f_wand", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "dedup_spans", "pack_sequences",
+        "entropy", "length_quantiles", "keywords",
         "ann_brute", "ann_lsh", "ann_quant",
         "decontaminate", "curate_code", "grep_substring", "regex_search",
         "clone_pairs", "code_graph_pagerank", "lm_score", "dsir_weights",
@@ -322,6 +323,11 @@ object Bench {
     // sum + narrow chunk arithmetic at a GPT-style context length)
     results("pack_sequences") = timeWarm(
       graft.ops.Pack.sequences(docsDf, seqLen = 2048).count())._1
+    // quality-signal passes over the full table
+    results("entropy") = timeWarm(
+      graft.ops.TextAnalysis.entropy(docsDf).count())._1
+    results("length_quantiles") = timeWarm(
+      graft.ops.TextAnalysis.lengthQuantiles(docsDf).count())._1
     results("ann_brute") = timeWarm(Similarity.bruteForceTopK(
       emb, col("vec_id") % 100 === 0, 10).count())._1
     results("ann_lsh") = timeWarm(Similarity.lshTopK(
@@ -383,6 +389,10 @@ object Bench {
         nodes).count()
     })._1
 
+    // per-doc keyword tagging over the standing declarative index
+    results("keywords") = timeWarm(
+      graft.query.Keywords.extract(
+        IndexBuilder.build(docsDf, cfg)).count())._1
     // LLM-pipeline scoring passes over the full document table
     results("lm_score") = timeWarm(
       graft.ops.LanguageModel.score(docsDf).count())._1
