@@ -231,7 +231,7 @@ object Bench {
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
       Seq("query_bm25_join", "query_wand", "query_bool",
-        "query_bm25f_wand", "query_prf", "rerank",
+        "query_bm25f_wand", "query_phrase_serving", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "dedup_spans", "pack_sequences",
         "entropy", "length_quantiles", "keywords",
@@ -292,6 +292,21 @@ object Bench {
       results("query_bm25f_wand") = timeWarm(graft.query.Wand.searchF(
         fBlocks, fIdf, queries, cfg, 100, numShards = cpus).count())._1
       fBlocks.unpersist(); fIdf.unpersist()
+    }
+
+    // positional serving path: the query-set questions evaluated AS
+    // phrases (multi-term conjunctive intersections + adjacency confirm)
+    // over the packed positional blocks; block build is index-time work
+    // (untimed, cached)
+    locally {
+      val pBlocks = ServingIndex.fromPositionalPostings(idx.postings,
+        numShards = cpus).cache()
+      pBlocks.count()
+      results("query_phrase_serving") = timeWarm(
+        graft.query.PositionalServe.phrases(pBlocks,
+          queries.select(col("query_id"), col("question").as("phrase")),
+          cfg, numShards = cpus).count())._1
+      pBlocks.unpersist()
     }
 
     // Rerank times the RE-SCORE PASS ALONE over a materialized shortlist

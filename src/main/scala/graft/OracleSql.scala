@@ -17,13 +17,16 @@ import graft.fixtures.QuerySet
   */
 object OracleSql {
 
+  /** Tokenized-array CTE over `src`: (doc_id, ts list<varchar>). */
+  def tokArraysFrom(src: String): String =
+    s"""tok_arrays AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_extract_all(lower(text), '\\w+'),
+       |                x -> length(x) >= 3) AS ts
+       |  FROM $src)""".stripMargin
+
   /** Tokenized-array CTE over `documents`: (doc_id, ts list<varchar>). */
-  val tokArrays: String =
-    """tok_arrays AS (
-      |  SELECT doc_id,
-      |    list_filter(regexp_extract_all(lower(text), '\w+'),
-      |                x -> length(x) >= 3) AS ts
-      |  FROM documents)""".stripMargin
+  val tokArrays: String = tokArraysFrom("documents")
 
   /** Exploded tokens CTE: (doc_id, term, pos). */
   val toks: String =

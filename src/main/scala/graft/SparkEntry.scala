@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -301,6 +303,42 @@ object SparkEntry {
       val blocks = ServingIndex.fromPostings(idx.postings, numShards = 8)
       Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
           QuerySet.df(s), cfg, TopK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- segmented serving: three independently packed generations
+    //      union-rekeyed into one serving index (Lucene-segments
+    //      incremental ingest), served with the GLOBAL stats — must equal
+    //      the monolithic index exactly (oracle shared with q_wand_topk) ----
+    "q_segmented_wand" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val segs = (0 to 2).map(g => (ServingIndex.fromPostings(
+        idx.postings.filter(pmod(col("doc_id"), lit(3)) === g),
+        numShards = 4), 4))
+      val (blocks, total) = ServingIndex.segmented(segs)
+      Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+          QuerySet.df(s), cfg, TopK, numShards = total)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- serving-time tombstone deletes (right-to-be-forgotten dual of
+    //      q_index_delete): doc_id % 7 == 0 tombstoned, WAND skips them
+    //      before heap admission — live top-k exact under the unchanged
+    //      global stats (the oracle scores all docs, ranks only live) ----
+    "q_tombstone_wand" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val segs = (0 to 2).map(g => (ServingIndex.fromPostings(
+        idx.postings.filter(pmod(col("doc_id"), lit(3)) === g),
+        numShards = 4), 4))
+      val deleted = docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select("doc_id")
+      val (blocks, total) = ServingIndex.segmented(segs, Some(deleted))
+      Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+          QuerySet.df(s), cfg, TopK, numShards = total)
         .select(col("query_id"), col("doc_id"),
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))
@@ -699,6 +737,35 @@ object SparkEntry {
       graft.query.Phrase.proximity(plans.index(s, dir), "merge", "order",
         window = 5, cfg = cfg)),
 
+    // ---- serving-path phrase: the same phrase evaluated from the
+    //      POSITIONAL compressed block index (conjunctive DAAT cursor
+    //      intersection + two-pointer adjacency confirm) — must equal the
+    //      declarative q_phrase result, oracle shared verbatim ----
+    "q_phrase_serving" -> ((s, dir) => {
+      import s.implicits._
+      val idx = plans.index(s, dir)
+      val blocks = ServingIndex.fromPositionalPostings(idx.postings,
+        numShards = 8)
+      graft.query.PositionalServe.phrases(blocks,
+          Seq(("q0", "merge order")).toDF("query_id", "phrase"), cfg,
+          numShards = 8)
+        .select(col("doc_id"), col("n_matches"))
+    }),
+
+    // ---- serving-path proximity: min within-doc distance served from
+    //      the positional blocks (two-pointer merge instead of the
+    //      Catalyst O(ta·tb) fold) — oracle shared with q_proximity ----
+    "q_proximity_serving" -> ((s, dir) => {
+      import s.implicits._
+      val idx = plans.index(s, dir)
+      val blocks = ServingIndex.fromPositionalPostings(idx.postings,
+        numShards = 8)
+      graft.query.PositionalServe.proximity(blocks,
+          Seq(("q0", "merge", "order")).toDF("query_id", "term_a", "term_b"),
+          window = 5, cfg = cfg, numShards = 8)
+        .select(col("doc_id"), col("min_dist"))
+    }),
+
     // ---- boolean retrieval: conjunctive AND + NOT exclusion, BM25-ranked
     //      (the reference's candidate generation is pure-OR) ----
     "q_bool" -> ((s, dir) =>
@@ -1034,6 +1101,21 @@ object SparkEntry {
         "SELECT term, doc_id, tf FROM postings"),
 
       "q_wand_topk" -> withCtes(coreCtes :+ scored :+ ranked(TopK),
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score," +
+          " rank FROM ranked"),
+
+      // tombstones hide docs from RANKING only — stats (idf, avgdl, N)
+      // stay the full corpus's until the next stats merge, so the oracle
+      // scores every doc and restricts the rank window to live ones
+      "q_tombstone_wand" -> withCtes(coreCtes :+ scored :+
+        s"""ranked AS (
+           |  SELECT query_id, doc_id, score, rank FROM (
+           |    SELECT query_id, doc_id, score,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+           |    FROM scored WHERE doc_id % 7 <> 0)
+           |  WHERE rank <= $TopK)""".stripMargin,
         "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
           " AS DOUBLE) AS score," +
           " rank FROM ranked"),
@@ -2654,6 +2736,15 @@ object SparkEntry {
           |  octet_length(encode(text)) % 32 AS n_frames
           |FROM documents""".stripMargin
     )
+    // Serving-path phrase/proximity observable results are defined to be
+    // identical to the declarative forms, so they share those oracles
+    // verbatim (the same sharing contract as q_wand_topk / q_bm25_topk).
+    .pipe(m => m +
+      ("q_phrase_serving" -> m("q_phrase")) +
+      ("q_proximity_serving" -> m("q_proximity")) +
+      // a segment union with global stats is DEFINED to serve exactly
+      // like the monolithic index, so it shares q_wand_topk's oracle
+      ("q_segmented_wand" -> m("q_wand_topk")))
   }
 
   /** SQL IN-list for a marker language. */

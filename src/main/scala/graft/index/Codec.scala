@@ -141,4 +141,41 @@ object Codec {
     while (i < n) { gaps(i) = gaps(i - 1) + gaps(i) + 1; i += 1 }
     gaps
   }
+
+  /** Decode a BLOCK's concatenated per-posting position lists: posting i
+    * holds `tfs(i)` positions, each list independently
+    * [[encodePositions]]-coded and byte-concatenated in posting order
+    * (varbyte is self-delimiting, so no offset table is stored). One
+    * sequential walk over the block's bytes — the positional serving
+    * cursor decodes a block's lists at most once, on the first confirmed
+    * candidate inside that block. */
+  def decodePositionsBlock(bytes: Array[Byte],
+      tfs: Array[Int]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](tfs.length)
+    var p = 0
+    var i = 0
+    while (i < tfs.length) {
+      val n = tfs(i)
+      val xs = new Array[Int](n)
+      var prev = 0
+      var j = 0
+      while (j < n) {
+        var v = 0L
+        var shift = 0
+        var b = 0
+        do {
+          b = bytes(p) & 0xff
+          v |= (b & 0x7fL) << shift
+          shift += 7
+          p += 1
+        } while ((b & 0x80) != 0)
+        prev = if (j == 0) v.toInt else prev + v.toInt + 1
+        xs(j) = prev
+        j += 1
+      }
+      out(i) = xs
+      i += 1
+    }
+    out
+  }
 }

@@ -1,6 +1,5 @@
 package graft.index
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +11,19 @@ import org.apache.spark.sql.functions._
 final case class BlockRow(shard: Int, term: String, first_doc: Long,
     last_doc: Long, n: Int, max_tf: Int, min_dl: Int,
     docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
+
+/** One compressed POSITIONAL posting block: the per-posting payload is the
+  * full within-document position list (delta+varbyte per posting,
+  * byte-concatenated in posting order — varbyte is self-delimiting, so no
+  * offset table is stored; `tfs` doubles as the per-posting list length).
+  * This is the block layout phrase / proximity queries serve from: the
+  * conjunctive document intersection navigates `docs` with the same
+  * block-skip contract as [[BlockRow]] (first_doc/last_doc), and a block's
+  * position lists are decoded at most once, only when some candidate
+  * document inside it survives the intersection. */
+final case class BlockRowP(shard: Int, term: String, first_doc: Long,
+    last_doc: Long, n: Int, docs: Array[Byte], tfs: Array[Byte],
+    pos: Array[Byte])
 
 /** One compressed BM25F posting block: the per-posting payload is the
   * field-weighted, per-field-length-normalized pseudo-tf (`wtf` of
@@ -44,23 +56,98 @@ object ServingIndex {
 
   val DefaultBlockSize = 128
 
+  /** Reserved pseudo-term for serving-time tombstones. U+0000 cannot
+    * appear in a real term (the tokenizer only emits `\w+` runs), so a
+    * block row carrying this term is unambiguously a packed list of
+    * DELETED doc ids for its shard, not postings. */
+  val TombstoneTerm = "\u0000tombstone"
+
+  /** Compose a segmented serving index — the Lucene-segments form of
+    * incremental ingest: each generation of documents is packed
+    * independently by [[fromPostings]] (new docs never touch old blocks),
+    * and serving unions the generations with RE-KEYED shard ids
+    * (generation g's shard s becomes offset_g + s), so every (segment,
+    * shard) pair stays an independent mini-index and the query fan-out /
+    * per-shard top-k merge of [[graft.query.Wand.search]] applies
+    * unchanged. The batch-index duals are `IndexBuilder.merge` (stats) —
+    * a production pipeline maintains term/corpus stats incrementally
+    * there and rebuilds nothing here.
+    *
+    * `deleted` (optional) is the serving-time right-to-be-forgotten dual
+    * of `IndexBuilder.delete`: deleted doc ids are packed as
+    * [[TombstoneTerm]] block rows routed to the SAME shard their
+    * document's postings live in within EACH segment
+    * (`pmod(hash(doc_id), n)` — Spark's HashPartitioning contract for
+    * `repartition(n, col)`, which [[fromPostings]] uses), so each shard
+    * cogroup sees exactly its own tombstones. WAND skips tombstoned docs
+    * BEFORE heap admission, keeping the live top-k exact. A re-ingested
+    * (updated) document is delete-then-add: tombstone the id, ship the
+    * new version in a fresh segment — the tombstone hides every older
+    * copy, so the id must route to a NEW id (or the newest segment must
+    * be the only live one for that id).
+    *
+    * @return (blocks, totalShards) — pass totalShards as
+    *         [[graft.query.Wand.search]]'s numShards */
+  def segmented(segments: Seq[(Dataset[BlockRow], Int)],
+      deleted: Option[DataFrame] = None): (Dataset[BlockRow], Int) = {
+    require(segments.nonEmpty, "segmented: no segments")
+    val spark = segments.head._1.sparkSession
+    import spark.implicits._
+    val offsets = segments.map(_._2).scanLeft(0)(_ + _)
+    val total = offsets.last
+    val rekeyed = segments.zip(offsets).map { case ((blocks, _), off) =>
+      if (off == 0) blocks else blocks.map(b => b.copy(shard = b.shard + off))
+    }.reduce(_ union _)
+    deleted match {
+      case None => (rekeyed, total)
+      case Some(del) =>
+        val routed = segments.zip(offsets).map { case ((_, n), off) =>
+          del.select(col("doc_id").cast("long").as("doc_id"))
+            .withColumn("shard",
+              (pmod(hash(col("doc_id")), lit(n)) + lit(off)).cast("int"))
+        }.reduce(_ unionByName _)
+        val tombBlocks = routed
+          .groupBy(col("shard"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .as[(Int, Seq[Long])]
+          .map { case (shard, ids) =>
+            val arr = ids.toArray
+            BlockRow(shard, TombstoneTerm, arr.head, arr.last, arr.length,
+              0, 0, Codec.encodeSortedLongs(arr),
+              Array.empty[Byte], Array.empty[Byte])
+          }
+        (rekeyed.union(tombBlocks), total)
+    }
+  }
+
   /** Pack merged postings (term, doc_id, tf, doc_len) into per-shard
     * compressed blocks. One shuffle (hash on doc_id), then partition-local
-    * sort + streaming packing. */
+    * sort + streaming packing.
+    *
+    * The shard id is computed FROM THE ROW as `pmod(hash(doc_id), n)` —
+    * the exact partition-id expression of `repartition(n, col)`'s
+    * HashPartitioning, so every partition holds one shard's rows — rather
+    * than read from `TaskContext.getPartitionId()`, which is NOT stable
+    * under downstream plan re-composition: a union of packed segments
+    * (e.g. [[segmented]]) runs each child's packer inside the UNION's
+    * task, whose partition ids are globally renumbered. Row-derived shard
+    * ids survive any such re-composition, and are the same function
+    * [[segmented]] routes tombstones with. */
   def fromPostings(postings: DataFrame, numShards: Int,
       blockSize: Int = DefaultBlockSize): Dataset[BlockRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
     postings
-      .select(col("term"), col("doc_id"), col("tf"), col("doc_len"))
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_len"),
+        pmod(hash(col("doc_id")), lit(numShards)).cast("int").as("shard"))
       .repartition(numShards, col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .mapPartitions { it =>
-        val shard = TaskContext.getPartitionId()
         new Iterator[BlockRow] {
           private val in = it.buffered
           override def hasNext: Boolean = in.hasNext
           override def next(): BlockRow = {
+            val shard = in.head.getInt(4)
             val term = in.head.getString(0)
             val docs = new Array[Long](blockSize)
             val tfs = new Array[Int](blockSize)
@@ -83,6 +170,61 @@ object ServingIndex {
       }
   }
 
+  /** Pack POSITIONAL postings into per-shard compressed blocks — same
+    * one-shuffle shape as [[fromPostings]], with each posting's
+    * within-document position list carried as the payload. Accepts either
+    * postings layout: the declarative index's plain `positions`
+    * array<int>, or the SPIMI/merged on-disk layout's varbyte-packed
+    * `pos_bytes` (+ `tf`), decoded through the native codegen Expression
+    * (same dual-layout contract as [[graft.query.Phrase]]). */
+  def fromPositionalPostings(postings: DataFrame, numShards: Int,
+      blockSize: Int = DefaultBlockSize): Dataset[BlockRowP] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val pos =
+      if (postings.columns.contains("positions")) col("positions")
+      else graft.functions.GraftFunctions.decode_positions(
+        col("pos_bytes"), col("tf"))
+    postings
+      .select(col("term"), col("doc_id"),
+        pos.cast("array<int>").as("positions"),
+        pmod(hash(col("doc_id")), lit(numShards)).cast("int").as("shard"))
+      .repartition(numShards, col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .mapPartitions { it =>
+        new Iterator[BlockRowP] {
+          private val in = it.buffered
+          override def hasNext: Boolean = in.hasNext
+          override def next(): BlockRowP = {
+            val shard = in.head.getInt(3)
+            val term = in.head.getString(0)
+            val docs = new Array[Long](blockSize)
+            val plists = new Array[Array[Int]](blockSize)
+            var n = 0
+            while (n < blockSize && in.hasNext &&
+                in.head.getString(0) == term) {
+              val r = in.next()
+              docs(n) = r.getLong(1)
+              plists(n) = r.getSeq[Int](2).toArray
+              n += 1
+            }
+            val d = java.util.Arrays.copyOf(docs, n)
+            val tfs = new Array[Int](n)
+            val posBytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+            var i = 0
+            while (i < n) {
+              tfs(i) = plists(i).length
+              posBytes ++= Codec.encodePositions(plists(i))
+              i += 1
+            }
+            BlockRowP(shard, term, d(0), d(n - 1), n,
+              Codec.encodeSortedLongs(d), Codec.encodeInts(tfs),
+              posBytes.toArray)
+          }
+        }
+      }
+  }
+
   /** Pack BM25F pseudo-tf rows (term, doc_id, wtf) into per-shard
     * compressed blocks — same one-shuffle shape as [[fromPostings]]. */
   def fromPseudoTf(pseudoTf: DataFrame, numShards: Int,
@@ -90,15 +232,16 @@ object ServingIndex {
     val spark = pseudoTf.sparkSession
     import spark.implicits._
     pseudoTf
-      .select(col("term"), col("doc_id"), col("wtf").cast("double"))
+      .select(col("term"), col("doc_id"), col("wtf").cast("double"),
+        pmod(hash(col("doc_id")), lit(numShards)).cast("int").as("shard"))
       .repartition(numShards, col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .mapPartitions { it =>
-        val shard = TaskContext.getPartitionId()
         new Iterator[BlockRowF] {
           private val in = it.buffered
           override def hasNext: Boolean = in.hasNext
           override def next(): BlockRowF = {
+            val shard = in.head.getInt(3)
             val term = in.head.getString(0)
             val docs = new Array[Long](blockSize)
             val wtfs = new Array[Double](blockSize)
@@ -123,6 +266,14 @@ object ServingIndex {
   def read(spark: SparkSession, dir: String): Dataset[BlockRow] = {
     import spark.implicits._
     spark.read.parquet(dir).as[BlockRow]
+  }
+
+  def writeP(blocks: Dataset[BlockRowP], dir: String): Unit =
+    blocks.toDF().write.mode("overwrite").parquet(dir)
+
+  def readP(spark: SparkSession, dir: String): Dataset[BlockRowP] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[BlockRowP]
   }
 
   def writeF(blocks: Dataset[BlockRowF], dir: String): Unit =

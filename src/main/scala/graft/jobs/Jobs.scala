@@ -19,6 +19,8 @@ import graft.sources.Jsonl
   *     --input corpus.parquet|jsonl --output /idx [--partitions N]
   *     [--stem true] [--min-token-length 3] [--stopwords a,b]
   *     [--trigrams true]  (also persist grep + fuzzy trigram tables)
+  *     [--positional true]  (also persist the positional serving blocks
+  *                           phrase/proximity queries serve from)
   *   spark-submit --class graft.jobs.SearchJob app.jar \
   *     --index /idx --queries queries.jsonl|parquet --output /out
   *     [--k 100] [--mode join|wand] [--rerank embeddings.parquet]
@@ -79,6 +81,13 @@ object BuildIndexJob {
     ServingIndex.write(
       ServingIndex.fromPostings(idx.postings, partitions),
       s"${a("output")}/serving")
+    if (a.getOrElse("positional", "false").toBoolean)
+      // positional serving blocks: phrase / proximity queries serve from
+      // these (SearchJob auto-discovers /serving_pos) instead of paying
+      // k-1 relational joins per phrase against the postings table
+      ServingIndex.writeP(
+        ServingIndex.fromPositionalPostings(idx.postings, partitions),
+        s"${a("output")}/serving_pos")
     if (a.getOrElse("trigrams", "false").toBoolean) {
       // grep serving index: document trigram postings, partition-sorted
       // by trigram so query probes prune at the parquet scan (row-group
@@ -177,15 +186,32 @@ object SearchJob {
         a("must").split(",").toSeq,
         a.get("must-not").map(_.split(",").toSeq).getOrElse(Nil), cfg, k)
       case "phrase" =>
-        val m = graft.query.Phrase.search(idx, a("phrase"), cfg)
+        // serve from the positional block index when BuildIndexJob wrote
+        // one (--positional true); fall back to the relational joins
+        val sp = s"${a("index")}/serving_pos"
+        val m = if (new java.io.File(sp).isDirectory) {
+          import spark.implicits._
+          graft.query.PositionalServe.phrases(
+              ServingIndex.readP(spark, sp),
+              Seq(("q0", a("phrase"))).toDF("query_id", "phrase"), cfg)
+            .select(col("doc_id"), col("n_matches"))
+        } else graft.query.Phrase.search(idx, a("phrase"), cfg)
         m.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n_matches").desc, col("doc_id").asc)))
           .filter(col("rank") <= k)
       case "proximity" =>
         val Array(ta, tb) = a("terms").split(",")
-        val m = graft.query.Phrase.proximity(idx, ta, tb,
-          a.getOrElse("window", "5").toInt, cfg)
+        val win = a.getOrElse("window", "5").toInt
+        val sp = s"${a("index")}/serving_pos"
+        val m = if (new java.io.File(sp).isDirectory) {
+          import spark.implicits._
+          graft.query.PositionalServe.proximity(
+              ServingIndex.readP(spark, sp),
+              Seq(("q0", ta, tb)).toDF("query_id", "term_a", "term_b"),
+              win, cfg)
+            .select(col("doc_id"), col("min_dist"))
+        } else graft.query.Phrase.proximity(idx, ta, tb, win, cfg)
         m.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("min_dist").asc, col("doc_id").asc)))

@@ -1,0 +1,276 @@
+package graft.query
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.index.{BlockRowP, Codec, IndexBuilder}
+
+/** Phrase and proximity queries served from the POSITIONAL compressed
+  * block index ([[graft.index.ServingIndex.fromPositionalPostings]]) —
+  * the serving-path counterpart of the join-relational [[Phrase]],
+  * tested result-identical to it.
+  *
+  * Why this path exists at scale: the declarative [[Phrase.search]] is a
+  * chain of term-filtered posting joins — right for ad-hoc analytics over
+  * the relational index, but each query pays k−1 shuffling joins. The
+  * serving form is the classic positional-index evaluation (Manning,
+  * Raghavan, Schütze, IIR §2.4.2): per document-shard, a conjunctive
+  * document-at-a-time intersection over per-term block cursors — whole
+  * blocks whose `last_doc` precedes the intersection frontier are skipped
+  * WITHOUT decoding — and only documents surviving the intersection ever
+  * decode a position list (a block's lists are decoded at most once, on
+  * its first surviving candidate). Queries travel to shards exactly as in
+  * [[Wand.search]]: distributed prep (no driver collect), block pruning
+  * by broadcast semi-join on the query term set, queries streamed one at
+  * a time through the shard cogroup.
+  *
+  * Semantics are [[Phrase]]'s, bit for bit: adjacency in the post-filter
+  * position space, overlapping matches each counted
+  * (`n_matches` = surviving end positions), proximity = minimum pairwise
+  * distance between any occurrence of the two terms, either order.
+  */
+object PositionalServe {
+
+  /** One query's ordered term list as it travels to the shards. (Public:
+    * Spark's codegen'd encoder deserializer cannot access private
+    * classes.) */
+  final case class ShardPhrase(shard: Int, query_id: String,
+      terms: Seq[String])
+
+  /** Cursor over one term's sorted positional blocks inside one shard.
+    * `docs`/`tfs` decode per block on entry; the position lists decode
+    * LAZILY — only if [[positions]] is asked for inside the current
+    * block — and are cached for the block's remaining postings. */
+  private final class PCursor(blocks: Array[BlockRowP]) {
+    private var bi = 0
+    private var pi = 0
+    private var docs: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var plists: Array[Array[Int]] = _
+
+    private def decodeIfNeeded(): Unit =
+      while (bi < blocks.length && docs == null) {
+        val blk = blocks(bi)
+        docs = Codec.decodeSortedLongs(blk.docs, blk.n)
+        tfs = Codec.decodeInts(blk.tfs, blk.n)
+        plists = null
+        pi = 0
+      }
+    decodeIfNeeded()
+
+    def exhausted: Boolean = bi >= blocks.length
+    def doc: Long = if (exhausted) Long.MaxValue else docs(pi)
+
+    /** Current posting's position list (sorted ascending). Decodes the
+      * whole block's lists on first use within the block. */
+    def positions: Array[Int] = {
+      if (plists == null)
+        plists = Codec.decodePositionsBlock(blocks(bi).pos, tfs)
+      plists(pi)
+    }
+
+    def advance(): Unit = {
+      pi += 1
+      if (pi >= blocks(bi).n) { bi += 1; docs = null; decodeIfNeeded() }
+    }
+
+    /** Skip to the first posting with doc id >= d; whole blocks whose
+      * last_doc < d are skipped WITHOUT decoding. */
+    def advanceTo(d: Long): Unit = {
+      if (exhausted || doc >= d) return
+      while (bi < blocks.length && blocks(bi).last_doc < d) {
+        bi += 1; docs = null
+      }
+      decodeIfNeeded()
+      if (exhausted) return
+      var lo = pi
+      if (docs(lo) >= d) { pi = lo; return }
+      var hi = blocks(bi).n - 1
+      // last_doc >= d here, so docs(hi) >= d and the invariant
+      // docs(lo) < d <= docs(hi) holds
+      while (hi - lo > 1) {
+        val mid = (lo + hi) >>> 1
+        if (docs(mid) < d) lo = mid else hi = mid
+      }
+      pi = hi
+    }
+  }
+
+  /** {x ∈ b : x−1 ∈ a} via one two-pointer merge — the serving form of
+    * [[Phrase.search]]'s `(match_pos + 1) ∩ next_pos` adjacency step;
+    * the result carries the phrase-so-far's END positions forward. */
+  private def shiftIntersect(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val t = a(i) + 1
+      if (t == b(j)) { out += b(j); i += 1; j += 1 }
+      else if (t < b(j)) i += 1
+      else j += 1
+    }
+    out.result()
+  }
+
+  /** Minimum |pa − pb| over two sorted position lists — one O(ta+tb)
+    * two-pointer merge (the declarative [[Phrase.proximity]] uses the
+    * O(ta·tb) Catalyst fold to stay inside codegen; here we're already
+    * in JVM scope, so the linear merge is free). */
+  private def minDist(a: Array[Int], b: Array[Int]): Long = {
+    var i = 0
+    var j = 0
+    var best = Long.MaxValue
+    while (i < a.length && j < b.length) {
+      val d = math.abs(a(i).toLong - b(j).toLong)
+      if (d < best) best = d
+      if (a(i) < b(j)) i += 1 else j += 1
+    }
+    best
+  }
+
+  /** Conjunctive document-at-a-time intersection: `f` fires once per
+    * document present in EVERY cursor, with all cursors parked on it.
+    * Cursors advance past each settled document; blocks ahead of the
+    * frontier are skipped undecoded via advanceTo. */
+  private def forEachAligned(cursors: Array[PCursor])(f: Long => Unit): Unit = {
+    var done = cursors.exists(_.exhausted)
+    while (!done) {
+      var d = cursors(0).doc
+      var i = 1
+      while (i < cursors.length) {
+        if (cursors(i).doc > d) d = cursors(i).doc
+        i += 1
+      }
+      var aligned = true
+      i = 0
+      while (i < cursors.length) {
+        cursors(i).advanceTo(d)
+        if (cursors(i).exhausted || cursors(i).doc != d) aligned = false
+        i += 1
+      }
+      if (aligned) {
+        f(d)
+        i = 0
+        while (i < cursors.length) { cursors(i).advance(); i += 1 }
+      }
+      done = cursors.exists(_.exhausted)
+    }
+  }
+
+  private def checkShard(fn: String, shard: Int, numShards: Int): Unit =
+    if (numShards > 0 && shard >= numShards)
+      throw new IllegalArgumentException(
+        s"PositionalServe.$fn: blocks contain shard id $shard but " +
+        s"numShards=$numShards — pass the ServingIndex's exact shard " +
+        "count (or numShards <= 0 to discover shards from the blocks)")
+
+  /** Batch phrase search over the positional serving index.
+    *
+    * A phrase term appearing twice gets two INDEPENDENT cursors over the
+    * same block list (each tracks its own frontier), so repeated-word
+    * phrases ("aaa aaa") evaluate correctly. A phrase containing a term
+    * absent from a shard's vocabulary matches nothing on that shard.
+    *
+    * @param queries (query_id, phrase) — tokenized with the index's own
+    *                config, order preserved
+    * @return (query_id, doc_id, n_matches) — result-identical to
+    *         [[Phrase.search]] per query */
+  def phrases(blocks: Dataset[BlockRowP], queries: DataFrame,
+      cfg: TokenizerConfig, numShards: Int = -1,
+      idCol: String = "query_id", textCol: String = "phrase"): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("string").as("query_id"),
+        IndexBuilder.tokens(col(textCol), cfg).as("terms"))
+      .filter(size(col("terms")) >= 1)
+    val relevant = blocks
+      .join(broadcast(q.select(explode(col("terms")).as("term")).distinct()),
+        Seq("term"), "left_semi")
+      .as[BlockRowP]
+    val shardIds =
+      if (numShards > 0)
+        spark.range(numShards).select(col("id").cast("int").as("shard"))
+      else relevant.select(col("shard")).distinct()
+    val shardQueries = q.crossJoin(broadcast(shardIds))
+      .select(col("shard"), col("query_id"), col("terms")).as[ShardPhrase]
+
+    relevant.groupByKey(_.shard)
+      .cogroup(shardQueries.groupByKey(_.shard)) { (shard, blockIt, queryIt) =>
+        checkShard("phrases", shard, numShards)
+        val byTerm = blockIt.toArray.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
+        queryIt.flatMap { sq =>
+          val lists = sq.terms.map(byTerm.get)
+          if (lists.exists(_.isEmpty)) Iterator.empty
+          else {
+            val cursors = lists.map(bs => new PCursor(bs.get)).toArray
+            val out = ArrayBuffer.empty[(String, Long, Long)]
+            forEachAligned(cursors) { d =>
+              var matchPos = cursors(0).positions
+              var t = 1
+              while (t < cursors.length && matchPos.nonEmpty) {
+                matchPos = shiftIntersect(matchPos, cursors(t).positions)
+                t += 1
+              }
+              if (matchPos.nonEmpty)
+                out += ((sq.query_id, d, matchPos.length.toLong))
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "n_matches")
+  }
+
+  /** Batch proximity search (unordered within-window co-occurrence) over
+    * the positional serving index.
+    *
+    * @param pairs (query_id, term_a, term_b) — each side tokenized with
+    *              the index's config; a pair must survive as exactly two
+    *              terms (same contract as [[Phrase.proximity]])
+    * @return (query_id, doc_id, min_dist) with min_dist <= window —
+    *         result-identical to [[Phrase.proximity]] per pair */
+  def proximity(blocks: Dataset[BlockRowP], pairs: DataFrame, window: Int,
+      cfg: TokenizerConfig, numShards: Int = -1): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val q = pairs.select(col("query_id").cast("string").as("query_id"),
+        IndexBuilder.tokens(
+          concat_ws(" ", col("term_a"), col("term_b")), cfg).as("terms"))
+      .filter(size(col("terms")) === 2)
+    val relevant = blocks
+      .join(broadcast(q.select(explode(col("terms")).as("term")).distinct()),
+        Seq("term"), "left_semi")
+      .as[BlockRowP]
+    val shardIds =
+      if (numShards > 0)
+        spark.range(numShards).select(col("id").cast("int").as("shard"))
+      else relevant.select(col("shard")).distinct()
+    val shardQueries = q.crossJoin(broadcast(shardIds))
+      .select(col("shard"), col("query_id"), col("terms")).as[ShardPhrase]
+
+    relevant.groupByKey(_.shard)
+      .cogroup(shardQueries.groupByKey(_.shard)) { (shard, blockIt, queryIt) =>
+        checkShard("proximity", shard, numShards)
+        val byTerm = blockIt.toArray.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
+        queryIt.flatMap { sq =>
+          val lists = sq.terms.map(byTerm.get)
+          if (lists.exists(_.isEmpty)) Iterator.empty
+          else {
+            val cursors = lists.map(bs => new PCursor(bs.get)).toArray
+            val out = ArrayBuffer.empty[(String, Long, Long)]
+            forEachAligned(cursors) { d =>
+              val dist = minDist(cursors(0).positions, cursors(1).positions)
+              if (dist <= window) out += ((sq.query_id, d, dist))
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "min_dist")
+  }
+}

@@ -170,8 +170,12 @@ object Wand {
 
   /** WAND over one shard for one query. Returns shard-local canonical
     * top-k candidates. Ranking-agnostic: any [[CursorBase]] family works
-    * (BM25 and BM25F serve through the same loop). */
-  private def wandOne(cursors0: Array[CursorBase], k: Int): Seq[Cand] = {
+    * (BM25 and BM25F serve through the same loop). `deleted` (sorted) is
+    * the shard's tombstone set: tombstoned docs are skipped BEFORE heap
+    * admission, so the threshold only ever rises from LIVE candidates and
+    * the live top-k stays exact. */
+  private def wandOne(cursors0: Array[CursorBase], k: Int,
+      deleted: Array[Long] = Array.emptyLongArray): Seq[Cand] = {
     val cursors = cursors0.filterNot(_.exhausted)
     if (cursors.isEmpty) return Nil
     val heap = mutable.PriorityQueue.empty[Cand](worstFirst)
@@ -203,7 +207,9 @@ object Wand {
           var blockAcc = 0.0
           var j = 0
           while (j <= e) { blockAcc += live(j).blockUb; j += 1 }
-          if (blockAcc > threshold) {
+          if (blockAcc > threshold &&
+              (deleted.length == 0 ||
+                java.util.Arrays.binarySearch(deleted, pivotDoc) < 0)) {
             var s = 0.0
             j = 0
             while (j <= e) { s += live(j).score; j += 1 }
@@ -279,10 +285,13 @@ object Wand {
     // Block pruning semi-joins the RAW query-term set (pre-idf-join):
     // every indexed term has a termStats row, so pruning on the superset
     // is equivalent — and the idf join (a full termStats scan per batch)
-    // is paid once, on the qAgg branch only, instead of twice.
+    // is paid once, on the qAgg branch only, instead of twice. The
+    // reserved tombstone term rides along so a segmented index's deletion
+    // blocks ([[graft.index.ServingIndex.segmented]]) survive pruning.
+    val pruneTerms = qtRaw.select("term").distinct()
+      .unionByName(Seq(graft.index.ServingIndex.TombstoneTerm).toDF("term"))
     val relevant = blocks
-      .join(broadcast(qtRaw.select("term").distinct()), Seq("term"),
-        "left_semi")
+      .join(broadcast(pruneTerms), Seq("term"), "left_semi")
       .as[BlockRow]
     // Callers that know the shard count pass it and skip a
     // discover-the-shards scan; a shard id with no blocks just yields an
@@ -308,7 +317,15 @@ object Wand {
             s"Wand.search: blocks contain shard id $shard but numShards=" +
             s"$numShards — pass the ServingIndex's exact shard count " +
             "(or numShards <= 0 to discover shards from the blocks)")
-        val byTerm = blockIt.toArray.groupBy(_.term)
+        val (tombRows, postingRows) = blockIt.toArray
+          .partition(_.term == graft.index.ServingIndex.TombstoneTerm)
+        // this shard's tombstoned doc ids, sorted for the in-loop
+        // binary-search skip (one packed row per segment routes here)
+        val deleted: Array[Long] =
+          if (tombRows.isEmpty) Array.emptyLongArray
+          else tombRows.flatMap(t => Codec.decodeSortedLongs(t.docs, t.n))
+            .distinct.sorted
+        val byTerm = postingRows.groupBy(_.term)
           .map { case (t, bs) => t -> bs.sortBy(_.first_doc) }
         queryIt.flatMap { sq =>
           val present: Array[CursorBase] = sq.terms.flatMap(q =>
@@ -316,7 +333,7 @@ object Wand {
               new Cursor(bs, q.qtf * q.idf, k1, b, avgdl): CursorBase))
             .toArray
           if (present.isEmpty) Iterator.empty
-          else wandOne(present, k).iterator
+          else wandOne(present, k, deleted).iterator
             .map(c => (sq.query_id, c.doc, c.score))
         }
       }

@@ -1,0 +1,96 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.query.Wand
+
+/** Segmented serving (Lucene-segments incremental ingest) + tombstone
+  * deletes: union-of-segments must serve exactly like a monolithic
+  * rebuild given the same global stats, tombstoned docs must vanish from
+  * the live top-k exactly, and delete-then-add re-ingest must surface
+  * only the new version. */
+class SegmentedServingSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val idx = IndexBuilder.build(docs, cfg)
+  private lazy val queries = QuerySet.df(spark)
+
+  private def topk(blocks: org.apache.spark.sql.Dataset[BlockRow],
+      numShards: Int, k: Int = 50): Set[(String, Long, Int)] =
+    Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl, queries,
+        cfg, k, numShards = numShards)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  /** Three disjoint generations of the corpus, packed independently. */
+  private def thirds(shards: Int, blockSize: Int) = (0 to 2).map { g =>
+    (ServingIndex.fromPostings(
+      idx.postings.filter(pmod(col("doc_id"), lit(3)) === g),
+      numShards = shards, blockSize = blockSize), shards)
+  }
+
+  test("segment union with global stats serves exactly the monolithic index") {
+    val (blocks, total) = ServingIndex.segmented(thirds(4, 16))
+    assert(total == 12)
+    val mono = ServingIndex.fromPostings(idx.postings, numShards = 4,
+      blockSize = 16)
+    assert(topk(blocks, total) == topk(mono, 4))
+  }
+
+  test("tombstoned docs vanish from the live top-k, which stays exact") {
+    val deleted = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val (blocks, total) =
+      ServingIndex.segmented(thirds(4, 16), Some(deleted))
+
+    // teeth: the un-deleted baseline must actually rank some doc_id%7==0
+    val mono = ServingIndex.fromPostings(idx.postings, numShards = 4,
+      blockSize = 16)
+    val base = topk(mono, 4)
+    assert(base.exists(_._2 % 7 == 0), "fixture has no deleted doc in top-k")
+
+    // exactness oracle: a monolithic index packed from LIVE postings only,
+    // served with the same (unchanged) global stats
+    val liveOnly = ServingIndex.fromPostings(
+      idx.postings.filter(col("doc_id") % 7 =!= 0), numShards = 4,
+      blockSize = 16)
+    val got = topk(blocks, total)
+    assert(got.forall(_._2 % 7 != 0))
+    assert(got == topk(liveOnly, 4))
+  }
+
+  test("delete-then-add re-ingest: only the fresh version serves") {
+    import spark.implicits._
+    // pick a doc that ranks for some query, re-ingest it under a new id
+    val mono = ServingIndex.fromPostings(idx.postings, numShards = 4)
+    val hit = topk(mono, 4).minBy(t => (t._3, t._2)) // a rank-1 doc
+    val oldId = hit._2
+    val newId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val fresh = docs.filter(col("doc_id") === oldId)
+      .select(lit(newId).as("doc_id"), col("text"))
+    val seg1 = IndexBuilder.build(fresh, cfg)
+    val (blocks, total) = ServingIndex.segmented(
+      Seq((mono, 4), (ServingIndex.fromPostings(seg1.postings, 2), 2)),
+      Some(Seq(oldId).toDF("doc_id")))
+    val got = topk(blocks, total)
+    assert(!got.exists(_._2 == oldId), "tombstoned old version still serves")
+    assert(got.exists(_._2 == newId), "re-ingested version never surfaces")
+  }
+
+  test("numShards contract fires on rekeyed segment shard ids") {
+    val (blocks, total) = ServingIndex.segmented(thirds(4, 16))
+    val e = intercept[org.apache.spark.SparkException] {
+      topk(blocks, numShards = total - 4)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("numShards")))
+  }
+}

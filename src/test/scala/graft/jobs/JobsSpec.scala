@@ -109,6 +109,37 @@ class JobsSpec extends SparkSpec {
     assert(g.columns.toSet == Set("query_id", "doc_id", "match_pos"))
   }
 
+  test("BuildIndexJob --positional -> SearchJob phrase/proximity serve " +
+      "from the block index, result-identical to the relational path") {
+    spark
+    val work = Files.createTempDirectory("graft-jobs-pos").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+
+    // one build WITHOUT the positional blocks (relational fallback) and
+    // one WITH them (served path) — outputs must agree exactly
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx0",
+      "--partitions", "4", "--keep-session", "true"))
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx1",
+      "--partitions", "4", "--positional", "true", "--keep-session", "true"))
+    assert(new java.io.File(s"$work/idx1/serving_pos").isDirectory)
+
+    def rows(out: String): Array[String] =
+      spark.read.parquet(s"$out/ranked").collect().map(_.toString).sorted
+
+    for ((mode, args) <- Seq(
+        ("phrase", Array("--phrase", "merge order")),
+        ("proximity", Array("--terms", "merge,order", "--window", "6")))) {
+      SearchJob.main(Array("--index", s"$work/idx0", "--output",
+        s"$work/$mode-rel", "--mode", mode, "--keep-session", "true") ++ args)
+      SearchJob.main(Array("--index", s"$work/idx1", "--output",
+        s"$work/$mode-srv", "--mode", mode, "--keep-session", "true") ++ args)
+      val rel = rows(s"$work/$mode-rel")
+      val srv = rows(s"$work/$mode-srv")
+      assert(rel.nonEmpty, s"$mode fixture matched nothing")
+      assert(srv.sameElements(rel), s"$mode served != relational")
+    }
+  }
+
   test("BuildIndexJob --trigrams persists grep + fuzzy trigram tables and " +
       "SearchJob auto-discovers them") {
     spark

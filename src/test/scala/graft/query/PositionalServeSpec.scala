@@ -1,0 +1,115 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.index.{Codec, IndexBuilder, ServingIndex}
+
+/** The positional serving path must be result-identical to the
+  * declarative [[Phrase]] over the same index — including overlapping
+  * matches, repeated-word phrases (two independent cursors over one
+  * block list), 3-term chains, block-boundary crossings (blockSize=2
+  * forces every list through multiple blocks), and multi-shard layouts
+  * where a phrase term is absent from some shard. */
+class PositionalServeSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private lazy val docs = {
+    import spark.implicits._
+    (Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort merge sort merge sort"),
+      (3L, "merge an sort"), // min-length drops "an": adjacent post-filter
+      (4L, "sort then merge"),
+      (5L, "aaa aaa aaa"),
+      (6L, "quick sort quick sort quick sort quick"),
+      (7L, "merge merge merge sort sort sort")) ++
+      // enough distinct docs that blockSize=2 yields several blocks per
+      // term and shards get uneven vocabularies
+      (8L to 40L).map(i =>
+        (i, s"filler$i merge padding$i sort trailer$i"))).toDF("doc_id", "text")
+  }
+  private lazy val idx = IndexBuilder.build(docs, cfg)
+  private lazy val blocks =
+    ServingIndex.fromPositionalPostings(idx.postings, numShards = 3,
+      blockSize = 2).cache()
+
+  private def servedPhrase(phrase: String): Map[Long, Long] = {
+    import spark.implicits._
+    PositionalServe.phrases(blocks,
+        Seq(("q0", phrase)).toDF("query_id", "phrase"), cfg, numShards = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def declaredPhrase(phrase: String): Map[Long, Long] =
+    Phrase.search(idx, phrase, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("served phrase ≡ declarative phrase (2-term, 3-term, repeated-word, " +
+      "no-match) across block boundaries and shards") {
+    for (p <- Seq("merge sort", "sort merge sort", "aaa aaa",
+        "quick sort quick", "merge merge", "bubble merge",
+        "nosuchterm merge")) {
+      assert(servedPhrase(p) == declaredPhrase(p), s"phrase '$p'")
+    }
+    // fixture sanity: the cases are non-trivial
+    assert(servedPhrase("merge sort").nonEmpty)
+    assert(servedPhrase("aaa aaa") == Map(5L -> 2L))
+    assert(servedPhrase("bubble merge").isEmpty)
+  }
+
+  test("batch phrases: several queries through one cogroup pass") {
+    import spark.implicits._
+    val out = PositionalServe.phrases(blocks,
+        Seq(("a", "merge sort"), ("b", "sort merge sort"), ("c", "aaa aaa"))
+          .toDF("query_id", "phrase"), cfg, numShards = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expect =
+      declaredPhrase("merge sort").map { case (d, n) => ("a", d, n) }.toSet ++
+      declaredPhrase("sort merge sort").map { case (d, n) => ("b", d, n) } ++
+      declaredPhrase("aaa aaa").map { case (d, n) => ("c", d, n) }
+    assert(out == expect)
+  }
+
+  test("served proximity ≡ declarative proximity") {
+    import spark.implicits._
+    for ((a, b, w) <- Seq(("merge", "sort", 5), ("merge", "sort", 1),
+        ("quick", "sort", 2), ("bubble", "beats", 3))) {
+      val served = PositionalServe.proximity(blocks,
+          Seq(("q0", a, b)).toDF("query_id", "term_a", "term_b"), w, cfg,
+          numShards = 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      val declared = Phrase.proximity(idx, a, b, w, cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(served == declared, s"proximity($a, $b, $w)")
+    }
+  }
+
+  test("positional blocks round-trip positions bit-exactly") {
+    import spark.implicits._
+    val decoded = blocks.flatMap { b =>
+      val ds = Codec.decodeSortedLongs(b.docs, b.n)
+      val tfs = Codec.decodeInts(b.tfs, b.n)
+      val ps = Codec.decodePositionsBlock(b.pos, tfs)
+      ds.indices.map(i => (b.term, ds(i), ps(i).toSeq))
+    }.collect().map { case (t, d, p) => ((t, d), p) }.toMap
+    val expect = idx.postings
+      .select("term", "doc_id", "positions").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getSeq[Int](2).toSeq))
+      .toMap
+    assert(decoded == expect)
+  }
+
+  test("explicit numShards contract: a block on a higher shard id fails " +
+      "fast instead of silently dropping its documents") {
+    import spark.implicits._
+    val ex = intercept[org.apache.spark.SparkException] {
+      PositionalServe.phrases(blocks,
+          Seq(("q0", "merge sort")).toDF("query_id", "phrase"), cfg,
+          numShards = 2)
+        .collect()
+    }
+    assert(ex.getMessage.contains("PositionalServe") ||
+      Option(ex.getCause).exists(_.getMessage.contains("PositionalServe")))
+  }
+}
