@@ -829,6 +829,20 @@ object SparkEntry {
     "q_suggest" -> ((s, dir) =>
       graft.query.Expansion.suggest(plans.index(s, dir), "s", m = 5)),
 
+    // ---- permuterm wildcard: LEADING-star '*er' — the lookup shape a
+    //      prefix scan cannot serve — via a sarg-able rotation-table
+    //      range probe (IIR §3.2.1), then the standard OR-BM25 ----
+    "q_wildcard" -> ((s, dir) =>
+      graft.query.Expansion.wildcard(plans.index(s, dir), "*er", k = TopK)
+        .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- wildcard term lookup: the matched vocabulary slice, df-ranked
+    //      (the suggest dual for arbitrary single-star globs) ----
+    "q_wildcard_terms" -> ((s, dir) =>
+      graft.query.Expansion.wildcardTerms(plans.index(s, dir), "*er",
+        m = 10)),
+
     // ---- did-you-mean: batch noisy-channel spelling correction —
     //      candidates within 1 edit rank by (distance, df desc, term);
     //      an exact vocabulary hit ranks itself at distance 0. Mixed
@@ -2355,6 +2369,19 @@ object SparkEntry {
         """SELECT term, df FROM termstats
           |WHERE term LIKE 's%'
           |ORDER BY df DESC, term ASC LIMIT 5""".stripMargin),
+
+      // permuterm wildcard: the rotation-table probe is exact for
+      // single-star globs, so the oracle is the glob as a LIKE predicate
+      "q_wildcard" -> withCtes(Seq(tokArrays, toks, doclen, postings,
+        stats, termstats,
+        expansionScore("p.term LIKE '%er'")),
+        expansionTail(TopK)),
+
+      "q_wildcard_terms" -> withCtes(Seq(tokArrays, toks, doclen, postings,
+        stats, termstats),
+        """SELECT term, df FROM termstats
+          |WHERE term LIKE '%er'
+          |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin),
 
       // fuzzy expansion: vocabulary terms within 1 edit of 'merje'
       "q_fuzzy" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,

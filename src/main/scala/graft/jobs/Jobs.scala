@@ -103,6 +103,12 @@ object BuildIndexJob {
         .repartition(math.max(1, partitions / 4), col("trigram"))
         .sortWithinPartitions("trigram")
         .write.mode("overwrite").parquet(s"${a("output")}/term_trigrams")
+      // wildcard serving index: permuterm rotations (vocabulary-sized ×
+      // avg term length), rotation-sorted so a glob probe is a range scan
+      graft.query.Expansion.permuterm(idx.termStats)
+        .repartition(math.max(1, partitions / 4), col("rotation"))
+        .sortWithinPartitions("rotation")
+        .write.mode("overwrite").parquet(s"${a("output")}/permuterm")
     }
     a.get("ann").foreach { embPath =>
       // vector serving tables: int8 quantized copy (1 byte/dim), IVF
@@ -140,6 +146,10 @@ object BuildIndexJob {
   *   --mode phrase    --phrase "merge order"
   *   --mode proximity --terms merge,order [--window 5]
   *   --mode prefix    --prefix mer
+  *   --mode wildcard  --pattern "*er" [--max-expansions 1000]
+  *                    [--permuterm /idx/permuterm]  (pre-built rotation
+  *                    table; auto-discovered under --index when
+  *                    BuildIndexJob ran with --trigrams true)
   *   --mode fuzzy     --term merje [--max-dist 1]
   *   --mode didyoumean --terms windoq,qery [--max-dist 1] [--top-m 3]
   *                    [--term-trigrams /idx/term_trigrams]  (pre-built
@@ -218,6 +228,16 @@ object SearchJob {
           .filter(col("rank") <= k)
       case "prefix" =>
         graft.query.Expansion.prefix(idx, a("prefix"), k)
+      case "wildcard" =>
+        graft.query.Expansion.wildcard(idx, a("pattern"), k,
+          maxExpansions = a.getOrElse("max-expansions", "1000").toInt,
+          permutermDict = a.get("permuterm").map(spark.read.parquet(_))
+            .orElse {
+              val p = s"${a("index")}/permuterm" // BuildIndexJob --trigrams
+              if (new java.io.File(p).isDirectory)
+                Some(spark.read.parquet(p))
+              else None
+            })
       case "fuzzy" => graft.query.Expansion.fuzzy(idx, a("term"),
         a.getOrElse("max-dist", "1").toInt, k,
         trigramDict = a.get("term-trigrams").map(spark.read.parquet(_))

@@ -57,6 +57,68 @@ object Expansion {
     termStats.select(col("term"),
       explode(array_distinct(Grep.trigrams(col("term")))).as("trigram"))
 
+  /** (rotation, term) permuterm dictionary — every rotation of `term$`
+    * (Manning/Raghavan/Schütze IIR §3.2.1). One narrow Catalyst pass,
+    * |term|+1 rows per vocabulary term: the classic space-for-sargability
+    * trade that turns ANY single-`*` wildcard (leading, trailing, infix)
+    * into a PREFIX range scan of the rotation table. At scale, build once
+    * and persist sorted/partitioned by `rotation` (BuildIndexJob
+    * --trigrams writes it next to the trigram dictionary) so wildcard
+    * probes prune at the scan. */
+  def permuterm(termStats: DataFrame): DataFrame =
+    termStats.select(col("term"),
+      explode(expr(
+        "transform(sequence(0, length(term)), " +
+          "i -> concat(substr(term || '$', i + 1), " +
+          "substr(term || '$', 1, i)))")).as("rotation"))
+
+  /** Vocabulary terms matching a single-`*` wildcard `pattern` (e.g.
+    * `me*ge`, `*ing`, `mer*`, or starless = exact lookup), ranked by df.
+    *
+    * Permuterm lookup: pattern `a*b` rotates to the prefix `b\$a` — a
+    * term matches the glob iff one of its `term\$` rotations starts with
+    * that prefix (the `\$` fixes the boundary, so this is EXACT: no
+    * post-confirm needed, asserted against `LIKE` in the spec). The probe
+    * is a sarg-able startsWith range scan of the rotation table —
+    * corpus-size-independent given a persisted dictionary — plus a
+    * TakeOrderedAndProject; postings are never touched.
+    *
+    * @param permutermDict optional prebuilt [[permuterm]] table (read
+    *        from the persisted index); derived on the fly when absent
+    * @return (term, df) top-m, df desc / term asc */
+  def wildcardTerms(index: InvertedIndex, pattern: String, m: Int = 10,
+      permutermDict: Option[DataFrame] = None): DataFrame = {
+    require(pattern.count(_ == '*') <= 1 && pattern != "*",
+      s"wildcardTerms: need at most one '*' and a non-empty literal " +
+      s"part, got '$pattern'")
+    val (a, b) = pattern.indexOf('*') match {
+      case -1 => (pattern, "")
+      case i => (pattern.substring(0, i), pattern.substring(i + 1))
+    }
+    val dict = permutermDict.getOrElse(permuterm(index.termStats))
+    val matched = dict.filter(col("rotation").startsWith(s"$b$$$a"))
+      .select(col("term")).distinct()
+    index.termStats.join(broadcast(matched), Seq("term"), "left_semi")
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(m)
+      .select(col("term"), col("df"))
+  }
+
+  /** Wildcard search: score every document containing a term that
+    * matches the single-`*` glob `pattern` — [[wildcardTerms]] expansions
+    * (bounded to `maxExpansions` by df, the standard Lucene-style guard
+    * against `t*` exploding into the whole vocabulary) rewritten into the
+    * same OR-BM25 as [[prefix]]/[[fuzzy]].
+    * @return (doc_id, score, rank) top-k. */
+  def wildcard(index: InvertedIndex, pattern: String, k: Int = 100,
+      maxExpansions: Int = 1000, p: Bm25.Params = Bm25.Params(),
+      permutermDict: Option[DataFrame] = None): DataFrame = {
+    val terms = wildcardTerms(index, pattern, maxExpansions, permutermDict)
+    searchExpanded(index,
+      index.termStats.join(broadcast(terms.select("term")), Seq("term"),
+        "left_semi"), k, p)
+  }
+
   /** Fuzzy search: expansions are vocabulary terms within `maxDist`
     * Levenshtein edits of `query` (spell-tolerant lookup).
     *

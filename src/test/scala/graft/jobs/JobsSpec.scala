@@ -176,6 +176,25 @@ class JobsSpec extends SparkSpec {
     val f = spark.read.parquet(s"$work/f1/ranked")
     assert(f.count() > 0)
     assert(f.columns.toSet == Set("doc_id", "score", "rank"))
+
+    // wildcard mode probes the persisted permuterm rotation table and
+    // must equal the dictionary-derived run
+    assert(new java.io.File(s"$work/idx/permuterm").isDirectory)
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/w1",
+      "--mode", "wildcard", "--pattern", "*er", "--keep-session", "true"))
+    // ranking comparison on (doc_id, rank): persisted-index doubles can
+    // differ from an in-memory rebuild in the last ulp (summation order),
+    // so exact-score equality is the oracle suite's job, not this one's
+    val w = spark.read.parquet(s"$work/w1/ranked")
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val idx = graft.index.IndexBuilder.build(
+      spark.read.parquet(corpus), graft.analysis.TokenizerConfig.default)
+    val derived = graft.query.Expansion.wildcard(idx, "*er")
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(w.nonEmpty && w.sameElements(derived),
+      "persisted-permuterm wildcard must equal the derived-dictionary result")
   }
 
   test("BuildIndexJob --ann persists the int8+IVF serving tables and " +

@@ -164,6 +164,43 @@ class SearchOpsSpec extends SparkSpec {
     assert(Expansion.suggest(idx, "zzz", m = 5).isEmpty)
   }
 
+  test("permuterm wildcard matches exactly the LIKE glob, all star shapes") {
+    import spark.implicits._
+    // richer vocabulary incl. overlap traps: 'aa' vs 'a*a', 'aaa' vs 'aa*aa'
+    val vocab = Seq("merge", "mege", "marge", "sort", "resort", "stream",
+      "aaa", "aabaa", "abc", "order", "customer", "filter")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val vdocs = vocab.toDF("doc_id", "text")
+    val vidx = IndexBuilder.build(vdocs, cfg)
+    val globs = Seq("m*e", "me*ge", "*er", "sort*", "*sort", "a*a",
+      "aa*aa", "merge", "m*", "*abc", "zz*")
+    for (g <- globs) {
+      val got = Expansion.wildcardTerms(vidx, g, m = 100)
+        .select("term").as[String].collect().toSet
+      val likePat = g.replace("*", "%")
+      val want = vocab.map(_._2).filter(t =>
+        t.length >= 3 && // tokenizer min length keeps 3+ only
+          java.util.regex.Pattern.matches(
+            likePat.split("%", -1).map(java.util.regex.Pattern.quote)
+              .mkString(".*"), t)).toSet
+      assert(got == want, s"glob '$g': got $got want $want")
+    }
+    // doc ranking: '*ort' (sort, resort) ≡ the same docs OR-BM25 scores
+    val viaWild = Expansion.wildcard(vidx, "*ort")
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val viaPrefixUnion = Expansion.prefix(vidx, "sort")
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap ++
+      Expansion.prefix(vidx, "resort")
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(viaWild.keySet == viaPrefixUnion.keySet)
+    intercept[IllegalArgumentException] {
+      Expansion.wildcardTerms(vidx, "*")
+    }
+    intercept[IllegalArgumentException] {
+      Expansion.wildcardTerms(vidx, "a*b*c")
+    }
+  }
+
   test("fuzzy expansion matches within the edit budget, multi-term included") {
     import spark.implicits._
     val d2 = Seq((1L, "merge sort"), (2L, "marge things"), (3L, "verge here"),
