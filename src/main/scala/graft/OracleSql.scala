@@ -498,6 +498,47 @@ object OracleSql {
   ) ++ lloydIter("c0", "a1", "c1") ++ lloydIter("c1", "a2", "c2") ++
     lloydIter("c2", "a3", "c3")
 
+  /** Connected-component near-dup clustering CTE chain over `dup_corpus`
+    * (mirrors [[graft.ops.Dedup.minhashPairs]] + `Dedup.clusters`): LSH
+    * band candidates, exact-jaccard confirm, bidirected edges, recursive
+    * min-label reach, collapsed into `comp` (doc_id, cluster). Queries
+    * composed from it must open with "WITH RECURSIVE ". */
+  val clusterCtes: Seq[String] = Seq(dupCorpus, shingleRows, minhashCtes,
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandsp a JOIN bandsp b
+      |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      |    AND a.doc_id < b.doc_id)""".stripMargin,
+    "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_rows" +
+      " GROUP BY 1)",
+    """inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
+      |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
+      |    AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2)""".stripMargin,
+    """pairsf AS (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c
+      |  LEFT JOIN inter i USING (doc_a, doc_b)
+      |  JOIN sizes za ON za.doc_id = c.doc_a
+      |  JOIN sizes zb ON zb.doc_id = c.doc_b
+      |  WHERE coalesce(i.n_inter, 0)::DOUBLE /
+      |    (za.n_shingles + zb.n_shingles - coalesce(i.n_inter, 0))
+      |    >= 0.5)""".stripMargin,
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairsf
+      |  UNION SELECT doc_b, doc_a FROM pairsf)""".stripMargin,
+    """reach(doc_id, label) AS (
+      |  SELECT doc_id, doc_id FROM dup_corpus
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r
+      |  JOIN edges e ON e.src = r.doc_id)""".stripMargin,
+    "comp AS (SELECT doc_id, min(label) AS cluster FROM reach" +
+      " GROUP BY doc_id)")
+
+
   val ivfCtes: Seq[String] = ivfCtesFrom("embeddings")
 
   /** BPE training, `rounds` merge rounds unrolled (mirrors

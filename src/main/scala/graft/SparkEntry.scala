@@ -542,6 +542,18 @@ object SparkEntry {
         Dedup.minhashPairs(corpus))
     }),
 
+    // ---- keep-best cluster collapse: one representative per near-dup
+    //      cluster, highest quality (canonical rank key), doc_id ties ----
+    "q_dedup_keep" -> ((s, dir) => {
+      val corpus = plans.dupCorpus(s, dir)
+      val cl = Dedup.clusters(corpus.select(col("doc_id")),
+        Dedup.minhashPairs(corpus))
+      Dedup.representatives(corpus, cl)
+        .select(col("cluster"), col("doc_id"),
+          round(col("quality"), 6).cast("double").as("quality"),
+          col("n_members"))
+    }),
+
     // ---- deterministic stratified sampling ----
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratified(docs(s, dir), col("lang"), 40)
@@ -1430,40 +1442,33 @@ object SparkEntry {
         """SELECT a.vec_id, a.cid, (d.vec_id IS NOT NULL) AS is_dup
           |FROM a3 a LEFT JOIN sdups d USING (vec_id)""".stripMargin),
 
-      "q_dedup_clusters" -> ("WITH RECURSIVE " + Seq(dupCorpus, shingleRows,
-        minhashCtes,
-        """cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bandsp a JOIN bandsp b
-          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-          |    AND a.doc_id < b.doc_id)""".stripMargin,
-        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_rows" +
-          " GROUP BY 1)",
-        """inter AS (
-          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-          |  FROM cand c
-          |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
-          |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
-          |    AND sb.shingle = sa.shingle
-          |  GROUP BY 1, 2)""".stripMargin,
-        """pairsf AS (
-          |  SELECT c.doc_a, c.doc_b
-          |  FROM cand c
-          |  LEFT JOIN inter i USING (doc_a, doc_b)
-          |  JOIN sizes za ON za.doc_id = c.doc_a
-          |  JOIN sizes zb ON zb.doc_id = c.doc_b
-          |  WHERE coalesce(i.n_inter, 0)::DOUBLE /
-          |    (za.n_shingles + zb.n_shingles - coalesce(i.n_inter, 0))
-          |    >= 0.5)""".stripMargin,
-        """edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairsf
-          |  UNION SELECT doc_b, doc_a FROM pairsf)""".stripMargin,
-        """reach(doc_id, label) AS (
-          |  SELECT doc_id, doc_id FROM dup_corpus
-          |  UNION
-          |  SELECT e.dst, r.label FROM reach r
-          |  JOIN edges e ON e.src = r.doc_id)""".stripMargin).mkString(",\n") +
-        "\nSELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id"),
+      "q_dedup_clusters" -> ("WITH RECURSIVE " + clusterCtes.mkString(",\n") +
+        "\nSELECT doc_id, cluster FROM comp"),
+
+      // keep-best cluster collapse: quality over dup_corpus (the
+      // q_quality formula), canonical rank key, lowest doc_id breaks ties
+      "q_dedup_keep" -> ("WITH RECURSIVE " + (clusterCtes ++ Seq(
+        """dq AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(ts) > 0 THEN least(1.0, len(ts) / 100.0) *
+          |      (1.0 - len(list_filter(ts, x -> length(x) < 3))::DOUBLE
+          |        / len(ts))
+          |    ELSE 0 END AS quality
+          |  FROM (SELECT doc_id,
+          |          regexp_extract_all(lower(text), '\w+') AS ts
+          |        FROM dup_corpus))""".stripMargin,
+        """keep AS (
+          |  SELECT cluster, doc_id, quality,
+          |    count(*) OVER (PARTITION BY cluster) AS n_members,
+          |    row_number() OVER (PARTITION BY cluster
+          |      ORDER BY floor(quality * 1e6 + 0.5) DESC, doc_id ASC)
+          |      AS rn
+          |  FROM comp JOIN dq USING (doc_id))""".stripMargin))
+        .mkString(",\n") +
+        """
+          |SELECT cluster, doc_id,
+          |  CAST(round(quality, 6) AS DOUBLE) AS quality, n_members
+          |FROM keep WHERE rn = 1""".stripMargin),
 
       "q_sample_stratified" ->
         """SELECT doc_id, lang FROM (

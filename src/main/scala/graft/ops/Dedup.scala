@@ -250,6 +250,35 @@ object Dedup {
     labels
   }
 
+  /** Collapse near-dup clusters to ONE representative each — the
+    * HIGHEST-QUALITY member (ties: lowest doc_id), not the first-seen:
+    * when a page exists as a clean exemplar and five boilerplate-laden
+    * copies, keep-best retains the clean one. This is the step between a
+    * clustering and the curated corpus.
+    *
+    * Plan: docs ⋈ clusters on doc_id (both corpus-sized; one co-keyed
+    * shuffle join AQE balances), then ONE cluster-keyed window — rank
+    * only, group size = cluster size, bounded by dup multiplicity (the
+    * [[exact]] argument). The quality rank key goes through
+    * [[graft.Canon.rankKey]] so ties are engine-independent.
+    *
+    * @param quality per-row quality expression over `docs`'s columns
+    *        (default: [[TextAnalysis.qualityColumn]] over `text`)
+    * @return one row per cluster: (cluster, doc_id, quality, n_members) */
+  def representatives(docs: DataFrame, clusters: DataFrame,
+      quality: Column = TextAnalysis.qualityColumn(col("text"))): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    val q = docs.select(col("doc_id"), quality.as("quality"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"))
+    q.withColumn("rn", row_number().over(byCluster.orderBy(
+        graft.Canon.rankKey(col("quality")).desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id"), col("quality"),
+        col("n_members"))
+  }
+
   /** SimHash over the tf-weighted term set: bit b of the term hash's
     * b-th hex nibble (≥ 8 ⇒ +tf else −tf), majority vote per bit. The
     * term hash is md5 for `bits` ≤ 32 (32 nibbles — preserves the

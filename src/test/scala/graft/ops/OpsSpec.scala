@@ -160,6 +160,28 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("representatives keep the highest-quality member, doc_id ties") {
+    import spark.implicits._
+    val longTail = Array.fill(120)("substantive").mkString(" ")
+    val corpus = Seq(
+      // cluster 1-2-3: 2 is the clean exemplar (long, no short tokens),
+      // 1 and 3 carry short-token boilerplate that drags quality down
+      (1L, s"$longTail a b c d e f g h i j k l m n o p"),
+      (2L, longTail),
+      (3L, s"$longTail x y z w v u t s r q aa bb"),
+      // cluster 4-5: identical text -> tie, lowest doc_id wins
+      (4L, "same words repeated enough"),
+      (5L, "same words repeated enough"),
+      // singleton keeps itself
+      (6L, "lonely document text")).toDF("doc_id", "text")
+    val cl = Dedup.clusters(corpus.select(col("doc_id")),
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b"))
+    val got = Dedup.representatives(corpus, cl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 3L), (4L, 4L, 2L), (6L, 6L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("stratified sampling: exact quota per stratum, partition-invariant") {
     val quota = 7
     val s1 = Sampling.stratified(docs, org.apache.spark.sql.functions.col("lang"), quota)
