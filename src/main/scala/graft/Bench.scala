@@ -238,7 +238,7 @@ object Bench {
         "ann_brute", "ann_lsh", "ann_quant",
         "decontaminate", "curate_code", "grep_substring", "regex_search",
         "clone_pairs", "code_graph_pagerank", "lm_score", "dsir_weights",
-        "ann_pq", "ann_ivfpq", "semdedup", "bpe_train")
+        "ann_pq", "ann_ivfpq", "ann_rivfpq", "semdedup", "bpe_train")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -420,6 +420,9 @@ object Bench {
       emb, col("vec_id") % 100 === 0, 10).count())._1
     results("ann_ivfpq") = timeWarm(graft.ops.ProductQuant.ivfAdcTopK(
       emb, col("vec_id") % 100 === 0, 10).count())._1
+    results("ann_rivfpq") = timeWarm(
+      graft.ops.ProductQuant.residualIvfAdcTopK(
+        emb, col("vec_id") % 100 === 0, 10).count())._1
     results("semdedup") = timeWarm(graft.ops.SemDedup.flag(
       emb.select(col("vec_id"), col("embedding"))).count())._1
     // BPE: 8 merge rounds over the 3k-doc word table (train() runs its

@@ -586,22 +586,23 @@ object OracleSql {
 
   /** One PQ Lloyd assignment: per (vector, subspace) nearest codebook
     * entry, tie-break (d2, cid) — mirrors
-    * [[graft.ops.ProductQuant.codebooks]]'s min(struct(dd, cid)). */
-  private def pqAssign(cin: String, aout: String): String =
+    * [[graft.ops.ProductQuant.codebooks]]'s min(struct(dd, cid)).
+    * `es` names the subspace-split vector table (raw or residual). */
+  private def pqAssign(es: String, cin: String, aout: String): String =
     s"""$aout AS (
        |  SELECT vec_id, sub, cid FROM (
        |    SELECT vec_id, sub, cid, row_number() OVER (
        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-       |    FROM (SELECT es.vec_id, es.sub, c.cid,
-       |        sum((es.v - c.cv) * (es.v - c.cv)) AS d2
-       |      FROM es JOIN $cin c ON es.sub = c.sub AND es.sdim = c.sdim
+       |    FROM (SELECT s.vec_id, s.sub, c.cid,
+       |        sum((s.v - c.cv) * (s.v - c.cv)) AS d2
+       |      FROM $es s JOIN $cin c ON s.sub = c.sub AND s.sdim = c.sdim
        |      GROUP BY 1, 2, 3))
        |  WHERE rn = 1)""".stripMargin
 
-  private def pqUpdate(ain: String, cout: String): String =
+  private def pqUpdate(es: String, ain: String, cout: String): String =
     s"""$cout AS (
-       |  SELECT a.cid, es.sub, es.sdim, avg(es.v) AS cv
-       |  FROM es JOIN $ain a ON es.vec_id = a.vec_id AND es.sub = a.sub
+       |  SELECT a.cid, s.sub, s.sdim, avg(s.v) AS cv
+       |  FROM $es s JOIN $ain a ON s.vec_id = a.vec_id AND s.sub = a.sub
        |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** Product-quantization chain over `e` (mirrors
@@ -623,7 +624,35 @@ object OracleSql {
       |  WHERE rn <= 16)""".stripMargin,
     "pc0 AS (SELECT s.cid, es.sub, es.sdim, es.v AS cv" +
       " FROM es JOIN pseeds s USING (vec_id))",
-    pqAssign("pc0", "pa1"),
-    pqUpdate("pa1", "pc1"),
-    pqAssign("pc1", "pa2"))
+    pqAssign("es", "pc0", "pa1"),
+    pqUpdate("es", "pa1", "pc1"),
+    pqAssign("es", "pc1", "pa2"))
+
+  /** Residual-PQ chain (mirrors
+    * [[graft.ops.ProductQuant.residualIvfAdcTopK]]'s training half;
+    * composes AFTER [[ivfCtes]] — a3/c3 must be in scope): `re` = the
+    * coarse residual x − c(x) in long form, `res_es` its subspace split,
+    * then the same seed/assign/update unroll as [[pqCtes]] over
+    * residuals. Final residual codes CTE is `rpa2`; the codebook
+    * generation they were assigned against is `rpc1`. */
+  val residualPqCtes: Seq[String] = Seq(
+    """re AS (
+      |  SELECT e.vec_id, e.dim, e.v - c.cv AS v
+      |  FROM e JOIN a3 a USING (vec_id)
+      |  JOIN c3 c ON c.cid = a.cid AND c.dim = e.dim)""".stripMargin,
+    """res_es AS (
+      |  SELECT vec_id, ((dim - 1) // 8)::INT AS sub,
+      |         ((dim - 1) % 8)::INT + 1 AS sdim, v
+      |  FROM re)""".stripMargin,
+    """rseeds AS (
+      |  SELECT vec_id, rn - 1 AS cid FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+      |    FROM embeddings)
+      |  WHERE rn <= 16)""".stripMargin,
+    "rc0 AS (SELECT s.cid, r.sub, r.sdim, r.v AS cv" +
+      " FROM res_es r JOIN rseeds s USING (vec_id))",
+    pqAssign("res_es", "rc0", "rpa1"),
+    pqUpdate("res_es", "rpa1", "rpc1"),
+    pqAssign("res_es", "rpc1", "rpa2"))
 }

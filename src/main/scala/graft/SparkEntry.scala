@@ -643,6 +643,14 @@ object SparkEntry {
         .select(col("query_vec"), col("vec_id"), col("adist"),
           col("rank").cast("long").as("rank"))),
 
+    // residual-encoded IVFADC (the complete Jégou §IV recipe: PQ over
+    // coarse residuals, one ADC table per probed list)
+    "q_ann_rivfpq" -> ((s, dir) =>
+      graft.ops.ProductQuant.residualIvfAdcTopK(embeddings(s, dir),
+          col("vec_id") % 100 === 0, 10)
+        .select(col("query_vec"), col("vec_id"), col("adist"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- similarity: LSH-bucketed ANN (the scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") % 100 === 0, 10)
@@ -1836,6 +1844,52 @@ object SparkEntry {
           |  AS DOUBLE) AS adist, rank
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
           |  ORDER BY floor(adist * 1e6 + 0.5) ASC, vec_id ASC) AS rank FROM padist)
+          |WHERE rank <= 10""".stripMargin),
+
+      // residual IVFADC: codes = rpa2 (PQ over coarse residuals
+      // x − c(x), codebook rpc1), and the ADC table is PER PROBED LIST
+      // (the query residual q − c_list differs per list), keyed (query,
+      // pcid); a3 assigns each vector to exactly one list, so (query,
+      // vec) appears at most once in cand and the sum is safe
+      "q_ann_rivfpq" -> withCtes(
+        Seq(embeddingExploded) ++ ivfCtes ++ residualPqCtes ++ Seq(
+        "q AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e" +
+          " WHERE vec_id % 100 = 0)",
+        """probes AS (
+          |  SELECT query_vec, cid FROM (
+          |    SELECT query_vec, cid, row_number() OVER (
+          |      PARTITION BY query_vec ORDER BY d2, cid) AS pr
+          |    FROM (SELECT q.query_vec, c.cid,
+          |        sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+          |      FROM q JOIN c3 c USING (dim) GROUP BY 1, 2))
+          |  WHERE pr <= 4)""".stripMargin,
+        """qres AS (
+          |  SELECT p.query_vec, p.cid AS pcid, q.dim, q.qv - c.cv AS v
+          |  FROM probes p JOIN q USING (query_vec)
+          |  JOIN c3 c ON c.cid = p.cid AND c.dim = q.dim)""".stripMargin,
+        """qres_es AS (
+          |  SELECT query_vec, pcid, ((dim - 1) // 8)::INT AS sub,
+          |         ((dim - 1) % 8)::INT + 1 AS sdim, v
+          |  FROM qres)""".stripMargin,
+        """rdtab AS (
+          |  SELECT r.query_vec, r.pcid, c.sub, c.cid,
+          |    sum((r.v - c.cv) * (r.v - c.cv)) AS d2
+          |  FROM qres_es r JOIN rpc1 c ON r.sub = c.sub AND r.sdim = c.sdim
+          |  GROUP BY 1, 2, 3, 4)""".stripMargin,
+        """cand AS (
+          |  SELECT p.query_vec, p.cid AS pcid, a.vec_id
+          |  FROM probes p JOIN a3 a USING (cid))""".stripMargin,
+        """radist AS (
+          |  SELECT c.query_vec, c.vec_id, sum(d.d2) AS adist
+          |  FROM cand c
+          |  JOIN rpa2 a ON a.vec_id = c.vec_id
+          |  JOIN rdtab d ON d.query_vec = c.query_vec AND d.pcid = c.pcid
+          |    AND d.sub = a.sub AND d.cid = a.cid
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT query_vec, vec_id, CAST(floor(adist * 1e6 + 0.5) / 1e6
+          |  AS DOUBLE) AS adist, rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
+          |  ORDER BY floor(adist * 1e6 + 0.5) ASC, vec_id ASC) AS rank FROM radist)
           |WHERE rank <= 10""".stripMargin),
 
       "q_ann_lsh" -> withCtes(Seq(embeddingExploded) ++ lshBucketCtes ++ Seq(

@@ -163,10 +163,10 @@ object ProductQuant {
     * ([[Similarity.ivfAssignments]] — the SAME deterministic clustering
     * the float IVF index and SemDedup use) routes each query to its
     * `nProbe` nearest posting lists, and ADC scoring runs ONLY over the
-    * codes in those lists. This variant quantizes raw vectors, not
-    * coarse residuals (residual encoding needs per-list codebooks —
-    * noted, not implemented); the recall/speed knobs are the standard
-    * nProbe/nCentroids scan fraction times PQ's m-byte memory story.
+    * codes in those lists. This variant quantizes raw vectors; the
+    * full residual-encoded recipe is [[residualIvfAdcTopK]]. The
+    * recall/speed knobs are the standard nProbe/nCentroids scan
+    * fraction times PQ's m-byte memory story.
     *
     * Scale shape: the serving table is (cid, vec_id, codes) — m bytes +
     * one small int per vector, bucketable by `cid` so a probe prunes
@@ -199,6 +199,88 @@ object ProductQuant {
     val dtab = distTables(embeddings.filter(queryPred), cb, m, subDim)
     rankAdc(probes.join(serving, Seq("cid"))
       .join(broadcast(dtab), Seq("query_vec"))
+      .withColumn("adist", adcFold(m)), topK)
+  }
+
+  /** IVFADC with RESIDUAL encoding — the complete Jégou TPAMI'11 §IV /
+    * FAISS `IVFx,PQy` recipe (the raw-vector caveat on [[ivfAdcTopK]]
+    * closed): each vector is PQ-encoded as its residual r = x − c(x)
+    * against its own coarse centroid, and a query builds one ADC table
+    * PER PROBED LIST from its residual q − c_list, so the lookup distance
+    * approximates ‖(q − c) − (x − c)‖² = ‖q − x‖² exactly as in the
+    * paper. One SHARED residual codebook serves every list (FAISS's
+    * IVFPQ default; per-list codebooks multiply the broadcast by
+    * nCentroids for marginal recall and change nothing structural).
+    *
+    * Why residuals: same-list vectors share their centroid, so residuals
+    * concentrate near the origin and the k codewords quantize a far
+    * smaller cell than raw-space PQ does — lower quantization error at
+    * identical serving bytes (OpsSpec measures ADC error against true
+    * L2 dropping vs [[ivfAdcTopK]] on a clustered fixture).
+    *
+    * Scale shape: unchanged from [[ivfAdcTopK]] — serving table =
+    * (cid, vec_id, m codes), bucketable by cid; centroids and the
+    * residual codebook broadcast; the per-query ADC broadcast grows
+    * nProbe× (one m×k table per probed list), still query-batch-sized;
+    * the only shuffle is the final per-query top-k.
+    *
+    * Output: (query_vec, vec_id, adist, rank). */
+  def residualIvfAdcTopK(embeddings: DataFrame, queryPred: Column,
+      topK: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      coarseIters: Int = 3, m: Int = 8, k: Int = 16,
+      pqIters: Int = 2): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val (coarse, cent) = Similarity.ivfAssignments(
+      embeddings, nCentroids, coarseIters)
+    // residual corpus r = x − c(x): same (vec_id, embedding) shape, so
+    // the codebook trainer consumes it unchanged (seeds are md5(vec_id)
+    // order — the same seed SET as raw-space training, donating residual
+    // slices instead of raw ones)
+    val resid = embeddings
+      .join(coarse, Seq("vec_id"))
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(transform(col("embedding"), _.cast("double")),
+          col("cemb"), (x, c) => x - c).as("embedding"))
+    val (assign, cb) = codebooks(resid, m, k, pqIters)
+    val serving = encode(assign).join(coarse, Seq("vec_id"))
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_vec"),
+        transform(col("embedding"), _.cast("double")).as("qemb"))
+    // probes carry the query's PER-LIST residual q − c_list alongside
+    // the routing decision — it feeds the per-list distance table
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("d2c", d2(col("qemb"), col("cemb")))
+      .withColumn("pr", row_number().over(Window
+        .partitionBy(col("query_vec"))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_vec"), col("cid"),
+        zip_with(col("qemb"), col("cemb"), (x, c) => x - c).as("qres"))
+    // per-(query, probed list) ADC table — distTables' subspace split +
+    // codebook join, keyed by (query_vec, cid)
+    val rsv = probes.select(col("query_vec"), col("cid"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.cast("int").as("sub"),
+            slice(col("qres"), s * subDim + 1, lit(subDim)).as("semb"))))
+          .as("sv"))
+      .select(col("query_vec"), col("cid").as("pcid"),
+        col("sv.sub").as("sub"), col("sv.semb").as("semb"))
+    val dtab = rsv.join(broadcast(cb.withColumnRenamed("cid", "ccid")),
+        Seq("sub"))
+      .withColumn("dd", d2(col("semb"), col("cemb")))
+      .groupBy(col("query_vec"), col("pcid"), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("ccid"), col("dd"))))
+        .as("trow"))
+      .groupBy(col("query_vec"), col("pcid"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("trow"))))
+        .as("dtab"))
+      .withColumnRenamed("pcid", "cid")
+    rankAdc(probes.select(col("query_vec"), col("cid"))
+      .join(serving, Seq("cid"))
+      .join(broadcast(dtab), Seq("query_vec", "cid"))
       .withColumn("adist", adcFold(m)), topK)
   }
 }

@@ -566,6 +566,44 @@ class OpsSpec extends SparkSpec {
     assert(res.toSet == again.toSet, "IVFADC must be partition-invariant")
   }
 
+  test("residual ivfadc: clusters recalled, ADC error below raw-vector " +
+      "PQ, partition invariance") {
+    import spark.implicits._
+    val rows = for (c <- 0 until 4; i <- 0 until 10) yield (
+      (c * 100 + i).toLong,
+      (0 until 64).map(d =>
+        (if (((c >> (d % 2)) & 1) == 1) 10.0 else -10.0) +
+          ((d * 31 + i * 7) % 5) * 0.01).toArray)
+    val emb = rows.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 100 === 0
+    val res = ProductQuant.residualIvfAdcTopK(emb, pred, 10,
+        nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length == 40, "4 queries x top-10")
+    assert(res.forall { case (q, v, _) => q / 100 == v / 100 },
+      "every residual-IVFADC hit must come from the query's own cluster")
+    // residual encoding's point: ADC distances track TRUE L2 closer than
+    // raw-space PQ on clustered data (the codewords quantize the jitter
+    // cell, not the ±10 corner span). The fixture is deterministic end
+    // to end, so this is an exact regression, not a statistical claim.
+    val vecs = rows.toMap
+    def trueD2(q: Long, v: Long): Double =
+      vecs(q).zip(vecs(v)).map { case (a, b) => (a - b) * (a - b) }.sum
+    val raw = ProductQuant.ivfAdcTopK(emb, pred, 10,
+        nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def meanErr(hits: Array[(Long, Long, Double)]) =
+      hits.map { case (q, v, d) => math.abs(d - trueD2(q, v)) }.sum /
+        hits.length
+    assert(meanErr(res) < meanErr(raw),
+      s"residual ADC error ${meanErr(res)} must undercut raw ${meanErr(raw)}")
+    val again = ProductQuant.residualIvfAdcTopK(emb.repartition(7), pred,
+        10, nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.toSet == again.toSet,
+      "residual IVFADC must be partition-invariant")
+  }
+
   test("repeated spans: cross-doc and within-doc duplicated substrings, " +
       "interval merge, partition invariance") {
     import spark.implicits._
