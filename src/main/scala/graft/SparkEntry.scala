@@ -344,6 +344,27 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ---- compaction (Lucene forceMerge(1) dual of q_tombstone_wand):
+    //      the tombstoned segmented index is rematerialized as ONE fresh
+    //      generation — tombstones physically purged, blocks re-packed —
+    //      and must serve the identical live top-k (oracle shared with
+    //      q_tombstone_wand by definition of compaction) ----
+    "q_compact_wand" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val segs = (0 to 2).map(g => (ServingIndex.fromPostings(
+        idx.postings.filter(pmod(col("doc_id"), lit(3)) === g),
+        numShards = 4), 4))
+      val deleted = docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select("doc_id")
+      val (blocks, _) = ServingIndex.segmented(segs, Some(deleted))
+      val compacted = ServingIndex.compact(blocks, numShards = 4)
+      Wand.search(compacted, idx.termStats, idx.numDocs, idx.avgdl,
+          QuerySet.df(s), cfg, TopK, numShards = 4)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- code-aware tokenization: identifier splitting (camelCase /
     //      snake_case / ACRONYMWord) ahead of the standard pipeline.
     //      Input identifiers are synthesized deterministically from the
@@ -1143,6 +1164,20 @@ object SparkEntry {
       // stay the full corpus's until the next stats merge, so the oracle
       // scores every doc and restricts the rank window to live ones
       "q_tombstone_wand" -> withCtes(coreCtes :+ scored :+
+        s"""ranked AS (
+           |  SELECT query_id, doc_id, score, rank FROM (
+           |    SELECT query_id, doc_id, score,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+           |    FROM scored WHERE doc_id % 7 <> 0)
+           |  WHERE rank <= $TopK)""".stripMargin,
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score," +
+          " rank FROM ranked"),
+
+      // compaction is DEFINED to preserve the tombstoned index's live
+      // top-k — the oracle is q_tombstone_wand's, verbatim
+      "q_compact_wand" -> withCtes(coreCtes :+ scored :+
         s"""ranked AS (
            |  SELECT query_id, doc_id, score, rank FROM (
            |    SELECT query_id, doc_id, score,

@@ -120,6 +120,50 @@ object ServingIndex {
     }
   }
 
+  /** Compaction — the Lucene `forceMerge(1)` analogue for a
+    * [[segmented]] index: rematerialize ONE fresh generation of
+    * `numShards` shards with tombstoned documents physically removed and
+    * every term's postings re-packed dense (a segmented index fragments
+    * a term's postings across generations, so WAND opens
+    * generations×shards cursors per term and block-max bounds loosen as
+    * deletes accumulate inside old blocks; compaction restores the
+    * single-generation serving shape).
+    *
+    * Tombstones apply exactly as serving applies them — per shard: a
+    * [[TombstoneTerm]] row hides its listed doc ids within its own shard
+    * (which, per [[segmented]]'s routing, is every copy of the id in
+    * that generation). The output is bit-identical to [[fromPostings]]
+    * over the live postings, so serving before/after compaction is
+    * rank-identical by the [[segmented]] union contract.
+    *
+    * Plan shape (100 TB lens): block decode is a NARROW typed flatMap
+    * (each block expands to its own postings, no exchange); the
+    * tombstone filter is one (shard, doc_id) anti-join whose build side
+    * is bounded by accumulated-delete volume; re-packing is
+    * [[fromPostings]]'s single doc_id hash shuffle. One delete-bounded
+    * join + one shuffle total — and old generations are never read
+    * again afterwards. */
+  def compact(blocks: Dataset[BlockRow], numShards: Int,
+      blockSize: Int = DefaultBlockSize): Dataset[BlockRow] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val dead = blocks.filter(_.term == TombstoneTerm)
+      .flatMap(b => Codec.decodeSortedLongs(b.docs, b.n)
+        .map(id => (b.shard, id)))
+      .toDF("shard", "doc_id").distinct()
+    val live = blocks.filter(_.term != TombstoneTerm)
+      .flatMap { b =>
+        val d = Codec.decodeSortedLongs(b.docs, b.n)
+        val t = Codec.decodeInts(b.tfs, b.n)
+        val l = Codec.decodeInts(b.dls, b.n)
+        Iterator.tabulate(b.n)(i => (b.shard, b.term, d(i), t(i), l(i)))
+      }.toDF("shard", "term", "doc_id", "tf", "doc_len")
+    fromPostings(
+      live.join(dead, Seq("shard", "doc_id"), "left_anti")
+        .select(col("term"), col("doc_id"), col("tf"), col("doc_len")),
+      numShards, blockSize)
+  }
+
   /** Pack merged postings (term, doc_id, tf, doc_len) into per-shard
     * compressed blocks. One shuffle (hash on doc_id), then partition-local
     * sort + streaming packing.

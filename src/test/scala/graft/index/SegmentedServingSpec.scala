@@ -82,6 +82,31 @@ class SegmentedServingSpec extends SparkSpec {
     assert(got.exists(_._2 == newId), "re-ingested version never surfaces")
   }
 
+  test("compaction: tombstones purged, blocks re-packed bit-identical " +
+      "to a live-only rebuild, serving rank-identical") {
+    val deleted = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val (blocks, total) =
+      ServingIndex.segmented(thirds(4, 16), Some(deleted))
+    val compacted = ServingIndex.compact(blocks, numShards = 4,
+      blockSize = 16)
+    val rows = compacted.collect()
+    assert(!rows.exists(_.term == ServingIndex.TombstoneTerm),
+      "tombstone rows must not survive compaction")
+    assert(rows.map(_.shard).toSet.subsetOf((0 until 4).toSet),
+      "compaction must collapse to one generation of numShards shards")
+    // the exactness oracle: a fresh pack of the LIVE postings only —
+    // compaction's decode → purge → re-pack must be bit-identical to it
+    val liveOnly = ServingIndex.fromPostings(
+      idx.postings.filter(col("doc_id") % 7 =!= 0), numShards = 4,
+      blockSize = 16).collect()
+    def key(b: BlockRow) = (b.shard, b.term, b.first_doc, b.last_doc,
+      b.n, b.max_tf, b.min_dl, b.docs.toSeq, b.tfs.toSeq, b.dls.toSeq)
+    assert(rows.map(key).toSet == liveOnly.map(key).toSet,
+      "compacted blocks must equal a live-only fresh pack byte-for-byte")
+    // serving before/after compaction is rank-identical (same stats)
+    assert(topk(compacted, 4) == topk(blocks, total))
+  }
+
   test("numShards contract fires on rekeyed segment shard ids") {
     val (blocks, total) = ServingIndex.segmented(thirds(4, 16))
     val e = intercept[org.apache.spark.SparkException] {
