@@ -496,3 +496,45 @@ object CurateCodeJob {
     JobArgs.maybeStop(spark, a)
   }
 }
+
+/** Segment compaction — the operational form of
+  * [[graft.index.ServingIndex.compact]] (Lucene `forceMerge(1)`):
+  * union the given segment serving directories (each one generation of
+  * blocks written by BuildIndexJob), apply accumulated deletes as
+  * serving-time tombstones, and rematerialize ONE fresh generation with
+  * the tombstoned docs physically purged and every term's postings
+  * re-packed dense. Global term/corpus stats are maintained separately
+  * (`IndexBuilder.merge` / `delete`) and are NOT touched here.
+  *
+  *   spark-submit --class graft.jobs.CompactIndexJob app.jar \
+  *     --segments /idx0/serving,/idx1/serving [--deleted del.parquet] \
+  *     [--segment-shards 4,2] --output /cidx [--shards N] */
+object CompactIndexJob {
+  def main(args: Array[String]): Unit = {
+    val a = JobArgs.parse(args)
+    val spark = JobArgs.session("graft-compact-index")
+    val dirs = a("segments").split(",").toSeq
+    // tombstone routing needs each generation's ORIGINAL shard count;
+    // pass --segment-shards when a tiny segment might leave its highest
+    // hash shards empty (max(shard)+1 would then under-count)
+    val declared = a.get("segment-shards")
+      .map(_.split(",").toSeq.map(_.toInt))
+    declared.foreach(d => require(d.size == dirs.size,
+      s"--segment-shards has ${d.size} entries for ${dirs.size} segments"))
+    val segs = dirs.zipWithIndex.map { case (dir, i) =>
+      val blocks = ServingIndex.read(spark, dir)
+      val n = declared.map(_(i)).getOrElse(
+        blocks.agg(max(col("shard"))).head().getInt(0) + 1)
+      (blocks, n)
+    }
+    val deleted = a.get("deleted").map(p =>
+      spark.read.parquet(p).select("doc_id"))
+    val (blocks, _) = ServingIndex.segmented(segs, deleted)
+    val shards = a.getOrElse("shards",
+      spark.sparkContext.defaultParallelism.toString).toInt
+    ServingIndex.write(ServingIndex.compact(blocks, shards),
+      s"${a("output")}/serving")
+    println(s"compacted ${segs.size} segments -> $shards shards")
+    JobArgs.maybeStop(spark, a)
+  }
+}

@@ -298,4 +298,45 @@ class JobsSpec extends SparkSpec {
     assert(cc.columns.toSet == Set("doc_id", "license", "n_redactions",
       "n_word_tokens", "alnum_frac", "max_token_len"))
   }
+
+  test("CompactIndexJob: segment dirs + deletes -> one generation, " +
+      "bit-identical to a live-only fresh pack") {
+    import org.apache.spark.sql.functions._
+    spark
+    val work = Files.createTempDirectory("graft-jobs-compact").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    val docs = spark.read.parquet(corpus)
+
+    // two generations: even docs then odd docs, different shard widths
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$work/even.parquet")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$work/odd.parquet")
+    BuildIndexJob.main(Array("--input", s"$work/even.parquet", "--output",
+      s"$work/idx0", "--partitions", "4", "--keep-session", "true"))
+    BuildIndexJob.main(Array("--input", s"$work/odd.parquet", "--output",
+      s"$work/idx1", "--partitions", "2", "--keep-session", "true"))
+    docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      .write.parquet(s"$work/deleted.parquet")
+
+    CompactIndexJob.main(Array(
+      "--segments", s"$work/idx0/serving,$work/idx1/serving",
+      "--deleted", s"$work/deleted.parquet",
+      "--segment-shards", "4,2",
+      "--shards", "4", "--output", s"$work/cidx", "--keep-session", "true"))
+
+    val compacted = graft.index.ServingIndex
+      .read(spark, s"$work/cidx/serving").collect()
+    assert(!compacted.exists(_.term == graft.index.ServingIndex.TombstoneTerm))
+    // oracle: pack the full corpus's LIVE postings fresh at 4 shards —
+    // compaction of the two generations must reproduce it byte-for-byte
+    val full = graft.index.IndexBuilder.build(docs,
+      graft.analysis.TokenizerConfig.default)
+    val liveOnly = graft.index.ServingIndex.fromPostings(
+      full.postings.filter(col("doc_id") % 7 =!= 0), numShards = 4)
+      .collect()
+    def key(b: graft.index.BlockRow) = (b.shard, b.term, b.first_doc,
+      b.last_doc, b.n, b.max_tf, b.min_dl, b.docs.toSeq, b.tfs.toSeq,
+      b.dls.toSeq)
+    assert(compacted.map(key).toSet == liveOnly.map(key).toSet,
+      "compacted job output must equal a live-only fresh pack")
+  }
 }
