@@ -192,6 +192,31 @@ class PlanSpec extends SparkSpec {
       s"the delete anti-join must not shuffle the postings:\n$pPost")
   }
 
+  test("segment compaction: tombstone purge is a broadcast anti-join; " +
+      "the live postings shuffle exactly once (the re-pack)") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val segs = (0 to 1).map(g => (ServingIndex.fromPostings(
+      idx.postings.filter(pmod(col("doc_id"), lit(2)) === g), 4), 4))
+    val del = docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+    val (blocks, _) = ServingIndex.segmented(segs, Some(del))
+    // compact reads PERSISTED generations (CompactIndexJob) — write and
+    // re-read so the asserted plan is compaction's own, not the segment
+    // builds' embedded lineage
+    val dir = Files.createTempDirectory("graft-compact-plan").toString
+    ServingIndex.write(blocks, dir)
+    val p = plan(ServingIndex.compact(
+      ServingIndex.read(spark, dir), numShards = 4).toDF())
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"tombstone purge must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the decoded live postings must never join-shuffle:\n$p")
+    // the only repartitioning of the corpus-sized side is fromPostings'
+    // one explicit re-pack shuffle; every other Exchange in the plan sits
+    // on the delete-bounded tombstone side (distinct / shard groupBy)
+    assert("REPARTITION".r.findAllIn(p).size == 1,
+      s"exactly one explicit re-pack repartition expected:\n$p")
+  }
+
   test("WAND query replication is a bounded broadcast cross, not a CartesianProduct") {
     val idx = IndexBuilder.build(docs, cfg)
     val blocks = ServingIndex.fromPostings(idx.postings, 4)
