@@ -232,8 +232,14 @@ object ProductQuant {
     val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
-    val (coarse, cent) = Similarity.ivfAssignments(
+    val (coarseLazy, centLazy) = Similarity.ivfAssignments(
       embeddings, nCentroids, coarseIters)
+    // materialize the coarse quantizer once: the residual corpus embeds
+    // it, and PQ training re-references the residuals per Lloyd round +
+    // seed collect + encode — without truncation every one of those
+    // actions would re-execute the whole coarse Lloyd chain
+    val coarse = coarseLazy.localCheckpoint()
+    val cent = centLazy.localCheckpoint()
     // residual corpus r = x − c(x): same (vec_id, embedding) shape, so
     // the codebook trainer consumes it unchanged (seeds are md5(vec_id)
     // order — the same seed SET as raw-space training, donating residual
@@ -244,6 +250,7 @@ object ProductQuant {
       .select(col("vec_id"),
         zip_with(transform(col("embedding"), _.cast("double")),
           col("cemb"), (x, c) => x - c).as("embedding"))
+      .localCheckpoint()
     val (assign, cb) = codebooks(resid, m, k, pqIters)
     val serving = encode(assign).join(coarse, Seq("vec_id"))
     val q = embeddings.filter(queryPred)
