@@ -117,12 +117,30 @@ object BuildIndexJob {
       val emb = spark.read.parquet(embPath)
       graft.ops.Similarity.quantize(emb)
         .write.mode("overwrite").parquet(s"${a("output")}/ann/quantized")
-      val (assign, cent) = graft.ops.Similarity.ivfAssignments(emb,
+      val (assignL, centL) = graft.ops.Similarity.ivfAssignments(emb,
         nCentroids = a.getOrElse("ann-centroids", "16").toInt)
+      // materialized once: written below AND (with --ann-pq) referenced
+      // repeatedly by residual-PQ training
+      val assign = assignL.localCheckpoint()
+      val cent = centL.localCheckpoint()
       assign.repartition(math.max(1, partitions / 4), col("cid"))
         .sortWithinPartitions("cid")
         .write.mode("overwrite").parquet(s"${a("output")}/ann/assign")
       cent.write.mode("overwrite").parquet(s"${a("output")}/ann/centroids")
+      if (a.getOrElse("ann-pq", "false").toBoolean) {
+        // residual-PQ serving tables (SearchJob --mode annpq): m-byte
+        // codes per vector, cid-sorted so probes prune at the scan;
+        // broadcast-sized shared residual codebook
+        val (codes, cb) = graft.ops.ProductQuant.residualCodes(
+          emb, assign, cent,
+          m = a.getOrElse("ann-pq-m", "8").toInt,
+          k = a.getOrElse("ann-pq-k", "16").toInt)
+        codes.repartition(math.max(1, partitions / 4), col("cid"))
+          .sortWithinPartitions("cid")
+          .write.mode("overwrite").parquet(s"${a("output")}/ann/pq_codes")
+        cb.write.mode("overwrite")
+          .parquet(s"${a("output")}/ann/pq_codebook")
+      }
     }
     println(s"indexed ${idx.numDocs} docs, avgdl ${idx.avgdl}")
     if (a.getOrElse("validate", "false").toBoolean) {
@@ -162,6 +180,10 @@ object BuildIndexJob {
   *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
   *   --mode regex     --corpus corpus.parquet --pattern "malloc|calloc"
   *   --mode ann       --vec-ids 100,200 [--n-probe 4]  (needs --ann build)
+  *   --mode annpq     --embeddings e.parquet --vec-ids 100,200
+  *                    [--n-probe 4]  (residual-PQ ADC serving; needs a
+  *                    --ann ... --ann-pq true build; queries are the
+  *                    FLOAT vectors — ADC is asymmetric by design)
   *                    [--trigrams /idx/trigrams]  (pre-built postings;
   *                    auto-discovered under --index, else derived from
   *                    the corpus on the fly)
@@ -286,6 +308,19 @@ object SearchJob {
           spark.read.parquet(s"$base/centroids"),
           col("vec_id").isin(ids: _*), k,
           nProbe = a.getOrElse("n-probe", "4").toInt)
+      case "annpq" =>
+        // persisted residual-PQ serving (BuildIndexJob --ann --ann-pq
+        // true): ADC is asymmetric, so queries arrive as FLOAT vectors
+        // read from --embeddings (the build-time vector table)
+        val base = s"${a("index")}/ann"
+        val ids = a("vec-ids").split(",").map(_.toLong).toSeq
+        graft.ops.ProductQuant.residualAdcServe(
+          spark.read.parquet(s"$base/pq_codes"),
+          spark.read.parquet(s"$base/pq_codebook"),
+          spark.read.parquet(s"$base/centroids"),
+          spark.read.parquet(a("embeddings"))
+            .filter(col("vec_id").isin(ids: _*)),
+          k, nProbe = a.getOrElse("n-probe", "4").toInt)
       case "regex" =>
         import spark.implicits._
         val corpus = spark.read.parquet(a("corpus"))

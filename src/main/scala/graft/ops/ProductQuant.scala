@@ -229,9 +229,6 @@ object ProductQuant {
       topK: Int, nCentroids: Int = 16, nProbe: Int = 4,
       coarseIters: Int = 3, m: Int = 8, k: Int = 16,
       pqIters: Int = 2): DataFrame = {
-    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
-    val subDim = dims / m
     val (coarseLazy, centLazy) = Similarity.ivfAssignments(
       embeddings, nCentroids, coarseIters)
     // materialize the coarse quantizer once: the residual corpus embeds
@@ -240,6 +237,23 @@ object ProductQuant {
     // actions would re-execute the whole coarse Lloyd chain
     val coarse = coarseLazy.localCheckpoint()
     val cent = centLazy.localCheckpoint()
+    val (codes, cb) = residualCodes(embeddings, coarse, cent, m, k, pqIters)
+    residualAdcServe(codes, cb, cent,
+      embeddings.filter(queryPred), topK, nProbe)
+  }
+
+  /** Residual-PQ BUILD half: train the shared residual codebook against
+    * a GIVEN (materialized) coarse quantizer and encode every vector.
+    * The returned tables are the persistable serving layout
+    * (`BuildIndexJob --ann-pq`): `codes` = (cid, vec_id, codes) — m
+    * small ints per vector, cid-sortable so a probe prunes at the scan —
+    * and `codebook` = (sub, cid, cemb), broadcast-sized at any corpus
+    * size (returned pre-materialized, it is m×k rows).
+    *
+    * @return (codes, codebook) */
+  def residualCodes(embeddings: DataFrame, coarse: DataFrame,
+      cent: DataFrame, m: Int = 8, k: Int = 16,
+      pqIters: Int = 2): (DataFrame, DataFrame) = {
     // residual corpus r = x − c(x): same (vec_id, embedding) shape, so
     // the codebook trainer consumes it unchanged (seeds are md5(vec_id)
     // order — the same seed SET as raw-space training, donating residual
@@ -252,13 +266,30 @@ object ProductQuant {
           col("cemb"), (x, c) => x - c).as("embedding"))
       .localCheckpoint()
     val (assign, cb) = codebooks(resid, m, k, pqIters)
-    val serving = encode(assign).join(coarse, Seq("vec_id"))
-    val q = embeddings.filter(queryPred)
+    (encode(assign).join(coarse, Seq("vec_id"))
+       .select(col("cid"), col("vec_id"), col("codes")),
+      cb.localCheckpoint())
+  }
+
+  /** Residual-PQ SERVE half over the (persisted) serving tables:
+    * `codes` (cid, vec_id, codes), `codebook` (sub, cid, cemb), and the
+    * coarse `centroids` (cid, cemb). Queries arrive as FLOAT vectors
+    * (vec_id, embedding) — ADC is asymmetric by design. m and the
+    * subspace width are read off the codebook itself, so the caller
+    * needs no build-time parameters. */
+  def residualAdcServe(codes: DataFrame, codebook: DataFrame,
+      centroids: DataFrame, queries: DataFrame, topK: Int,
+      nProbe: Int = 4): DataFrame = {
+    val shape = codebook
+      .agg(max(col("sub")), max(size(col("cemb")))).head()
+    val m = shape.getInt(0) + 1
+    val subDim = shape.getInt(1)
+    val q = queries
       .select(col("vec_id").as("query_vec"),
         transform(col("embedding"), _.cast("double")).as("qemb"))
     // probes carry the query's PER-LIST residual q − c_list alongside
     // the routing decision — it feeds the per-list distance table
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2c", d2(col("qemb"), col("cemb")))
       .withColumn("pr", row_number().over(Window
         .partitionBy(col("query_vec"))
@@ -275,8 +306,8 @@ object ProductQuant {
           .as("sv"))
       .select(col("query_vec"), col("cid").as("pcid"),
         col("sv.sub").as("sub"), col("sv.semb").as("semb"))
-    val dtab = rsv.join(broadcast(cb.withColumnRenamed("cid", "ccid")),
-        Seq("sub"))
+    val dtab = rsv.join(
+        broadcast(codebook.withColumnRenamed("cid", "ccid")), Seq("sub"))
       .withColumn("dd", d2(col("semb"), col("cemb")))
       .groupBy(col("query_vec"), col("pcid"), col("sub"))
       .agg(map_from_entries(collect_list(struct(col("ccid"), col("dd"))))
@@ -286,7 +317,7 @@ object ProductQuant {
         .as("dtab"))
       .withColumnRenamed("pcid", "cid")
     rankAdc(probes.select(col("query_vec"), col("cid"))
-      .join(serving, Seq("cid"))
+      .join(codes, Seq("cid"))
       .join(broadcast(dtab), Seq("query_vec", "cid"))
       .withColumn("adist", adcFold(m)), topK)
   }

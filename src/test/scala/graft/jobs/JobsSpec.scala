@@ -232,6 +232,42 @@ class JobsSpec extends SparkSpec {
       "serving from parquet must equal the in-memory plan")
   }
 
+  test("BuildIndexJob --ann-pq persists the residual-PQ serving tables " +
+      "and SearchJob --mode annpq serves rank-identical to in-memory") {
+    spark
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft-jobs-annpq").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    val embPath = sf("sf0.001") + "/embeddings.parquet"
+    BuildIndexJob.main(Array("--input", corpus, "--output", s"$work/idx",
+      "--partitions", "4", "--ann", embPath, "--ann-pq", "true",
+      "--ann-centroids", "8", "--keep-session", "true"))
+    val codes = spark.read.parquet(s"$work/idx/ann/pq_codes")
+    assert(codes.columns.toSet == Set("cid", "vec_id", "codes"))
+    assert(codes.schema("codes").dataType.simpleString == "array<int>",
+      "persisted codes must be the m-int serving layout")
+    val cb = spark.read.parquet(s"$work/idx/ann/pq_codebook")
+    assert(cb.count() == 8 * 16, "shared residual codebook is m x k rows")
+
+    SearchJob.main(Array("--index", s"$work/idx", "--output", s"$work/pq1",
+      "--mode", "annpq", "--embeddings", embPath, "--vec-ids", "0,250",
+      "--k", "10", "--keep-session", "true"))
+    val served = spark.read.parquet(s"$work/pq1/ranked")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(served.count(_._1 == 0L) == 10 &&
+      served.count(_._1 == 250L) == 10)
+    // persisted-path result == the in-memory composed pipeline with the
+    // same coarse/PQ parameters (everything is deterministic)
+    val direct = graft.ops.ProductQuant.residualIvfAdcTopK(
+        spark.read.parquet(embPath), col("vec_id").isin(0L, 250L), 10,
+        nCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(served.toSet == direct.toSet,
+      "serving from parquet must equal the in-memory plan")
+  }
+
   test("PrepareDataJob chains curate -> decontaminate -> coverage -> " +
       "pack with token conservation") {
     import org.apache.spark.sql.functions._
