@@ -78,6 +78,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Bm25.search(dAll, QuerySet.df(spark), cfg, 10).count() == 0)
   }
 
+  test("compaction edges: no tombstones = pure re-pack; delete-everything " +
+      "yields an empty generation; foreign tombstone ids are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "merge sort tree"), (2L, "hash join scan"),
+      (3L, "merge hash tree")).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(docs, cfg)
+    val packed = ServingIndex.fromPostings(idx.postings, 2)
+    def key(b: graft.index.BlockRow) = (b.shard, b.term, b.first_doc,
+      b.last_doc, b.n, b.max_tf, b.min_dl, b.docs.toSeq, b.tfs.toSeq,
+      b.dls.toSeq)
+    // no tombstones: compaction is exactly a re-pack
+    assert(ServingIndex.compact(packed, 2).collect().map(key).toSet ==
+      packed.collect().map(key).toSet)
+    // delete everything: the compacted generation is empty
+    val (allDead, _) = ServingIndex.segmented(Seq((packed, 2)),
+      Some(docs.select(col("doc_id"))))
+    assert(ServingIndex.compact(allDead, 2).count() == 0)
+    // tombstones naming ids that are not in the index change nothing
+    val (foreign, _) = ServingIndex.segmented(Seq((packed, 2)),
+      Some(Seq(99L, 100L).toDF("doc_id")))
+    assert(ServingIndex.compact(foreign, 2).collect().map(key).toSet ==
+      packed.collect().map(key).toSet)
+  }
+
   test("simhash pair mining on a dup-free corpus returns nothing") {
     import spark.implicits._
     val docs = Seq(
