@@ -164,6 +164,26 @@ object ServingIndex {
       numShards, blockSize)
   }
 
+  /** Tiered merge selection (the TieredMergePolicy/LSM argument, sized
+    * down): given per-segment sizes (live posting counts — any
+    * consistent proxy), return the indices of the segments to compact
+    * together in this round — the `mergeFactor` SMALLEST segments, and
+    * only when more than `maxSegments` exist.
+    *
+    * Why smallest-first: full compaction rewrites the whole index per
+    * ingest batch (write amplification O(N/batch)); merging the smallest
+    * `mergeFactor` segments keeps every document re-packed only
+    * O(log_mergeFactor N) times over the index's life while bounding the
+    * segment count — the standard log-structured trade. Deterministic:
+    * ties break on segment index. Pure function — callers
+    * ([[graft.jobs.CompactIndexJob]] `--tiered true`) own the directory
+    * swap. */
+  def mergeSelection(sizes: Seq[Long], maxSegments: Int = 8,
+      mergeFactor: Int = 4): Seq[Int] =
+    if (sizes.size <= maxSegments) Nil
+    else sizes.zipWithIndex.sortBy { case (sz, i) => (sz, i) }
+      .take(mergeFactor).map(_._2).sorted
+
   /** Pack merged postings (term, doc_id, tf, doc_len) into per-shard
     * compressed blocks. One shuffle (hash on doc_id), then partition-local
     * sort + streaming packing.

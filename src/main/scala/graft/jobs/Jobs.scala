@@ -541,9 +541,17 @@ object CurateCodeJob {
   * re-packed dense. Global term/corpus stats are maintained separately
   * (`IndexBuilder.merge` / `delete`) and are NOT touched here.
   *
+  * `--tiered true` switches to LSM-style PARTIAL compaction: only the
+  * [[graft.index.ServingIndex.mergeSelection]] segments (the
+  * `--merge-factor` smallest, once more than `--max-segments` exist)
+  * are merged, bounding write amplification at O(log N) re-packs per
+  * document; the caller swaps just the merged dirs for the output and
+  * keeps the delete table in force for the kept segments.
+  *
   *   spark-submit --class graft.jobs.CompactIndexJob app.jar \
   *     --segments /idx0/serving,/idx1/serving [--deleted del.parquet] \
-  *     [--segment-shards 4,2] --output /cidx [--shards N] */
+  *     [--segment-shards 4,2] [--tiered true] [--max-segments 8] \
+  *     [--merge-factor 4] --output /cidx [--shards N] */
 object CompactIndexJob {
   def main(args: Array[String]): Unit = {
     val a = JobArgs.parse(args)
@@ -556,20 +564,43 @@ object CompactIndexJob {
       .map(_.split(",").toSeq.map(_.toInt))
     declared.foreach(d => require(d.size == dirs.size,
       s"--segment-shards has ${d.size} entries for ${dirs.size} segments"))
-    val segs = dirs.zipWithIndex.map { case (dir, i) =>
+    val all = dirs.zipWithIndex.map { case (dir, i) =>
       val blocks = ServingIndex.read(spark, dir)
       val n = declared.map(_(i)).getOrElse(
         blocks.agg(max(col("shard"))).head().getInt(0) + 1)
-      (blocks, n)
+      (dir, blocks, n)
     }
-    val deleted = a.get("deleted").map(p =>
-      spark.read.parquet(p).select("doc_id"))
-    val (blocks, _) = ServingIndex.segmented(segs, deleted)
-    val shards = a.getOrElse("shards",
-      spark.sparkContext.defaultParallelism.toString).toInt
-    ServingIndex.write(ServingIndex.compact(blocks, shards),
-      s"${a("output")}/serving")
-    println(s"compacted ${segs.size} segments -> $shards shards")
+    // --tiered true: LSM-style PARTIAL compaction — merge only the
+    // mergeSelection segments (smallest-first, only past --max-segments),
+    // keeping write amplification logarithmic; the caller replaces just
+    // the merged dirs with the output and keeps serving the rest (the
+    // delete table stays in force for the kept segments)
+    val picked: Seq[Int] =
+      if (!a.getOrElse("tiered", "false").toBoolean) all.indices
+      else {
+        val sizes = all.map { case (_, b, _) =>
+          b.filter(_.term != ServingIndex.TombstoneTerm)
+            .agg(sum(col("n"))).head().getLong(0) }
+        ServingIndex.mergeSelection(sizes,
+          maxSegments = a.getOrElse("max-segments", "8").toInt,
+          mergeFactor = a.getOrElse("merge-factor", "4").toInt)
+      }
+    if (picked.isEmpty) {
+      println("compaction: nothing selected (segment count within bound)")
+    } else {
+      val segs = picked.map(all(_)).map { case (_, b, n) => (b, n) }
+      val deleted = a.get("deleted").map(p =>
+        spark.read.parquet(p).select("doc_id"))
+      val (blocks, _) = ServingIndex.segmented(segs, deleted)
+      val shards = a.getOrElse("shards",
+        spark.sparkContext.defaultParallelism.toString).toInt
+      ServingIndex.write(ServingIndex.compact(blocks, shards),
+        s"${a("output")}/serving")
+      println(s"compacted ${picked.map(dirs(_)).mkString(",")} -> " +
+        s"$shards shards" +
+        (if (picked.size < dirs.size)
+          s" (kept ${dirs.size - picked.size} segments)" else ""))
+    }
     JobArgs.maybeStop(spark, a)
   }
 }

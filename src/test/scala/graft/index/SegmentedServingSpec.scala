@@ -107,6 +107,16 @@ class SegmentedServingSpec extends SparkSpec {
     assert(topk(compacted, 4) == topk(blocks, total))
   }
 
+  test("tiered merge selection: under-bound no-op, smallest-first, " +
+      "index tie-break") {
+    import ServingIndex.mergeSelection
+    assert(mergeSelection(Seq(5L, 3L, 9L), maxSegments = 3) == Nil)
+    assert(mergeSelection(Seq(50L, 3L, 9L, 7L, 100L), maxSegments = 4,
+      mergeFactor = 2) == Seq(1, 3))
+    assert(mergeSelection(Seq(5L, 5L, 5L, 5L, 5L), maxSegments = 2,
+      mergeFactor = 3) == Seq(0, 1, 2))
+  }
+
   test("numShards contract fires on rekeyed segment shard ids") {
     val (blocks, total) = ServingIndex.segmented(thirds(4, 16))
     val e = intercept[org.apache.spark.SparkException] {

@@ -268,6 +268,48 @@ class JobsSpec extends SparkSpec {
       "serving from parquet must equal the in-memory plan")
   }
 
+  test("CompactIndexJob --tiered merges only the smallest segments and " +
+      "is a no-op under the segment bound") {
+    import org.apache.spark.sql.functions._
+    spark
+    val work = Files.createTempDirectory("graft-jobs-tiered").toString
+    val corpus = sf("sf0.001") + "/documents.parquet"
+    val docs = spark.read.parquet(corpus)
+    // one big segment (half the corpus) and two small ones (quarters)
+    docs.filter(col("doc_id") % 4 < 2).write.parquet(s"$work/big.parquet")
+    docs.filter(col("doc_id") % 4 === 2).write.parquet(s"$work/s1.parquet")
+    docs.filter(col("doc_id") % 4 === 3).write.parquet(s"$work/s2.parquet")
+    for (n <- Seq("big", "s1", "s2"))
+      BuildIndexJob.main(Array("--input", s"$work/$n.parquet", "--output",
+        s"$work/idx-$n", "--partitions", "2", "--keep-session", "true"))
+
+    CompactIndexJob.main(Array("--segments",
+      s"$work/idx-big/serving,$work/idx-s1/serving,$work/idx-s2/serving",
+      "--segment-shards", "2,2,2", "--tiered", "true",
+      "--max-segments", "2", "--merge-factor", "2",
+      "--shards", "2", "--output", s"$work/t", "--keep-session", "true"))
+    // the two quarter segments are the smallest: the output must be a
+    // fresh pack of exactly their union, the big segment untouched
+    val compacted = graft.index.ServingIndex
+      .read(spark, s"$work/t/serving").collect()
+    val full = graft.index.IndexBuilder.build(docs,
+      graft.analysis.TokenizerConfig.default)
+    val expect = graft.index.ServingIndex.fromPostings(
+      full.postings.filter(col("doc_id") % 4 >= 2), numShards = 2)
+      .collect()
+    def key(b: graft.index.BlockRow) = (b.shard, b.term, b.first_doc,
+      b.last_doc, b.n, b.max_tf, b.min_dl, b.docs.toSeq, b.tfs.toSeq,
+      b.dls.toSeq)
+    assert(compacted.map(key).toSet == expect.map(key).toSet)
+
+    // within the bound: selection is empty, nothing written
+    CompactIndexJob.main(Array("--segments",
+      s"$work/idx-big/serving,$work/idx-s1/serving",
+      "--segment-shards", "2,2", "--tiered", "true", "--max-segments", "2",
+      "--shards", "2", "--output", s"$work/t2", "--keep-session", "true"))
+    assert(!new java.io.File(s"$work/t2/serving").exists())
+  }
+
   test("PrepareDataJob chains curate -> decontaminate -> coverage -> " +
       "pack with token conservation") {
     import org.apache.spark.sql.functions._
