@@ -566,8 +566,10 @@ object CompactIndexJob {
       s"--segment-shards has ${d.size} entries for ${dirs.size} segments"))
     val all = dirs.zipWithIndex.map { case (dir, i) =>
       val blocks = ServingIndex.read(spark, dir)
-      val n = declared.map(_(i)).getOrElse(
-        blocks.agg(max(col("shard"))).head().getInt(0) + 1)
+      val n = declared.map(_(i)).getOrElse {
+        val m = blocks.agg(max(col("shard"))).head()
+        if (m.isNullAt(0)) 1 else m.getInt(0) + 1 // empty generation
+      }
       (dir, blocks, n)
     }
     // --tiered true: LSM-style PARTIAL compaction — merge only the
@@ -579,8 +581,9 @@ object CompactIndexJob {
       if (!a.getOrElse("tiered", "false").toBoolean) all.indices
       else {
         val sizes = all.map { case (_, b, _) =>
-          b.filter(_.term != ServingIndex.TombstoneTerm)
-            .agg(sum(col("n"))).head().getLong(0) }
+          val r = b.filter(_.term != ServingIndex.TombstoneTerm)
+            .agg(sum(col("n"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0) } // empty generation
         ServingIndex.mergeSelection(sizes,
           maxSegments = a.getOrElse("max-segments", "8").toInt,
           mergeFactor = a.getOrElse("merge-factor", "4").toInt)
