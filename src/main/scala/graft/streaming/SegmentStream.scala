@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.analysis.TokenizerConfig
+import graft.index.{BlockRow, IndexBuilder, ServingIndex}
+
+/** Stream-to-segments ingest — the NRT (near-real-time indexing) story
+  * that connects Structured Streaming to the Lucene-segments serving
+  * lifecycle: every non-empty micro-batch is inverted doc-at-a-time and
+  * packed as ONE independent serving generation (`dir/seg-<batchId>`),
+  * so new documents become searchable one trigger interval after they
+  * arrive, WITHOUT touching any previously written generation.
+  *
+  * The rest of the lifecycle is the existing segment machinery:
+  * [[segments]] re-reads the generations and composes them through
+  * [[graft.index.ServingIndex.segmented]] (tombstone deletes keep
+  * applying at serve time), [[graft.query.Wand]] serves the union
+  * rank-identically to a monolithic rebuild under shared global stats,
+  * and `CompactIndexJob --tiered` bounds the generation count with
+  * logarithmic write amplification. Global term/corpus stats are
+  * maintained where they already live — [[IndexStream.termStats]]
+  * (streaming state) or `IndexBuilder.merge` (batch) — the segment sink
+  * packs postings only, exactly like a Lucene flush.
+  *
+  * Scale: each micro-batch's work is batch-local (narrow inversion +
+  * one doc_id repartition over THAT batch — `fromPostings`'s shape at
+  * batch size, not corpus size), and generations never rewrite, so
+  * ingest cost per document is O(1) plus the amortized O(log N)
+  * re-packs the tiered compactor adds.
+  */
+object SegmentStream {
+
+  /** Attach the segment sink to a streaming documents DataFrame
+    * (schema: doc_id, text). Returns a writer in foreachBatch mode;
+    * caller starts it with `.start()`. Batch ids are zero-padded so
+    * lexicographic directory order is ingest order. */
+  def ingest(docStream: DataFrame, cfg: TokenizerConfig, dir: String,
+      numShards: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val idx = IndexBuilder.build(
+            batch.select(col(idCol).cast("long").as("doc_id"),
+              col(textCol).as("text")), cfg)
+          ServingIndex.write(
+            ServingIndex.fromPostings(idx.postings, numShards),
+            f"$dir/seg-$id%05d")
+        }
+      }
+
+  /** Read back every generation written by [[ingest]] (the `seg-*`
+    * directories, ingest order) and compose them for serving; pass the
+    * result's blocks + total shard count straight to
+    * [[graft.query.Wand.search]]. */
+  def segments(spark: SparkSession, dir: String, numShards: Int,
+      deleted: Option[DataFrame] = None): (Dataset[BlockRow], Int) = {
+    val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+      .map(_.toString).sorted
+    require(dirs.nonEmpty, s"no seg-* generations under $dir")
+    ServingIndex.segmented(
+      dirs.map(d => (ServingIndex.read(spark, d), numShards)), deleted)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.index.{IndexBuilder, ServingIndex}
+import graft.query.Wand
+
+/** NRT ingest: micro-batches become serving generations; the composed
+  * union must serve exactly like a monolithic rebuild of everything
+  * ingested so far (shared global stats), and serve-time tombstones
+  * apply across generations. */
+class SegmentStreamSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private def topk(blocks: org.apache.spark.sql.Dataset[graft.index.BlockRow],
+      numShards: Int, idx: graft.index.InvertedIndex,
+      k: Int = 50): Set[(String, Long, Int)] =
+    Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+        QuerySet.df(spark), cfg, k, numShards = numShards)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("streamed micro-batches serve exactly like a monolithic rebuild; " +
+      "tombstones apply across generations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-segstream").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val source = MemoryStream[(Long, String)]
+    val q = SegmentStream.ingest(source.toDF().toDF("doc_id", "text"),
+      cfg, work, numShards = 4).start()
+    try {
+      // three triggers = three generations
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      source.addData(b1.toIndexedSeq); q.processAllAvailable()
+      source.addData(b2.toIndexedSeq); q.processAllAvailable()
+      source.addData(b3.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val gens = new java.io.File(work).listFiles()
+      .filter(_.getName.startsWith("seg-")).map(_.getName).sorted
+    assert(gens.length == 3, s"expected 3 generations, got ${gens.toSeq}")
+
+    // serving oracle: monolithic fresh build over everything ingested
+    val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = IndexBuilder.build(all, cfg)
+    val mono = ServingIndex.fromPostings(idx.postings, numShards = 4)
+    val (blocks, total) = SegmentStream.segments(spark, work, numShards = 4)
+    assert(total == 12)
+    assert(topk(blocks, total, idx) == topk(mono, 4, idx),
+      "streamed generations must serve exactly like the monolithic index")
+
+    // serve-time delete of a ranked doc, across whichever generation
+    // holds it
+    val hit = topk(mono, 4, idx).minBy(t => (t._3, t._2))._2
+    import spark.implicits._
+    val (del, _) = SegmentStream.segments(spark, work, numShards = 4,
+      deleted = Some(Seq(hit).toDF("doc_id")))
+    val live = topk(del, total, idx)
+    assert(!live.exists(_._2 == hit), "tombstoned doc still serves")
+    // and compaction of the streamed generations purges it physically
+    val compacted = ServingIndex.compact(del, numShards = 4)
+    val liveOnly = ServingIndex.fromPostings(
+      idx.postings.filter(col("doc_id") =!= hit), numShards = 4)
+    assert(topk(compacted, 4, idx) == topk(liveOnly, 4, idx))
+  }
+}
