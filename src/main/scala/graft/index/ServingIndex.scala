@@ -147,11 +147,14 @@ object ServingIndex {
       blockSize: Int = DefaultBlockSize): Dataset[BlockRow] = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val dead = blocks.filter(_.term == TombstoneTerm)
+    // Column predicates, not typed lambdas: the term filter must reach
+    // the Parquet scan (row-group pruning on the tiny tombstone side;
+    // the corpus-sized live side skips deserializing tombstone rows)
+    val dead = blocks.filter(col("term") === lit(TombstoneTerm))
       .flatMap(b => Codec.decodeSortedLongs(b.docs, b.n)
         .map(id => (b.shard, id)))
       .toDF("shard", "doc_id").distinct()
-    val live = blocks.filter(_.term != TombstoneTerm)
+    val live = blocks.filter(col("term") =!= lit(TombstoneTerm))
       .flatMap { b =>
         val d = Codec.decodeSortedLongs(b.docs, b.n)
         val t = Codec.decodeInts(b.tfs, b.n)

@@ -119,15 +119,18 @@ object BuildIndexJob {
         .write.mode("overwrite").parquet(s"${a("output")}/ann/quantized")
       val (assignL, centL) = graft.ops.Similarity.ivfAssignments(emb,
         nCentroids = a.getOrElse("ann-centroids", "16").toInt)
-      // materialized once: written below AND (with --ann-pq) referenced
-      // repeatedly by residual-PQ training
-      val assign = assignL.localCheckpoint()
-      val cent = centL.localCheckpoint()
+      // materialize ONLY when --ann-pq will re-reference the quantizer
+      // repeatedly (residual training): localCheckpoint trades lineage
+      // (executor-loss recoverability) for re-execution, a bad trade in
+      // the plain --ann path where each table is written exactly once
+      val annPq = a.getOrElse("ann-pq", "false").toBoolean
+      val assign = if (annPq) assignL.localCheckpoint() else assignL
+      val cent = if (annPq) centL.localCheckpoint() else centL
       assign.repartition(math.max(1, partitions / 4), col("cid"))
         .sortWithinPartitions("cid")
         .write.mode("overwrite").parquet(s"${a("output")}/ann/assign")
       cent.write.mode("overwrite").parquet(s"${a("output")}/ann/centroids")
-      if (a.getOrElse("ann-pq", "false").toBoolean) {
+      if (annPq) {
         // residual-PQ serving tables (SearchJob --mode annpq): m-byte
         // codes per vector, cid-sorted so probes prune at the scan;
         // broadcast-sized shared residual codebook

@@ -124,6 +124,20 @@ object ProductQuant {
       .agg(map_from_entries(collect_list(struct(col("sub"), col("trow"))))
         .as("dtab"))
 
+  /** Probe routing shared by both IVFADC variants (mirrors
+    * Similarity.ivfTopK's selection): full-dim L2 against the broadcast
+    * centroid table, nProbe nearest, (d2, cid) tie-break. Returns one
+    * row per (query, probed list) CARRYING qemb and cemb so callers can
+    * derive per-list residuals without re-joining. */
+  private def probeLists(q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame =
+    q.crossJoin(broadcast(centroids))
+      .withColumn("d2c", d2(col("qemb"), col("cemb")))
+      .withColumn("pr", row_number().over(Window
+        .partitionBy(col("query_vec"))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("pr") <= nProbe)
+
   /** m-lookup ADC fold of one code row against the joined `dtab`. */
   private def adcFold(m: Int): Column = aggregate(
     zip_with(col("codes"),
@@ -187,14 +201,7 @@ object ProductQuant {
     val q = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_vec"),
         transform(col("embedding"), _.cast("double")).as("qemb"))
-    // probe selection mirrors Similarity.ivfTopK: full-dim L2 against the
-    // broadcast centroid table, nProbe nearest, (d2, cid) tie-break
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("d2c", d2(col("qemb"), col("cemb")))
-      .withColumn("pr", row_number().over(Window
-        .partitionBy(col("query_vec"))
-        .orderBy(col("d2c"), col("cid"))))
-      .filter(col("pr") <= nProbe)
+    val probes = probeLists(q, cent, nProbe)
       .select(col("query_vec"), col("cid"))
     val dtab = distTables(embeddings.filter(queryPred), cb, m, subDim)
     rankAdc(probes.join(serving, Seq("cid"))
@@ -282,6 +289,10 @@ object ProductQuant {
       nProbe: Int = 4): DataFrame = {
     val shape = codebook
       .agg(max(col("sub")), max(size(col("cemb")))).head()
+    require(!shape.isNullAt(0) && !shape.isNullAt(1),
+      "residualAdcServe: empty codebook table — check the pq_codebook " +
+        "path / that the build ran with --ann-pq true over a non-empty " +
+        "embeddings table")
     val m = shape.getInt(0) + 1
     val subDim = shape.getInt(1)
     val q = queries
@@ -289,12 +300,7 @@ object ProductQuant {
         transform(col("embedding"), _.cast("double")).as("qemb"))
     // probes carry the query's PER-LIST residual q − c_list alongside
     // the routing decision — it feeds the per-list distance table
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2c", d2(col("qemb"), col("cemb")))
-      .withColumn("pr", row_number().over(Window
-        .partitionBy(col("query_vec"))
-        .orderBy(col("d2c"), col("cid"))))
-      .filter(col("pr") <= nProbe)
+    val probes = probeLists(q, centroids, nProbe)
       .select(col("query_vec"), col("cid"),
         zip_with(col("qemb"), col("cemb"), (x, c) => x - c).as("qres"))
     // per-(query, probed list) ADC table — distTables' subspace split +

@@ -10,7 +10,7 @@ import graft.index.{BlockRow, IndexBuilder, ServingIndex}
 /** Stream-to-segments ingest — the NRT (near-real-time indexing) story
   * that connects Structured Streaming to the Lucene-segments serving
   * lifecycle: every non-empty micro-batch is inverted doc-at-a-time and
-  * packed as ONE independent serving generation (`dir/seg-<batchId>`),
+  * packed as ONE independent serving generation (`dir/seg-<batchId>-s<shards>`),
   * so new documents become searchable one trigger interval after they
   * arrive, WITHOUT touching any previously written generation.
   *
@@ -35,12 +35,23 @@ object SegmentStream {
 
   /** Attach the segment sink to a streaming documents DataFrame
     * (schema: doc_id, text). Returns a writer in foreachBatch mode;
-    * caller starts it with `.start()`. Batch ids are zero-padded so
-    * lexicographic directory order is ingest order. */
+    * caller starts it with `.start()`.
+    *
+    * Generation dirs are `seg-<batchId>-s<numShards>` — the shard count
+    * is RECORDED IN THE NAME because [[ServingIndex.segmented]]'s
+    * tombstone routing must use each generation's ORIGINAL shard count
+    * (a mismatched guess silently serves deleted documents);
+    * [[segments]] parses it back, so serve-time callers cannot get it
+    * wrong. Re-running a batch id overwrites its own generation —
+    * foreachBatch's at-least-once replay is idempotent here — but that
+    * safety assumes batch ids are durable: pass `checkpointDir` (or set
+    * `checkpointLocation` on the returned writer) for any stream that
+    * may restart, else a restart resets ids to 0 and OVERWRITES the
+    * earliest generations. */
   def ingest(docStream: DataFrame, cfg: TokenizerConfig, dir: String,
-      numShards: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataStreamWriter[Row] =
-    docStream.writeStream
+      numShards: Int, idCol: String = "doc_id", textCol: String = "text",
+      checkpointDir: Option[String] = None): DataStreamWriter[Row] = {
+    val w = docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
@@ -49,21 +60,36 @@ object SegmentStream {
               col(textCol).as("text")), cfg)
           ServingIndex.write(
             ServingIndex.fromPostings(idx.postings, numShards),
-            f"$dir/seg-$id%05d")
+            f"$dir/seg-$id%09d-s$numShards")
         }
       }
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c))
+  }
+
+  private val SegName = """seg-(\d+)-s(\d+)""".r
 
   /** Read back every generation written by [[ingest]] (the `seg-*`
-    * directories, ingest order) and compose them for serving; pass the
-    * result's blocks + total shard count straight to
-    * [[graft.query.Wand.search]]. */
-  def segments(spark: SparkSession, dir: String, numShards: Int,
+    * directories, numeric batch order; shard counts parsed from the
+    * names) and compose them for serving; pass the result's blocks +
+    * total shard count straight to [[graft.query.Wand.search]]. Listing
+    * goes through the Hadoop FileSystem API, so `dir` may live on any
+    * filesystem Spark can write to, not only the local one. */
+  def segments(spark: SparkSession, dir: String,
       deleted: Option[DataFrame] = None): (Dataset[BlockRow], Int) = {
-    val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
-      .map(_.toString).sorted
-    require(dirs.nonEmpty, s"no seg-* generations under $dir")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case SegName(id, n) => Some((id.toLong, n.toInt, st.getPath))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+    require(gens.nonEmpty, s"no seg-<id>-s<shards> generations under $dir")
     ServingIndex.segmented(
-      dirs.map(d => (ServingIndex.read(spark, d), numShards)), deleted)
+      gens.map { case (_, n, p) =>
+        (ServingIndex.read(spark, p.toString), n) }, deleted)
   }
 }

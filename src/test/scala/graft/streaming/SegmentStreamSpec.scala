@@ -55,7 +55,7 @@ class SegmentStreamSpec extends SparkSpec {
     val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val idx = IndexBuilder.build(all, cfg)
     val mono = ServingIndex.fromPostings(idx.postings, numShards = 4)
-    val (blocks, total) = SegmentStream.segments(spark, work, numShards = 4)
+    val (blocks, total) = SegmentStream.segments(spark, work)
     assert(total == 12)
     assert(topk(blocks, total, idx) == topk(mono, 4, idx),
       "streamed generations must serve exactly like the monolithic index")
@@ -64,7 +64,7 @@ class SegmentStreamSpec extends SparkSpec {
     // holds it
     val hit = topk(mono, 4, idx).minBy(t => (t._3, t._2))._2
     import spark.implicits._
-    val (del, _) = SegmentStream.segments(spark, work, numShards = 4,
+    val (del, _) = SegmentStream.segments(spark, work,
       deleted = Some(Seq(hit).toDF("doc_id")))
     val live = topk(del, total, idx)
     assert(!live.exists(_._2 == hit), "tombstoned doc still serves")
