@@ -1,0 +1,221 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One serving segment as a snapshot references it: the segment's data
+  * directory name (relative to the index root) and its ORIGINAL shard
+  * count — the number [[ServingIndex.segmented]]'s tombstone routing
+  * must use (recorded at commit time so no reader ever re-derives it). */
+final case class SegmentRef(dir: String, shards: Int)
+
+/** Atomic commit points over the segment lifecycle — the Lucene
+  * `segments_N` / Iceberg snapshot-pointer discipline (public designs;
+  * from-scratch re-expression), closing the gap the bare directory
+  * listing leaves open: without a manifest, a reader that lists `seg-*`
+  * mid-compaction can see a half-written generation, miss a swapped-out
+  * one, or serve a crashed ingest's partial directory.
+  *
+  * Layout under one index root:
+  * {{{
+  *   root/seg-000000000-s4/...      segment data (write-once, never edited)
+  *   root/_snapshots/snapshot-000000001.txt
+  *   root/_snapshots/snapshot-000000002.txt
+  * }}}
+  * A manifest is ONE small text file listing (dir, shards) per live
+  * segment in serve order. Commits are atomic because the manifest is
+  * staged as `.tmp` and RENAMED into place — rename-without-overwrite is
+  * atomic on HDFS and POSIX — and ids are a compare-and-swap: the
+  * committer writes `latest+1`, and if a concurrent committer won the
+  * rename race the loser re-reads and retries against the new tip (the
+  * Iceberg optimistic-concurrency loop). Readers always see a complete
+  * manifest or none.
+  *
+  * What this buys at 100 TB:
+  *  - **Snapshot isolation**: a query serving from snapshot N is
+  *    unaffected by ingests/compactions committing N+1, N+2…
+  *  - **Crash safety**: a segment directory without a manifest entry
+  *    (writer died between data write and commit) is invisible, and is
+  *    garbage the next [[expire]] collects.
+  *  - **Time travel**: [[read]] with `asOf` serves any retained
+  *    snapshot — the audit/debug affordance Iceberg readers get.
+  *  - **Safe GC**: [[expire]] deletes only what no retained manifest
+  *    references, so readers of retained snapshots never lose files.
+  *
+  * Scale note: the manifest is O(#segments) — the tiered compactor
+  * bounds that at `maxSegments + mergeFactor`, so commit cost is
+  * constant-ish and independent of corpus size; all data I/O stays in
+  * the segment files themselves.
+  */
+object Snapshots {
+
+  val SnapDir = "_snapshots"
+  private val Header = "graft-snapshot v1"
+  private val ManifestName = """snapshot-(\d{9})\.txt""".r
+
+  private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root, SnapDir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(snapDir: Path, id: Long): Path =
+    new Path(snapDir, f"snapshot-$id%09d.txt")
+
+  /** All committed snapshot ids under `root`, ascending (complete
+    * manifests only — `.tmp` stages never match the name pattern). */
+  def ids(spark: SparkSession, root: String): Seq[Long] = {
+    val (f, dir) = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  def latestId(spark: SparkSession, root: String): Option[Long] =
+    ids(spark, root).lastOption
+
+  /** Parse one committed manifest. */
+  def load(spark: SparkSession, root: String, id: Long): Seq[SegmentRef] = {
+    val (f, dir) = fs(spark, root)
+    val in = f.open(manifestPath(dir, id))
+    val text = try {
+      new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    require(lines.headOption.contains(Header),
+      s"snapshot $id: bad header ${lines.headOption}")
+    lines.tail.map { l =>
+      val Array(d, n) = l.split("\t")
+      SegmentRef(d, n.toInt)
+    }
+  }
+
+  def latest(spark: SparkSession, root: String): Option[(Long, Seq[SegmentRef])] =
+    latestId(spark, root).map(id => (id, load(spark, root, id)))
+
+  /** Commit `segments` as the next snapshot. Optimistic CAS: stage the
+    * manifest as `.tmp`, then rename to `snapshot-<latest+1>` — if a
+    * concurrent committer already owns that id the rename fails and we
+    * re-read the tip and retry (bounded). When `expectedParent` is given
+    * the commit REFUSES to proceed if the tip moved (the strict-CAS form
+    * compactions use so a swap never clobbers an unseen ingest — callers
+    * then re-plan against the new tip instead of retrying blindly).
+    * @return the committed snapshot id */
+  def commit(spark: SparkSession, root: String, segments: Seq[SegmentRef],
+      expectedParent: Option[Long] = None, maxRetries: Int = 10): Long = {
+    val (f, dir) = fs(spark, root)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val body = (Header +: segments.map(s => s"${s.dir}\t${s.shards}"))
+      .mkString("", "\n", "\n")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val tip = latestId(spark, root)
+      expectedParent.foreach { p =>
+        require(tip.contains(p) || (p == 0L && tip.isEmpty),
+          s"snapshot CAS conflict: expected tip $p, found $tip — " +
+            "re-plan against the current tip")
+      }
+      val next = tip.getOrElse(0L) + 1
+      val tmp = new Path(dir, f"snapshot-$next%09d.txt.tmp-${
+        java.util.UUID.randomUUID().toString}")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = manifestPath(dir, next)
+      // rename-without-overwrite: atomic claim of the id on HDFS (rename
+      // fails when dst exists); on a raw local FS rename(2) would
+      // overwrite, so the exists() pre-check carries the claim there —
+      // best-effort for a filesystem that offers nothing stronger. A
+      // false return means a concurrent committer won: clean the stage
+      // and retry against the new tip.
+      val won = !f.exists(dst) && f.rename(tmp, dst)
+      if (won) return next
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot commit lost $maxRetries CAS races under $root")
+  }
+
+  /** Append one freshly written segment to the tip (ingest's commit).
+    * Idempotent per dir name: if the tip already references `seg.dir`
+    * (an at-least-once replay re-ran the batch after its commit), the
+    * existing tip id is returned and nothing is written. */
+  def appendSegment(spark: SparkSession, root: String,
+      seg: SegmentRef): Long =
+    latest(spark, root) match {
+      case Some((id, refs)) if refs.exists(_.dir == seg.dir) => id
+      case Some((_, refs)) => commit(spark, root, refs :+ seg)
+      case None => commit(spark, root, Seq(seg))
+    }
+
+  /** Compaction's swap: commit a snapshot where the segments named in
+    * `remove` are replaced (at the position of the first removed entry)
+    * by `add`. Strict CAS against the snapshot the plan was made from:
+    * if an ingest committed meanwhile, the swap aborts with the conflict
+    * error and the caller re-plans — never silently dropping the new
+    * segment. @return the committed snapshot id */
+  def replaceSegments(spark: SparkSession, root: String, plannedFrom: Long,
+      remove: Set[String], add: Seq[SegmentRef]): Long = {
+    val refs = load(spark, root, plannedFrom)
+    val missing = remove -- refs.map(_.dir).toSet
+    require(missing.isEmpty, s"replaceSegments: $missing not in snapshot " +
+      s"$plannedFrom")
+    val firstIdx = refs.indexWhere(r => remove.contains(r.dir))
+    val kept = refs.filterNot(r => remove.contains(r.dir))
+    val (before, after) = kept.splitAt(
+      refs.take(firstIdx).count(r => !remove.contains(r.dir)))
+    commit(spark, root, before ++ add ++ after,
+      expectedParent = Some(plannedFrom))
+  }
+
+  /** Garbage collection — Iceberg's `expire_snapshots`: drop all but the
+    * last `keepLast` manifests, then delete every `root` child directory
+    * that (a) is not `_snapshots`, (b) is not referenced by any RETAINED
+    * manifest, and (c) predates the OLDEST retained snapshot's manifest
+    * (mtime guard: a segment directory being written right now for a
+    * commit that hasn't landed yet is never collected).
+    * @return (expired manifest ids, deleted segment dir names) */
+  def expire(spark: SparkSession, root: String,
+      keepLast: Int = 2): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "expire: keepLast must be >= 1")
+    val all = ids(spark, root)
+    if (all.isEmpty) return (Seq.empty, Seq.empty)
+    val retained = all.takeRight(keepLast)
+    val expired = all.dropRight(keepLast)
+    val (f, snapDir) = fs(spark, root)
+    val oldestRetainedMtime =
+      f.getFileStatus(manifestPath(snapDir, retained.head))
+        .getModificationTime
+    val live = retained.flatMap(load(spark, root, _)).map(_.dir).toSet
+    expired.foreach(id => f.delete(manifestPath(snapDir, id), false))
+    val rootPath = new Path(root)
+    val deleted = f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName != SnapDir &&
+        !live.contains(st.getPath.getName) &&
+        st.getModificationTime < oldestRetainedMtime)
+      .map { st => f.delete(st.getPath, true); st.getPath.getName }
+    (expired, deleted)
+  }
+
+  /** Compose the serving index from a committed snapshot (`asOf`, or
+    * the tip) — the manifest replaces any directory listing, so only
+    * committed segments are ever read. Pass the result straight to
+    * [[graft.query.Wand.search]] as (blocks, numShards). */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None,
+      deleted: Option[DataFrame] = None): (Dataset[BlockRow], Int) = {
+    val id = asOf.orElse(latestId(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $root"))
+    val refs = load(spark, root, id)
+    require(refs.nonEmpty, s"snapshot $id is empty")
+    ServingIndex.segmented(
+      refs.map(r => (ServingIndex.read(spark, s"$root/${r.dir}"), r.shards)),
+      deleted)
+  }
+}

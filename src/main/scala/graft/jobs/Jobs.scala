@@ -176,6 +176,11 @@ object BuildIndexJob {
   *                    [--term-trigrams /idx/term_trigrams]  (pre-built
   *                    dictionary; auto-discovered under --index when
   *                    BuildIndexJob ran with --trigrams true)
+  *   --mode wand      [--segments-root /idx-root [--as-of N]
+  *                    [--deleted del.parquet]]  (serve the committed
+  *                    snapshot tip — or time-travel to snapshot N — of a
+  *                    Snapshots-managed segmented index instead of the
+  *                    single --index/serving generation)
   *   --mode mlt       --seeds 10,20 [--expansion-terms 5]
   *   --mode prf       --queries q.jsonl [--fb-docs 10] [--fb-terms 5]
   *                    [--lambda 0.5]
@@ -213,10 +218,23 @@ object SearchJob {
         graft.query.Related.terms(idx, a("seeds").split(",").toSeq,
           topM = a.getOrElse("top-m", "10").toInt,
           minCo = a.getOrElse("min-co", "2").toLong)
-      case "wand" => Wand.search(
-        ServingIndex.read(spark, s"${a("index")}/serving"),
-        idx.termStats, idx.numDocs, idx.avgdl,
-        JobArgs.readQueries(spark, a("queries")), cfg, k)
+      case "wand" =>
+        // --segments-root: serve the TIP (or --as-of N) snapshot of a
+        // Snapshots-managed segmented index — atomic visibility over
+        // concurrent NRT ingest/compaction; optional --deleted applies
+        // serve-time tombstones. Default: the single serving dir under
+        // --index.
+        val (blocks, nShards) = a.get("segments-root") match {
+          case Some(r) => graft.index.Snapshots.read(spark, r,
+            asOf = a.get("as-of").map(_.toLong),
+            deleted = a.get("deleted").map(p =>
+              spark.read.parquet(p).select("doc_id")))
+          case None =>
+            (ServingIndex.read(spark, s"${a("index")}/serving"), -1)
+        }
+        Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+          JobArgs.readQueries(spark, a("queries")), cfg, k,
+          numShards = nShards)
       case "bool" => graft.query.BooleanSearch.search(idx,
         a("must").split(",").toSeq,
         a.get("must-not").map(_.split(",").toSeq).getOrElse(Nil), cfg, k)
@@ -551,20 +569,43 @@ object CurateCodeJob {
   * document; the caller swaps just the merged dirs for the output and
   * keeps the delete table in force for the kept segments.
   *
+  * `--root <index root>` (instead of --segments/--output) runs against a
+  * [[graft.index.Snapshots]] store: segments and shard counts come from
+  * the TIP MANIFEST (never a directory listing), the compacted
+  * generation is written under the root, and the swap is an ATOMIC
+  * snapshot commit via `Snapshots.replaceSegments` — strict
+  * compare-and-swap against the snapshot the plan was made from, so a
+  * concurrent ingest commit aborts the swap instead of being dropped.
+  * Readers on the old snapshot are untouched (snapshot isolation);
+  * `--expire-keep K` afterwards GCs manifests + unreferenced segment
+  * dirs beyond the last K.
+  *
   *   spark-submit --class graft.jobs.CompactIndexJob app.jar \
   *     --segments /idx0/serving,/idx1/serving [--deleted del.parquet] \
   *     [--segment-shards 4,2] [--tiered true] [--max-segments 8] \
-  *     [--merge-factor 4] --output /cidx [--shards N] */
+  *     [--merge-factor 4] --output /cidx [--shards N]
+  *   spark-submit --class graft.jobs.CompactIndexJob app.jar \
+  *     --root /idx [--deleted del.parquet] [--tiered true] \
+  *     [--max-segments 8] [--merge-factor 4] [--shards N] \
+  *     [--expire-keep K] */
 object CompactIndexJob {
   def main(args: Array[String]): Unit = {
     val a = JobArgs.parse(args)
     val spark = JobArgs.session("graft-compact-index")
-    val dirs = a("segments").split(",").toSeq
+    val root = a.get("root")
+    val snapTip: Option[(Long, Seq[graft.index.SegmentRef])] =
+      root.map(r => graft.index.Snapshots.latest(spark, r).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots under $r")))
+    val dirs: Seq[String] = root match {
+      case Some(r) => snapTip.get._2.map(ref => s"$r/${ref.dir}")
+      case None => a("segments").split(",").toSeq
+    }
     // tombstone routing needs each generation's ORIGINAL shard count;
-    // pass --segment-shards when a tiny segment might leave its highest
-    // hash shards empty (max(shard)+1 would then under-count)
-    val declared = a.get("segment-shards")
-      .map(_.split(",").toSeq.map(_.toInt))
+    // the manifest records it, else pass --segment-shards when a tiny
+    // segment might leave its highest hash shards empty (max(shard)+1
+    // would then under-count)
+    val declared = snapTip.map(_._2.map(_.shards))
+      .orElse(a.get("segment-shards").map(_.split(",").toSeq.map(_.toInt)))
     declared.foreach(d => require(d.size == dirs.size,
       s"--segment-shards has ${d.size} entries for ${dirs.size} segments"))
     val all = dirs.zipWithIndex.map { case (dir, i) =>
@@ -600,12 +641,32 @@ object CompactIndexJob {
       val (blocks, _) = ServingIndex.segmented(segs, deleted)
       val shards = a.getOrElse("shards",
         spark.sparkContext.defaultParallelism.toString).toInt
-      ServingIndex.write(ServingIndex.compact(blocks, shards),
-        s"${a("output")}/serving")
-      println(s"compacted ${picked.map(dirs(_)).mkString(",")} -> " +
-        s"$shards shards" +
-        (if (picked.size < dirs.size)
-          s" (kept ${dirs.size - picked.size} segments)" else ""))
+      val compacted = ServingIndex.compact(blocks, shards)
+      root match {
+        case Some(r) =>
+          val (tipId, tipRefs) = snapTip.get
+          // one compaction per source snapshot — the name is unique
+          // because a second plan from the same tip loses the CAS below
+          val name = f"cseg-$tipId%09d-s$shards"
+          ServingIndex.write(compacted, s"$r/$name")
+          val newId = graft.index.Snapshots.replaceSegments(spark, r,
+            plannedFrom = tipId,
+            remove = picked.map(i => tipRefs(i).dir).toSet,
+            add = Seq(graft.index.SegmentRef(name, shards)))
+          println(s"compacted ${picked.map(dirs(_)).mkString(",")} -> " +
+            s"$name ($shards shards), snapshot $tipId -> $newId")
+          a.get("expire-keep").map(_.toInt).foreach { k =>
+            val (ms, ds) = graft.index.Snapshots.expire(spark, r, k)
+            println(s"expired snapshots ${ms.mkString(",")}; " +
+              s"removed ${ds.mkString(",")}")
+          }
+        case None =>
+          ServingIndex.write(compacted, s"${a("output")}/serving")
+          println(s"compacted ${picked.map(dirs(_)).mkString(",")} -> " +
+            s"$shards shards" +
+            (if (picked.size < dirs.size)
+              s" (kept ${dirs.size - picked.size} segments)" else ""))
+      }
     }
     JobArgs.maybeStop(spark, a)
   }

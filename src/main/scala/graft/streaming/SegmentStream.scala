@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.analysis.TokenizerConfig
-import graft.index.{BlockRow, IndexBuilder, ServingIndex}
+import graft.index.{BlockRow, IndexBuilder, SegmentRef, ServingIndex,
+  Snapshots}
 
 /** Stream-to-segments ingest — the NRT (near-real-time indexing) story
   * that connects Structured Streaming to the Lucene-segments serving
@@ -47,10 +48,19 @@ object SegmentStream {
     * safety assumes batch ids are durable: pass `checkpointDir` (or set
     * `checkpointLocation` on the returned writer) for any stream that
     * may restart, else a restart resets ids to 0 and OVERWRITES the
-    * earliest generations. */
+    * earliest generations.
+    *
+    * With `snapshot = true` each batch also COMMITS its generation to
+    * the [[graft.index.Snapshots]] store under `dir` (data write, then
+    * manifest append — the Lucene flush-then-segments_N order), so
+    * readers going through [[Snapshots.read]] get atomic visibility: a
+    * batch that died mid-write is invisible, and a replayed batch
+    * re-appends idempotently (the manifest already naming its dir is a
+    * no-op). */
   def ingest(docStream: DataFrame, cfg: TokenizerConfig, dir: String,
       numShards: Int, idCol: String = "doc_id", textCol: String = "text",
-      checkpointDir: Option[String] = None): DataStreamWriter[Row] = {
+      checkpointDir: Option[String] = None,
+      snapshot: Boolean = false): DataStreamWriter[Row] = {
     val w = docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -58,9 +68,15 @@ object SegmentStream {
           val idx = IndexBuilder.build(
             batch.select(col(idCol).cast("long").as("doc_id"),
               col(textCol).as("text")), cfg)
+          val name = f"seg-$id%09d-s$numShards"
           ServingIndex.write(
             ServingIndex.fromPostings(idx.postings, numShards),
-            f"$dir/seg-$id%09d-s$numShards")
+            s"$dir/$name")
+          if (snapshot) {
+            Snapshots.appendSegment(batch.sparkSession, dir,
+              SegmentRef(name, numShards))
+            ()
+          }
         }
       }
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c))
@@ -68,14 +84,22 @@ object SegmentStream {
 
   private val SegName = """seg-(\d+)-s(\d+)""".r
 
-  /** Read back every generation written by [[ingest]] (the `seg-*`
-    * directories, numeric batch order; shard counts parsed from the
-    * names) and compose them for serving; pass the result's blocks +
-    * total shard count straight to [[graft.query.Wand.search]]. Listing
-    * goes through the Hadoop FileSystem API, so `dir` may live on any
+  /** Read back every generation written by [[ingest]] and compose them
+    * for serving; pass the result's blocks + total shard count straight
+    * to [[graft.query.Wand.search]].
+    *
+    * When a [[graft.index.Snapshots]] store exists under `dir` (ingest
+    * ran with `snapshot = true`), the TIP MANIFEST is the source of
+    * truth — only committed generations serve, regardless of what
+    * half-written or swapped-out directories exist on disk. Otherwise
+    * this falls back to the legacy directory listing (`seg-*` names,
+    * numeric batch order, shard counts parsed back out). Listing goes
+    * through the Hadoop FileSystem API, so `dir` may live on any
     * filesystem Spark can write to, not only the local one. */
   def segments(spark: SparkSession, dir: String,
       deleted: Option[DataFrame] = None): (Dataset[BlockRow], Int) = {
+    if (Snapshots.latestId(spark, dir).isDefined)
+      return Snapshots.read(spark, dir, deleted = deleted)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = fs.listStatus(path).toSeq

@@ -1,0 +1,138 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.query.Wand
+
+/** Commit-point discipline over the segment lifecycle: atomic visibility
+  * (uncommitted data never serves), CAS id claiming, idempotent ingest
+  * append, compaction swap with snapshot isolation + time travel, and GC
+  * that only ever deletes what no retained snapshot references. */
+class SnapshotsSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private def corpus = spark.read
+    .parquet(sf("sf0.001") + "/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def packed(docs: org.apache.spark.sql.DataFrame,
+      shards: Int): Dataset[BlockRow] =
+    ServingIndex.fromPostings(
+      graft.index.IndexBuilder.build(docs, cfg).postings, shards)
+
+  private def topk(blocks: Dataset[BlockRow], numShards: Int,
+      k: Int = 20): Set[(String, Long, Int)] = {
+    val idx = graft.index.IndexBuilder.build(corpus, cfg)
+    Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+        QuerySet.df(spark), cfg, k, numShards = numShards)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("commit/load round-trip; ids are monotonic; uncommitted segment " +
+      "dirs are invisible to snapshot readers") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    val docs = corpus
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    ServingIndex.write(packed(half, 2), s"$root/seg-000000000-s2")
+    val id1 = Snapshots.commit(spark, root,
+      Seq(SegmentRef("seg-000000000-s2", 2)))
+    assert(id1 == 1L)
+    assert(Snapshots.load(spark, root, id1) ==
+      Seq(SegmentRef("seg-000000000-s2", 2)))
+
+    // crash-sim: a second generation's DATA lands but its commit never
+    // does — the tip still serves only the committed segment
+    ServingIndex.write(packed(docs.filter(col("doc_id") % 2 === 1), 2),
+      s"$root/seg-000000001-s2")
+    val (blocks, n) = Snapshots.read(spark, root)
+    assert(n == 2)
+    assert(topk(blocks, n) == topk(packed(half, 2), 2),
+      "tip must serve exactly the committed half-corpus")
+
+    // committing it makes the union serve like a monolithic rebuild
+    val id2 = Snapshots.appendSegment(spark, root,
+      SegmentRef("seg-000000001-s2", 2))
+    assert(id2 == 2L)
+    // idempotent replay: appending the same dir again is a no-op
+    assert(Snapshots.appendSegment(spark, root,
+      SegmentRef("seg-000000001-s2", 2)) == 2L)
+    assert(Snapshots.ids(spark, root) == Seq(1L, 2L))
+    val (both, total) = Snapshots.read(spark, root)
+    assert(total == 4)
+    assert(topk(both, total) == topk(packed(docs, 4), 4))
+  }
+
+  test("compaction swap is CAS-protected and snapshot-isolated: old " +
+      "snapshot still serves its segment set; stale swap aborts") {
+    val root = Files.createTempDirectory("graft-snap-swap").toString
+    val docs = corpus
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    ServingIndex.write(packed(a, 2), s"$root/seg-000000000-s2")
+    ServingIndex.write(packed(b, 2), s"$root/seg-000000001-s2")
+    Snapshots.commit(spark, root, Seq(SegmentRef("seg-000000000-s2", 2)))
+    val tip = Snapshots.appendSegment(spark, root,
+      SegmentRef("seg-000000001-s2", 2))
+
+    // compact both into one fresh generation and swap atomically
+    val (union, _) = ServingIndex.segmented(
+      Seq((ServingIndex.read(spark, s"$root/seg-000000000-s2"), 2),
+        (ServingIndex.read(spark, s"$root/seg-000000001-s2"), 2)))
+    ServingIndex.write(ServingIndex.compact(union, 4), s"$root/cseg-x-s4")
+    val newId = Snapshots.replaceSegments(spark, root, plannedFrom = tip,
+      remove = Set("seg-000000000-s2", "seg-000000001-s2"),
+      add = Seq(SegmentRef("cseg-x-s4", 4)))
+    assert(newId == tip + 1)
+
+    // tip serves the compacted generation, rank-identical to monolithic
+    val (now, n) = Snapshots.read(spark, root)
+    assert(n == 4 && topk(now, n) == topk(packed(docs, 4), 4))
+    // time travel: the pre-compaction snapshot still serves both halves
+    val (old, on) = Snapshots.read(spark, root, asOf = Some(tip))
+    assert(on == 4 && topk(old, on) == topk(packed(docs, 4), 4))
+
+    // a second swap planned from the superseded snapshot must abort,
+    // not clobber
+    intercept[IllegalArgumentException] {
+      Snapshots.replaceSegments(spark, root, plannedFrom = tip,
+        remove = Set("seg-000000000-s2"),
+        add = Seq(SegmentRef("cseg-stale-s1", 1)))
+    }
+  }
+
+  test("expire keeps the last K snapshots and deletes only unreferenced " +
+      "segment dirs; the retained tip still serves") {
+    val root = Files.createTempDirectory("graft-snap-gc").toString
+    val docs = corpus
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    ServingIndex.write(packed(a, 2), s"$root/seg-000000000-s2")
+    ServingIndex.write(packed(docs.filter(col("doc_id") % 2 === 1), 2),
+      s"$root/seg-000000001-s2")
+    val t1 = Snapshots.commit(spark, root,
+      Seq(SegmentRef("seg-000000000-s2", 2)))
+    val t2 = Snapshots.appendSegment(spark, root,
+      SegmentRef("seg-000000001-s2", 2))
+    ServingIndex.write(ServingIndex.compact(
+      Snapshots.read(spark, root)._1, 4), s"$root/cseg-1-s4")
+    val t3 = Snapshots.replaceSegments(spark, root, plannedFrom = t2,
+      remove = Set("seg-000000000-s2", "seg-000000001-s2"),
+      add = Seq(SegmentRef("cseg-1-s4", 4)))
+
+    val (expired, deleted) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(t1, t2))
+    assert(deleted.toSet == Set("seg-000000000-s2", "seg-000000001-s2"),
+      s"GC must remove exactly the unreferenced dirs, got $deleted")
+    assert(Snapshots.ids(spark, root) == Seq(t3))
+    val (tip, n) = Snapshots.read(spark, root)
+    assert(topk(tip, n) == topk(packed(docs, 4), 4),
+      "retained tip must still serve after GC")
+  }
+}

@@ -74,4 +74,52 @@ class SegmentStreamSpec extends SparkSpec {
       idx.postings.filter(col("doc_id") =!= hit), numShards = 4)
     assert(topk(compacted, 4, idx) == topk(liveOnly, 4, idx))
   }
+
+  test("snapshot-mode ingest commits each generation; segments() serves " +
+      "the tip manifest, not the directory listing; CompactIndexJob " +
+      "--root swaps atomically and GCs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-segsnap").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val source = MemoryStream[(Long, String)]
+    val q = SegmentStream.ingest(source.toDF().toDF("doc_id", "text"),
+      cfg, work, numShards = 4, snapshot = true).start()
+    try {
+      source.addData(b1.toIndexedSeq); q.processAllAvailable()
+      source.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.index.Snapshots.ids(spark, work) == Seq(1L, 2L),
+      "each non-empty batch must commit one snapshot")
+
+    // crash-sim: orphan generation data with no commit — segments()
+    // must serve the manifest, so the orphan is invisible
+    val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = IndexBuilder.build(all, cfg)
+    ServingIndex.write(ServingIndex.fromPostings(
+      idx.postings.limit(50), 4), s"$work/seg-000000009-s4")
+    val (blocks, total) = SegmentStream.segments(spark, work)
+    assert(total == 8, "orphan generation must not serve")
+    val mono = ServingIndex.fromPostings(idx.postings, numShards = 4)
+    assert(topk(blocks, total, idx) == topk(mono, 4, idx))
+
+    // atomic compaction swap + GC through the job surface
+    graft.jobs.CompactIndexJob.main(Array(
+      "--root", work, "--shards", "4", "--expire-keep", "1",
+      "--keep-session", "true"))
+    assert(graft.index.Snapshots.ids(spark, work) == Seq(3L))
+    val (tip, n) = SegmentStream.segments(spark, work)
+    assert(n == 4, "tip must be the single compacted generation")
+    assert(topk(tip, n, idx) == topk(mono, 4, idx),
+      "compacted tip must serve rank-identically to the monolith")
+    // GC removed the swapped-out generations AND the orphan
+    val left = new java.io.File(work).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!left.exists(_.startsWith("seg-")),
+      s"swapped-out/orphan generations must be collected, left: $left")
+  }
 }
