@@ -230,7 +230,8 @@ object Bench {
     val nDocs = corpus(s, sfDir, synthDocs).count()
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
-      Seq("query_bm25_join", "query_wand", "query_bool",
+      Seq("query_bm25_join", "query_wand", "query_wand_segmented",
+        "query_bool",
         "query_bm25f_wand", "query_phrase_serving", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "dedup_spans", "pack_sequences",
@@ -263,6 +264,22 @@ object Bench {
       Wand.search(blocksDf, idx.termStats, idx.numDocs, idx.avgdl,
         queries, cfg, 100, numShards = cpus).count())
     results("query_wand") = tWand
+
+    // segmented serving overhead: the same batch over FOUR independent
+    // generations (quarter-corpus each, shard count cpus/4) composed by
+    // ServingIndex.segmented — the NRT steady state between compactions.
+    // The union serves rank-identically (SegmentStreamSpec); this line
+    // prices the extra per-term cursor fan-out vs the monolithic line.
+    val segParts = (0 until 4).map(i => ServingIndex.fromPostings(
+      idx.postings.filter(pmod(col("doc_id"), lit(4)) === i),
+      numShards = math.max(1, cpus / 4)))
+    val (segBlocks, segShards) = ServingIndex.segmented(
+      segParts.map(b => (b, math.max(1, cpus / 4))))
+    val segDf = segBlocks.cache(); segDf.count()
+    results("query_wand_segmented") = timeWarm(
+      Wand.search(segDf, idx.termStats, idx.numDocs, idx.avgdl,
+        queries, cfg, 100, numShards = segShards).count())._1
+    segDf.unpersist()
 
     // boolean AND/NOT over the same cached index (serving query surface)
     results("query_bool") = timeWarm(graft.query.BooleanSearch.search(

@@ -259,6 +259,37 @@ object SparkEntry {
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- Lucene explain() analogue: per-term breakdown of every
+    //      top-10 hit's score (the relevance-debugging surface) ----
+    "q_explain" -> ((s, dir) =>
+      Bm25.explain(plans.index(s, dir), QuerySet.df(s), cfg, NdcgK)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("long").as("rank"), col("term"),
+          col("qtf").cast("long").as("qtf"),
+          col("tf").cast("long").as("tf"), col("df"),
+          round(col("idf"), 6).cast("double").as("idf"),
+          round(col("term_score"), 6).cast("double").as("term_score"),
+          graft.Canon.r(col("score"), 4).as("score"))),
+
+    // ---- keyset deep paging: page 2 strictly after each query's
+    //      rank-10 hit (rank is page-local 1..10) ----
+    "q_search_after" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val cursors = plans.ranked(s, dir, NdcgK)
+        .filter(col("rank") === NdcgK)
+        .select(col("query_id"), col("score").as("after_score"),
+          col("doc_id").as("after_doc"))
+      // only queries with a FULL first page have a cursor; page those
+      // (a cursorless query would page from the top — valid library
+      // behavior, but not what this oracle describes)
+      val qs = QuerySet.df(s)
+        .join(cursors.select("query_id"), Seq("query_id"), "left_semi")
+      Bm25.searchAfter(idx, qs, cursors, cfg, NdcgK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // ---- W3: per-partition ranking window ----
     "q_rank_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"))
@@ -1107,6 +1138,45 @@ object SparkEntry {
         "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
           " AS DOUBLE) AS score," +
           " rank FROM ranked"),
+
+      // per-term breakdown of each top-10 hit: the same scored/ranked
+      // chain, re-joined to the per-(query, term, doc) contribution rows
+      "q_explain" -> withCtes(coreCtes :+ scored :+ ranked(NdcgK) :+
+        """expl AS (
+          |  SELECT q.query_id, p.doc_id, q.term, q.qtf, p.tf, t.df, t.idf,
+          |    q.qtf * t.idf * p.tf * 2.2 /
+          |      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl))
+          |      AS term_score
+          |  FROM qterms q
+          |  JOIN postings p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id
+          |  CROSS JOIN stats s)""".stripMargin,
+        "SELECT e.query_id, e.doc_id, r.rank, e.term, e.qtf, e.tf, e.df," +
+          " CAST(round(e.idf, 6) AS DOUBLE) AS idf," +
+          " CAST(round(e.term_score, 6) AS DOUBLE) AS term_score," +
+          " CAST(floor(r.score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score" +
+          " FROM expl e JOIN ranked r USING (query_id, doc_id)"),
+
+      // keyset page 2: candidates strictly after the rank-10 cursor in
+      // the canonical (rounded-key DESC, doc_id ASC) order, re-ranked
+      "q_search_after" -> withCtes(coreCtes :+ scored :+ ranked(NdcgK) :+
+        """cursors AS (
+          |  SELECT query_id, score AS after_score, doc_id AS after_doc
+          |  FROM ranked WHERE rank = 10)""".stripMargin :+
+        """paged AS (
+          |  SELECT s.query_id, s.doc_id, s.score,
+          |    row_number() OVER (PARTITION BY s.query_id
+          |      ORDER BY floor(s.score * 1e6 + 0.5) DESC, s.doc_id ASC)
+          |      AS rank
+          |  FROM scored s JOIN cursors c USING (query_id)
+          |  WHERE floor(s.score * 1e6 + 0.5)
+          |          < floor(c.after_score * 1e6 + 0.5)
+          |     OR (floor(s.score * 1e6 + 0.5)
+          |           = floor(c.after_score * 1e6 + 0.5)
+          |         AND s.doc_id > c.after_doc))""".stripMargin,
+        "SELECT query_id, doc_id, CAST(floor(score * 1e4 + 0.5) / 1e4" +
+          " AS DOUBLE) AS score, rank FROM paged WHERE rank <= 10"),
 
       // identifier-split tokenization: the same three boundary regexes
       // (underscore, ACRONYMWord, lowerUpper) in RE2 dialect, then the

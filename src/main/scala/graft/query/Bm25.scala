@@ -104,4 +104,71 @@ object Bm25 {
   def search(index: InvertedIndex, queries: DataFrame, cfg: TokenizerConfig,
       k: Int = 100, p: Params = Params()): DataFrame =
     topK(score(index, queryTerms(queries, cfg), p), k)
+
+  /** Score explanation — the Lucene `explain()` analogue, batched: for
+    * every top-k hit, the per-term contribution breakdown behind its
+    * score (qtf, tf, df, idf, the term's BM25 contribution, and the
+    * doc's total + rank). This is the relevance-debugging surface every
+    * serving engine ships: "why did doc D rank 3rd for query Q".
+    *
+    * Plan shape: one extra broadcast beyond [[search]] — the top-k
+    * result (bounded at queries × k rows) broadcasts back onto the same
+    * postings ⋈ broadcast(query-terms) join that scored it, so the
+    * breakdown never re-shuffles the index and the per-term rows are
+    * emitted only for surviving hits. Output: (query_id, doc_id, rank,
+    * term, qtf, tf, df, idf, term_score, score). */
+  def explain(index: InvertedIndex, queries: DataFrame, cfg: TokenizerConfig,
+      k: Int = 100, p: Params = Params()): DataFrame = {
+    val qt = queryTerms(queries, cfg)
+    val top = topK(score(index, qt, p), k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+    val qtStats = qt.join(index.termStats, Seq("term"))
+      .select(col("term"), col("query_id"), col("qtf"), col("df"),
+        col("idf"))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    index.postings
+      .join(broadcast(qtStats), Seq("term"))
+      .join(broadcast(top), Seq("query_id", "doc_id"))
+      .withColumn("term_score",
+        col("qtf") * col("idf") *
+          (col("tf") * lit(p.k1 + 1.0)) / (col("tf") + lit(p.k1) * norm))
+      .select(col("query_id"), col("doc_id"), col("rank"), col("term"),
+        col("qtf"), col("tf"), col("df"), col("idf"), col("term_score"),
+        col("score"))
+  }
+
+  /** Keyset ("search after") pagination — the deep-paging form that
+    * scales: page N+1 is top-k of the candidates STRICTLY AFTER the
+    * cursor (the last hit of page N) in the canonical order, so a page
+    * at depth 1,000,000 costs the same as page one. Offset paging
+    * (`rank BETWEEN m AND m+k`) would rank m+k rows per query per page —
+    * the degenerate deep-window Elasticsearch forbids `from+size` for.
+    *
+    * `cursors` = (query_id, after_score, after_doc): each query's last
+    * served hit. The cursor comparison runs on [[graft.Canon.rankKey]]
+    * (the ROUNDED ranking key, exactly the order ranks are assigned
+    * over): a raw-score comparison would disagree with the served order
+    * inside a rounding tie and skip or repeat a document at the page
+    * boundary. Queries with no cursor row page from the top. `rank` is
+    * page-local (1..k); callers chain pages by feeding back the last
+    * row as the next cursor.
+    *
+    * Plan shape: [[score]]'s single aggregation, a broadcast of the
+    * cursor table (one row per query), then the same top-k window over
+    * the post-cursor remainder — the filter prunes BEFORE the window,
+    * so no per-page deep sort exists anywhere. */
+  def searchAfter(index: InvertedIndex, queries: DataFrame,
+      cursors: DataFrame, cfg: TokenizerConfig, k: Int = 100,
+      p: Params = Params()): DataFrame = {
+    val key = graft.Canon.rankKey(col("score"))
+    val cKey = graft.Canon.rankKey(col("after_score"))
+    val afterCursor = score(index, queryTerms(queries, cfg), p)
+      .join(broadcast(cursors.select(col("query_id"),
+        col("after_score"), col("after_doc"))), Seq("query_id"), "left")
+      .filter(col("after_doc").isNull ||
+        key < cKey || (key === cKey && col("doc_id") > col("after_doc")))
+      .drop("after_score", "after_doc")
+    topK(afterCursor, k)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.fixtures.QuerySet
+import graft.index.IndexBuilder
+
+/** Keyset pagination ≡ offset slices of one deep ranking (no skipped or
+  * repeated docs across page boundaries, including score ties), and the
+  * explain() breakdown reconstructs each hit's score exactly. */
+class PagingExplainSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+  private lazy val docs = spark.read
+    .parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val idx = IndexBuilder.build(docs, cfg)
+
+  private def page(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Int)] =
+    df.select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+
+  test("chained searchAfter pages tile the deep ranking exactly") {
+    val k = 7
+    // queries deep enough for three full pages, so every slice is full
+    val qids = Bm25.search(idx, QuerySet.df(spark), cfg, 3 * k)
+      .groupBy("query_id").agg(max("rank").as("m"))
+      .filter(col("m") === 3 * k).select("query_id")
+    val qs = QuerySet.df(spark).join(qids, Seq("query_id"), "left_semi")
+    val deep = Bm25.search(idx, qs, cfg, 3 * k).cache()
+    def slice(lo: Int): Set[(String, Long, Int)] =
+      page(deep.filter(col("rank") > lo && col("rank") <= lo + k)
+        .select(col("query_id"), col("doc_id"),
+          (col("rank") - lo).cast("int").as("rank"))).toSet
+    def cursorAt(rank: Int) =
+      deep.filter(col("rank") === rank)
+        .select(col("query_id"), col("score").as("after_score"),
+          col("doc_id").as("after_doc"))
+    assert(page(Bm25.searchAfter(idx, qs, cursorAt(k), cfg, k)).toSet ==
+      slice(k), "page 2 must equal ranks k+1..2k renumbered")
+    assert(page(Bm25.searchAfter(idx, qs, cursorAt(2 * k), cfg, k)).toSet ==
+      slice(2 * k), "page 3 must equal ranks 2k+1..3k renumbered")
+    deep.unpersist()
+  }
+
+  test("searchAfter without a cursor row pages from the top") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double, Long)]
+      .toDF("query_id", "after_score", "after_doc")
+    val k = 10
+    assert(page(Bm25.searchAfter(idx, QuerySet.df(spark), empty, cfg, k))
+      .toSet == page(Bm25.search(idx, QuerySet.df(spark), cfg, k)).toSet)
+  }
+
+  test("explain term contributions sum to the hit's score and cover " +
+      "exactly the top-k hits") {
+    val k = 10
+    val ex = Bm25.explain(idx, QuerySet.df(spark), cfg, k)
+    val bad = ex.groupBy("query_id", "doc_id", "score")
+      .agg(sum("term_score").as("rebuilt"))
+      .filter(abs(col("rebuilt") - col("score")) > 1e-9)
+    assert(bad.count() == 0, "per-term contributions must rebuild score")
+    val hits = Bm25.search(idx, QuerySet.df(spark), cfg, k)
+      .select("query_id", "doc_id")
+    assert(ex.select("query_id", "doc_id").distinct().count() == hits.count(),
+      "explain must cover exactly the top-k hits")
+    assert(ex.select("query_id", "doc_id").distinct()
+      .exceptAll(hits).count() == 0)
+  }
+}
