@@ -254,6 +254,23 @@ class PlanSpec extends SparkSpec {
     assert("Generate".r.findAllIn(p).size == 1, s"one explode expected:\n$p")
   }
 
+  test("searchAfter prunes at the cursor filter BELOW the rank window — " +
+      "deep pages never deep-sort") {
+    import spark.implicits._
+    val idx = IndexBuilder.build(docs, cfg)
+    val cursors = Seq(("s1", 5.0, 100L))
+      .toDF("query_id", "after_score", "after_doc")
+    val p = plan(Bm25.searchAfter(idx, QuerySet.df(spark), cursors, cfg, 10))
+    val w = p.indexOf("Window")
+    val f = p.indexOf("after_doc")
+    assert(w >= 0 && f > w,
+      s"cursor filter must sit below the rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cursor table must broadcast:\n$p")
+    assert("Window \\[".r.findAllIn(p).size <= 1,
+      s"exactly one rank window expected:\n$p")
+  }
+
   test("fuzzy expansion probes the trigram dictionary; levenshtein is a " +
       "bounded confirm, not a vocabulary scan predicate") {
     val idx = IndexBuilder.build(docs, cfg)

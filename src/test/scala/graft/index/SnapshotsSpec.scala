@@ -108,6 +108,25 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("append lands on top of a competing committer's manifest, not " +
+      "over it") {
+    val root = Files.createTempDirectory("graft-snap-race").toString
+    Snapshots.commit(spark, root, Seq(SegmentRef("a", 1)))
+    // a concurrent committer won id 2 out-of-band; our next append must
+    // read THAT tip and extend it as id 3 — never reclaim or clobber 2
+    val p = new org.apache.hadoop.fs.Path(s"$root/_snapshots",
+      "snapshot-000000002.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false)
+    out.write("graft-snapshot v1\nb\t1\n".getBytes("UTF-8")); out.close()
+    val id = Snapshots.appendSegment(spark, root, SegmentRef("c", 1))
+    assert(id == 3L)
+    assert(Snapshots.load(spark, root, 3L) ==
+      Seq(SegmentRef("b", 1), SegmentRef("c", 1)),
+      "append must extend the racer's tip, not our stale view")
+    assert(Snapshots.load(spark, root, 2L) == Seq(SegmentRef("b", 1)))
+  }
+
   test("expire keeps the last K snapshots and deletes only unreferenced " +
       "segment dirs; the retained tip still serves") {
     val root = Files.createTempDirectory("graft-snap-gc").toString
