@@ -847,6 +847,16 @@ object SparkEntry {
         .select(col("doc_id"), graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- minimum-should-match disjunction: >= 2 of 3 should terms,
+    //      BM25 over the matched terms only (Lucene msm semantics) ----
+    "q_bool_msm" -> ((s, dir) =>
+      graft.query.BooleanSearch.searchDisjunctive(plans.index(s, dir),
+        should = Seq("merge", "sort", "index"), msm = 2,
+        mustNot = Seq("window"), cfg = cfg, k = TopK)
+        .select(col("doc_id"), col("matched"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- faceted result counts over the ranked top-k (lang + source) ----
     "q_facets" -> ((s, dir) =>
       graft.query.Facets.counts(plans.ranked(s, dir), docs(s, dir),
@@ -2357,6 +2367,31 @@ object SparkEntry {
           |FROM (SELECT doc_id, score, row_number() OVER (
           |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
           |  FROM bfilt)
+          |WHERE rank <= 100""".stripMargin),
+
+      // minimum-should-match disjunction: same one-pass shape as q_bool
+      // with the count floor `matched >= 2` instead of the conjunction
+      // equality; BM25 sums only the matched should terms
+      "q_bool_msm" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        """mscore AS (
+          |  SELECT p.doc_id, count(*) AS matched,
+          |    sum(t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS score
+          |  FROM postings p JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+          |  WHERE p.term IN ('merge', 'sort', 'index')
+          |  GROUP BY p.doc_id)""".stripMargin,
+        """mfilt AS (
+          |  SELECT doc_id, matched, score FROM mscore
+          |  WHERE matched >= 2 AND doc_id NOT IN
+          |    (SELECT doc_id FROM postings WHERE term = 'window'))""".stripMargin),
+        """SELECT doc_id, matched,
+          |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank
+          |FROM (SELECT doc_id, matched, score, row_number() OVER (
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM mfilt)
           |WHERE rank <= 100""".stripMargin),
 
       // faceted counts over the ranked top-k, by lang and source

@@ -68,4 +68,64 @@ object BooleanSearch {
         row_number().over(Window.orderBy(col("rk").desc, col("doc_id").asc)))
       .drop("rk")
   }
+
+  /** Disjunctive retrieval with a minimum-should-match floor — the Lucene
+    * `minimumNumberShouldMatch` semantics: docs matching at least `msm`
+    * DISTINCT `should` terms (and none of `mustNot`) rank by the BM25 sum
+    * over their MATCHED should terms only. `msm = 1` is the reference's
+    * pure-OR candidate generation; `msm = |should|` degenerates to
+    * [[search]]'s conjunction. Between the two it is the standard
+    * precision/recall dial multi-term serving exposes.
+    *
+    * Plan shape is [[search]]'s verbatim: ONE term-filtered postings scan
+    * (pushdown-friendly `term IN should`) feeding a single per-doc
+    * aggregate that computes the matched-term count and the BM25 sum
+    * together, the count floor applied post-agg; `mustNot` is a second
+    * term-filtered scan anti-joined on doc_id; top-k is
+    * TakeOrderedAndProject with the rank window satisfied by its output
+    * ordering. Cost scales with the named terms' posting rows only.
+    *
+    * @return (doc_id, matched, score, rank) — `matched` = how many
+    *         should-terms hit (ties in score NOT broken by it; canonical
+    *         order stays rounded-score desc, doc_id asc). */
+  def searchDisjunctive(index: InvertedIndex, should: Seq[String],
+      msm: Int, mustNot: Seq[String] = Nil,
+      cfg: TokenizerConfig = TokenizerConfig.default, k: Int = 100,
+      p: Bm25.Params = Bm25.Params()): DataFrame = {
+    val tok = Tokenizer(cfg)
+    val shouldTerms = should.flatMap(tok.tokenize(_)).distinct
+    val notTerms = mustNot.flatMap(tok.tokenize(_)).distinct
+    require(shouldTerms.nonEmpty, "disjunctive query needs a should term")
+    require(msm >= 1 && msm <= shouldTerms.length,
+      s"msm must be in [1, ${shouldTerms.length}]: $msm")
+
+    val ts = broadcast(
+      index.termStats.filter(col("term").isin(shouldTerms: _*))
+        .select(col("term"), col("idf")))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    val disj = index.postings.filter(col("term").isin(shouldTerms: _*))
+      .join(ts, Seq("term"))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(p.k1 + 1.0)) /
+          (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("doc_id"))
+      .agg(count(col("term")).as("matched"),
+        sum(col("term_score")).as("score"))
+      .filter(col("matched") >= msm)
+    val filtered =
+      if (notTerms.isEmpty) disj
+      else disj.join(
+        index.postings.filter(col("term").isin(notTerms: _*))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val top = filtered
+      .withColumn("rk", graft.Canon.rankKey(col("score")))
+      .orderBy(col("rk").desc, col("doc_id").asc)
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("rk").desc, col("doc_id").asc)))
+      .drop("rk")
+      .select(col("doc_id"), col("matched"), col("score"), col("rank"))
+  }
 }

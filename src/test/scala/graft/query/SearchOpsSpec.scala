@@ -79,6 +79,42 @@ class SearchOpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("minimum-should-match: count floor gates candidates, BM25 sums " +
+      "matched terms only, msm=|should| == conjunction") {
+    import spark.implicits._
+    // should = merge, sort, order; corpus hits (post-tokenize):
+    // d1 merge+sort, d2 merge+sort, d3 merge+order, d4 merge+order,
+    // d6 merge+order — msm=2 keeps all five; msm=3 keeps none
+    val two = BooleanSearch.searchDisjunctive(idx,
+      Seq("merge", "sort", "order"), msm = 2, cfg = cfg)
+    assert(two.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 6L))
+    assert(two.filter(col("matched") === 2).count() == 5)
+    assert(BooleanSearch.searchDisjunctive(idx,
+      Seq("merge", "sort", "order"), msm = 3, cfg = cfg).isEmpty)
+    // mustNot composes: NOT order drops docs 3,4,6
+    val not = BooleanSearch.searchDisjunctive(idx,
+      Seq("merge", "sort", "order"), msm = 2, mustNot = Seq("order"),
+      cfg = cfg).collect().map(_.getLong(0)).toSet
+    assert(not == Set(1L, 2L), s"NOT order: $not")
+    // score sums ONLY matched terms: equals the join-path score of the
+    // matched subset (docs 1,2 match merge+sort; absent "order" adds 0)
+    val msm = two.filter(col("doc_id").isin(1L, 2L))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val viaQuery = Bm25.score(idx,
+      Bm25.queryTerms(Seq(("q", "merge sort")).toDF("query_id", "question"),
+        cfg))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    for ((d, s) <- msm)
+      assert(math.abs(s - viaQuery(d)) < 1e-12, s"doc $d: $s vs ${viaQuery(d)}")
+    // msm = |should| reproduces the conjunctive path exactly
+    val conj = BooleanSearch.search(idx, Seq("merge", "sort"), Nil, cfg)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val degenerate = BooleanSearch.searchDisjunctive(idx,
+      Seq("merge", "sort"), msm = 2, cfg = cfg)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(degenerate == conj)
+  }
+
   test("boolean scores equal the BM25 join-path scores on the same docs") {
     import spark.implicits._
     val bool = BooleanSearch.search(idx, Seq("merge", "sort"), Nil, cfg)
