@@ -887,6 +887,16 @@ object SparkEntry {
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- query-time synonym expansion: each query term also retrieves
+    //      its thesaurus synonyms at weight qtf·w, summed weights through
+    //      the unchanged BM25 chain ----
+    "q_synonyms" -> ((s, dir) =>
+      graft.query.Synonyms.search(plans.index(s, dir), QuerySet.df(s),
+        graft.fixtures.Thesaurus.df(s), cfg, k = TopK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- related-term mining: document-level co-occurrence ranked by
     //      PMI over the posting lists (the "related searches" surface) ----
     "q_related" -> ((s, dir) =>
@@ -2474,6 +2484,40 @@ object SparkEntry {
           |    PARTITION BY query_id
           |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
           |  FROM pscored)
+          |WHERE rank <= 100""".stripMargin),
+
+      // query-time synonym expansion: originals at qtf plus thesaurus
+      // synonyms at qtf*w, weights SUMMED per (query, term), then the
+      // weighted BM25 chain (score linear in qtf); vocabulary-absent
+      // synonyms drop out through the termstats join
+      "q_synonyms" -> withCtes(coreCtes ++ Seq(
+        "thesaurus(term, synonym, weight) AS (VALUES " +
+          graft.fixtures.Thesaurus.sqlValues + ")",
+        """sexp AS (
+          |  SELECT query_id, term, sum(w) AS w FROM (
+          |    SELECT query_id, term, CAST(qtf AS DOUBLE) AS w FROM qterms
+          |    UNION ALL
+          |    SELECT q.query_id, t.synonym AS term, q.qtf * t.weight AS w
+          |    FROM qterms q JOIN thesaurus t USING (term))
+          |  GROUP BY 1, 2)""".stripMargin,
+        """sscored AS (
+          |  SELECT e.query_id, p.doc_id,
+          |    sum(e.w * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS score
+          |  FROM sexp e JOIN postings p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+          |  GROUP BY e.query_id, p.doc_id
+          |  HAVING sum(e.w * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |    > 0)""".stripMargin),
+        """SELECT query_id, doc_id,
+          |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank
+          |FROM (SELECT query_id, doc_id, score, row_number() OVER (
+          |    PARTITION BY query_id
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM sscored)
           |WHERE rank <= 100""".stripMargin),
 
       // related terms: doc-level co-occurrence counts vs the seed terms,

@@ -1,0 +1,35 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic fixture thesaurus over the `documents.parquet` vocabulary
+  * for the synonym-expansion query surface ([[graft.query.Synonyms]]).
+  *
+  * Covers the semantic corners: a synonym that is ALSO a query term in some
+  * fixture queries (sort → order, exercising weight summing), a synonym
+  * chain source with two targets (merge), a synonym absent from the corpus
+  * vocabulary (combine — must drop out via the idf existence join, the
+  * reference's "term not in idf_scores: continue"), and a weight of
+  * exactly 0.5/0.25 (binary fractions — IEEE-exact cross-engine
+  * multiplication). */
+object Thesaurus {
+
+  /** (term, synonym, weight) — query-side term expands to synonym at
+    * weight × its qtf. */
+  val entries: Seq[(String, String, Double)] = Seq(
+    ("merge", "join", 0.5),
+    ("merge", "combine", 0.5), // not in the corpus vocabulary
+    ("sort", "order", 0.75),
+    ("scan", "filter", 0.25),
+    ("big", "fast", 0.5))
+
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    entries.toDF("term", "synonym", "weight")
+  }
+
+  /** SQL VALUES list for the DuckDB oracle — built from the SAME Seq so
+    * the two sides can never drift. */
+  def sqlValues: String =
+    entries.map { case (t, s, w) => s"('$t', '$s', $w)" }.mkString(", ")
+}

@@ -1,0 +1,60 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.index.InvertedIndex
+
+/** Query-time synonym expansion — the Lucene `SynonymGraphFilter` +
+  * boosted-`SynonymQuery` analogue: each query term also retrieves its
+  * thesaurus synonyms at a down-weighted contribution, so "merge join"
+  * finds documents that say "combine" without re-indexing the corpus.
+  * The reference engine matches literal tokens only
+  * (src/bm25_search.py:142-149); query-time expansion is the standard way
+  * a serving index adds vocabulary mismatch tolerance without touching
+  * the (expensive, already-built) index — the index-time alternative bakes
+  * the thesaurus in and needs a full rebuild per thesaurus edit.
+  *
+  * Semantics: the expanded term table maps each original term to itself at
+  * weight `qtf` plus each thesaurus synonym at weight `qtf · w`; a term
+  * reachable more than once (e.g. a synonym that is also a query term)
+  * SUMS its weights. Scoring is [[Bm25.score]] verbatim with the summed
+  * weight standing in for qtf (BM25 is linear in qtf by construction —
+  * the same reuse [[Prf]] makes). Synonyms absent from the corpus
+  * vocabulary drop out through the idf existence join exactly like
+  * unknown query terms.
+  *
+  * Plan shape at scale: the thesaurus can be arbitrarily large (WordNet ≈
+  * 10⁵ rows, a mined code-alias table far more), so expansion joins the
+  * TINY tokenized query side BROADCAST into one thesaurus scan — the
+  * thesaurus is never shuffled, and the expanded table stays bounded by
+  * (query terms × max fan-out). From there the cost profile is exactly
+  * [[Bm25.search]]: one broadcast into one postings scan, one (query, doc)
+  * aggregation.
+  */
+object Synonyms {
+
+  /** Expand (query_id, term, qtf) through `thesaurus` (term, synonym,
+    * weight). @return (query_id, term, qtf: double) with summed weights. */
+  def expand(queryTerms: DataFrame, thesaurus: DataFrame): DataFrame = {
+    val syn = thesaurus
+      .join(broadcast(queryTerms), Seq("term"))
+      .select(col("query_id"), col("synonym").as("term"),
+        (col("qtf") * col("weight")).as("qtf"))
+    queryTerms
+      .select(col("query_id"), col("term"), col("qtf").cast("double"))
+      .unionByName(syn)
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("qtf")).as("qtf"))
+  }
+
+  /** Full pipeline: queries × thesaurus -> ranked results.
+    * @return (query_id, doc_id, score, rank) top-k per query. */
+  def search(index: InvertedIndex, queries: DataFrame, thesaurus: DataFrame,
+      cfg: TokenizerConfig, k: Int = 100,
+      p: Bm25.Params = Bm25.Params()): DataFrame =
+    Bm25.topK(
+      Bm25.score(index, expand(Bm25.queryTerms(queries, cfg), thesaurus), p),
+      k)
+}

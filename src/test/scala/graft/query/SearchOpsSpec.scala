@@ -127,6 +127,51 @@ class SearchOpsSpec extends SparkSpec {
       assert(math.abs(s - viaQuery(d)) < 1e-12, s"doc $d: $s vs ${viaQuery(d)}")
   }
 
+  test("synonym expansion: originals keep qtf, synonyms weighted, " +
+      "overlap sums, absent synonyms drop, empty thesaurus == plain BM25") {
+    import spark.implicits._
+    val queries = Seq(("q1", "merge"), ("q2", "sort order")).toDF(
+      "query_id", "question")
+    val thesaurus = Seq(
+      ("merge", "sort", 0.5),      // synonym present in corpus
+      ("merge", "unicorn", 0.5),   // absent from vocabulary -> drops
+      ("sort", "order", 0.25))     // synonym that is ALSO a q2 term
+      .toDF("term", "synonym", "weight")
+    val exp = Synonyms.expand(
+      Bm25.queryTerms(queries, cfg), thesaurus)
+      .as[(String, String, Double)].collect()
+      .map { case (q, t, w) => ((q, t), w) }.toMap
+    assert(exp(("q1", "merge")) == 1.0)
+    assert(exp(("q1", "sort")) == 0.5)
+    assert(exp(("q1", "unicorn")) == 0.5, // dropped later by the idf join
+      "expansion itself keeps unknown terms; scoring drops them")
+    // q2: order reachable as original (1.0) AND as synonym of sort (0.25)
+    assert(exp(("q2", "order")) == 1.25)
+    assert(exp(("q2", "sort")) == 1.0)
+
+    // weighted score = plain score(original) + w * score(synonym term)
+    val got = Synonyms.search(idx, Seq(("q1", "merge")).toDF(
+      "query_id", "question"), thesaurus, cfg)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    def plain(q: String): Map[Long, Double] = Bm25.score(idx,
+      Bm25.queryTerms(Seq(("x", q)).toDF("query_id", "question"), cfg))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val m = plain("merge"); val so = plain("sort")
+    for ((d, s) <- got)
+      assert(math.abs(s - (m.getOrElse(d, 0.0) + 0.5 * so.getOrElse(d, 0.0)))
+        < 1e-12, s"doc $d: $s")
+    // sort-only docs are now retrievable for a merge query
+    assert(got.keySet.intersect(so.keySet -- m.keySet).nonEmpty ||
+      (so.keySet -- m.keySet).isEmpty)
+    // empty thesaurus degenerates to the plain chain
+    val none = Synonyms.search(idx, queries,
+      Seq.empty[(String, String, Double)].toDF("term", "synonym", "weight"),
+      cfg).select("query_id", "doc_id", "score", "rank").collect().toSet
+    val base = Bm25.search(idx, queries, cfg)
+      .select("query_id", "doc_id", "score", "rank").collect().toSet
+    assert(none == base)
+  }
+
   test("facet counts partition the result set by each metadata column") {
     import spark.implicits._
     val results = Seq(("q1", 1L), ("q1", 3L), ("q1", 5L), ("q2", 4L))
