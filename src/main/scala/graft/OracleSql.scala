@@ -439,6 +439,77 @@ object OracleSql {
          |    FROM agg_$name)
          |  WHERE rank <= $k)""".stripMargin)
 
+  /** MMR diversification chain (mirrors [[graft.query.Mmr]], λ = 0.5 so
+    * 1−λ is IEEE-exact both engines): first-pass cosine top-`n`
+    * candidates per query (`vec_id % 100 = 0` queries, the ann fixture
+    * rule), full pairwise candidate similarity, then `k` greedy rounds
+    * unrolled — round i picks argmax of 0.5·rel − 0.5·max(sim to the
+    * selected set) under the canonical floor key, exactly the loop the
+    * engine runs inside flatMapGroups. Ends in `all$k` (query_vec,
+    * vec_id, mmr, sel_rank). Requires [[embeddingExploded]]. */
+  def mmrCtes(n: Int, k: Int): Seq[String] = {
+    val base = Seq(
+      """mq AS (SELECT vec_id AS query_vec, dim, v AS qv FROM e
+        |  WHERE vec_id % 100 = 0)""".stripMargin,
+      """magg AS (
+        |  SELECT mq.query_vec, e.vec_id, sum(mq.qv * e.v) AS dot,
+        |    sqrt(sum(e.v * e.v)) AS dn, sqrt(sum(mq.qv * mq.qv)) AS qn
+        |  FROM mq JOIN e USING (dim) GROUP BY 1, 2)""".stripMargin,
+      s"""cand AS (
+         |  SELECT query_vec, vec_id, rel FROM (
+         |    SELECT query_vec, vec_id,
+         |      CASE WHEN dn > 0 AND qn > 0 THEN dot / (dn * qn) ELSE 0 END
+         |        AS rel,
+         |      row_number() OVER (PARTITION BY query_vec
+         |        ORDER BY floor((CASE WHEN dn > 0 AND qn > 0
+         |          THEN dot / (dn * qn) ELSE 0 END) * 1e6 + 0.5) DESC,
+         |          vec_id ASC) AS rn
+         |    FROM magg) WHERE rn <= $n)""".stripMargin,
+      """psim AS (
+        |  SELECT query_vec, a, b,
+        |    CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END
+        |      AS sim
+        |  FROM (
+        |    SELECT ca.query_vec, ca.vec_id AS a, cb.vec_id AS b,
+        |      sum(ea.v * eb.v) AS dot, sqrt(sum(ea.v * ea.v)) AS na,
+        |      sqrt(sum(eb.v * eb.v)) AS nb
+        |    FROM cand ca JOIN cand cb USING (query_vec)
+        |    JOIN e ea ON ea.vec_id = ca.vec_id
+        |    JOIN e eb ON eb.vec_id = cb.vec_id AND eb.dim = ea.dim
+        |    GROUP BY 1, 2, 3))""".stripMargin,
+      """sel1 AS (
+        |  SELECT query_vec, vec_id, mmr, 1 AS sel_rank FROM (
+        |    SELECT query_vec, vec_id, 0.5 * rel AS mmr,
+        |      row_number() OVER (PARTITION BY query_vec
+        |        ORDER BY floor(0.5 * rel * 1e6 + 0.5) DESC, vec_id ASC)
+        |        AS rn
+        |    FROM cand) WHERE rn = 1)""".stripMargin,
+      "all1 AS (SELECT * FROM sel1)")
+    val rounds = (2 to k).flatMap { i =>
+      Seq(
+        s"""m$i AS (
+           |  SELECT c.query_vec, c.vec_id,
+           |    0.5 * c.rel - 0.5 * max(p.sim) AS mmr
+           |  FROM cand c
+           |  JOIN all${i - 1} s ON s.query_vec = c.query_vec
+           |  JOIN psim p ON p.query_vec = c.query_vec
+           |    AND p.a = c.vec_id AND p.b = s.vec_id
+           |  LEFT JOIN all${i - 1} x ON x.query_vec = c.query_vec
+           |    AND x.vec_id = c.vec_id
+           |  WHERE x.vec_id IS NULL
+           |  GROUP BY c.query_vec, c.vec_id, c.rel)""".stripMargin,
+        s"""sel$i AS (
+           |  SELECT query_vec, vec_id, mmr, $i AS sel_rank FROM (
+           |    SELECT query_vec, vec_id, mmr,
+           |      row_number() OVER (PARTITION BY query_vec
+           |        ORDER BY floor(mmr * 1e6 + 0.5) DESC, vec_id ASC) AS rn
+           |    FROM m$i) WHERE rn = 1)""".stripMargin,
+        s"all$i AS (SELECT * FROM all${i - 1}" +
+          s" UNION ALL SELECT * FROM sel$i)")
+    }
+    base ++ rounds
+  }
+
   /** Rerank chain over `ranked` + `e` (q_rerank semantics, mirrors
     * [[graft.query.Rerank.rescore]]): ends in `rs` (query_id, doc_id,
     * rscore). */

@@ -715,6 +715,16 @@ object SparkEntry {
     //      rows + a query_vec = -1 micro-average row; every recall is an
     //      int/int division, so the doubles are bit-identical across
     //      engines with no rounding) ----
+    // ---- MMR diversification: greedy λ-tradeoff rerank of the exact
+    //      cosine top-20 (relevance vs max similarity to already-picked;
+    //      5 selection rounds unroll into the oracle's CTE chain) ----
+    "q_mmr" -> ((s, dir) =>
+      graft.query.Mmr.searchDiversified(embeddings(s, dir),
+          col("vec_id") % 100 === 0, n = 20, lambda = 0.5, k = 5)
+        .select(col("query_vec"), col("vec_id"),
+          graft.Canon.r(col("mmr"), 4).as("mmr"),
+          col("sel_rank").cast("long").as("sel_rank"))),
+
     "q_ann_recall" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val pred = col("vec_id") % 100 === 0
@@ -2035,6 +2045,14 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_vec
           |  ORDER BY floor(cosine * 1e6 + 0.5) DESC, vec_id ASC) AS rank FROM cosined)
           |WHERE rank <= 10""".stripMargin),
+
+      // MMR diversification: 5 greedy rounds unrolled (round i = argmax
+      // of 0.5·rel − 0.5·max sim-to-selected under the canonical key)
+      "q_mmr" -> withCtes(Seq(embeddingExploded) ++ mmrCtes(20, 5),
+        """SELECT query_vec, vec_id,
+          |  CAST(floor(mmr * 1e4 + 0.5) / 1e4 AS DOUBLE) AS mmr,
+          |  CAST(sel_rank AS BIGINT) AS sel_rank
+          |FROM all5""".stripMargin),
 
       "q_ann_recall" -> withCtes(
         Seq(embeddingExploded) ++ lshBucketCtes ++ ivfCtes ++ Seq(

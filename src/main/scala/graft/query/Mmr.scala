@@ -1,0 +1,114 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance result diversification (Carbonell &
+  * Goldstein, SIGIR'98) — the standard anti-redundancy re-ranker a
+  * serving stack runs over a dense-retrieval candidate list: greedily
+  * pick the candidate maximizing
+  *
+  *   MMR(d) = λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+  *
+  * so each pick trades query relevance against similarity to what is
+  * already shown. λ=1 is plain relevance ranking; lower λ spreads the
+  * result list across the embedding space (the "don't show five copies
+  * of the same near-duplicate" control, complementary to index-time
+  * dedup). Relevance and similarity are both cosines here, so the two
+  * MMR terms share a scale by construction.
+  *
+  * Greedy selection is inherently sequential IN k per query — but
+  * queries are independent and the per-query candidate list is bounded
+  * (top-n of a first-pass retriever, n ≲ 10³), so the operator groups
+  * by query and runs the O(n·k) greedy loop inside `flatMapGroups`,
+  * exactly the bounded-group shape [[Wand]] uses for its DAAT loop.
+  * Candidate embeddings ride along in the grouped rows; nothing scales
+  * with corpus size — the corpus was cut to n candidates by the
+  * first-pass top-k before MMR ever sees it.
+  *
+  * Determinism contract: each round's argmax compares the canonical
+  * floor-rounded key (floor(mmr·1e6 + 0.5), [[graft.Canon]]'s rank-key
+  * rule) descending, then vec_id ascending — the same tie law every
+  * ranking surface here uses, which is what lets a fixed-λ, fixed-k run
+  * unroll into the DuckDB oracle's round CTEs. The max-over-selected is
+  * an order-independent IEEE max; "max over the empty set" is defined 0,
+  * making round one λ·rel uniformly.
+  */
+object Mmr {
+
+  /** Diversify `candidates` (query_vec, vec_id, rel) — a bounded
+    * per-query candidate list with relevance scores — using the vectors
+    * in `embeddings` (vec_id, embedding).
+    *
+    * @return (query_vec, vec_id, mmr, sel_rank) — the k greedy picks per
+    *         query in selection order; fewer when a query has fewer
+    *         candidates. */
+  def diversify(candidates: DataFrame, embeddings: DataFrame,
+      lambda: Double = 0.5, k: Int = 10): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    val rows = candidates
+      .select(col("query_vec").cast("long"), col("vec_id").cast("long"),
+        col("rel").cast("double"))
+      .join(vecs, Seq("vec_id"))
+      .select(col("query_vec"), col("vec_id"), col("rel"), col("emb"))
+      .as[(Long, Long, Double, Seq[Double])]
+
+    rows.groupByKey(_._1).flatMapGroups { (q, it) =>
+      // candidate order fixed by vec_id so the loop is partition-invariant
+      val cand = it.map { case (_, id, rel, emb) => (id, rel, emb.toArray) }
+        .toArray.sortBy(_._1)
+      val n = cand.length
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+        if (na > 0.0 && nb > 0.0) dot(a, b) / (na * nb) else 0.0
+      }
+      def key(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      val maxSim = Array.fill(n)(0.0) // max sim to the selected set; ∅ -> 0
+      val taken = Array.fill(n)(false)
+      val out = Seq.newBuilder[(Long, Long, Double, Int)]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1; var bestKey = Long.MinValue; var bestMmr = 0.0
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val m = lambda * cand(i)._2 - (1.0 - lambda) * maxSim(i)
+            val mk = key(m)
+            // key desc, vec_id asc (cand is vec_id-sorted, so first wins)
+            if (mk > bestKey) { best = i; bestKey = mk; bestMmr = m }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += ((q, cand(best)._1, bestMmr, r))
+        i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val s = cos(cand(i)._3, cand(best)._3)
+            if (s > maxSim(i)) maxSim(i) = s
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.result()
+    }.toDF("query_vec", "vec_id", "mmr", "sel_rank")
+  }
+
+  /** Full pipeline: exact first-pass cosine top-`n` per query vector,
+    * then MMR-diversify to `k`. */
+  def searchDiversified(embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column, n: Int = 20,
+      lambda: Double = 0.5, k: Int = 10): DataFrame =
+    diversify(
+      graft.ops.Similarity.bruteForceTopK(embeddings, queryPred, n)
+        .select(col("query_vec"), col("vec_id"), col("cosine").as("rel")),
+      embeddings, lambda, k)
+}

@@ -1,0 +1,85 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MMR diversification against hand-computed greedy selection. */
+class MmrSpec extends SparkSpec {
+
+  // Four 2-d vectors: v1 and v2 nearly identical (redundant pair, both
+  // highly relevant), v3 orthogonal-ish (diverse, less relevant), v4 the
+  // query direction itself.
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.999, 0.01)),
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.7, 0.7))).toDF("vec_id", "embedding")
+  }
+
+  private def cand(rels: (Long, Double)*) = {
+    import spark.implicits._
+    rels.map { case (id, r) => (9L, id, r) }
+      .toDF("query_vec", "vec_id", "rel")
+  }
+
+  test("greedy picks relevance first, then defers the near-duplicate") {
+    // rel: v1 .95, v2 .94, v3 .60, v4 .80; λ=0.5
+    // round 1: λ·rel argmax -> v1 (mmr .475)
+    // round 2: v2 mmr = .47 - .5·cos(v2,v1)≈.5·0.99995 -> ≈ -0.0300
+    //          v3 mmr = .30 - .5·0       = .30 -> picked
+    //          v4 mmr = .40 - .5·cos(v4,v1)=.40-.5·.7071 = .0464
+    // round 3: v4 mmr = .40 - .5·max(.7071, cos(v4,v3)=.7071) = .0464 -> picked
+    // round 4: v2 mmr = .47 - .5·max(cos v2v1, v2v3, v2v4) = .47-.5·.99995
+    val got = Mmr.diversify(
+      cand(1L -> 0.95, 2L -> 0.94, 3L -> 0.60, 4L -> 0.80), vecs,
+      lambda = 0.5, k = 4)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 4L, 2L), got.mkString(","))
+    assert(math.abs(got(0)._2 - 0.475) < 1e-9)
+    assert(math.abs(got(1)._2 - 0.30) < 1e-9)
+    val c41 = 0.7 / math.sqrt(0.98) // cos(v4, v1) = cos(v4, v3)
+    assert(math.abs(got(2)._2 - (0.40 - 0.5 * c41)) < 1e-9)
+  }
+
+  test("lambda = 1 reduces to pure relevance ranking") {
+    val got = Mmr.diversify(
+      cand(1L -> 0.5, 2L -> 0.9, 3L -> 0.7, 4L -> 0.8), vecs,
+      lambda = 1.0, k = 4)
+      .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L, 4L, 3L, 1L))
+  }
+
+  test("k beyond the candidate count emits every candidate once") {
+    val got = Mmr.diversify(cand(1L -> 0.9, 3L -> 0.8), vecs,
+      lambda = 0.5, k = 10).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getInt(3)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("selection is partition-invariant") {
+    val c = cand(1L -> 0.95, 2L -> 0.94, 3L -> 0.60, 4L -> 0.80)
+    val a = Mmr.diversify(c, vecs, 0.5, 4).collect().toSet
+    val b = Mmr.diversify(c.repartition(7), vecs.repartition(5), 0.5, 4)
+      .collect().toSet
+    assert(a == b)
+  }
+
+  test("full pipeline runs over the testdata embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Mmr.searchDiversified(e, col("vec_id") % 100 === 0,
+      n = 20, lambda = 0.5, k = 5)
+    val rows = out.collect()
+    val nq = e.filter(col("vec_id") % 100 === 0).count()
+    assert(rows.length == 5 * nq, s"${rows.length} rows for $nq queries")
+    // first pick per query is the top-relevance candidate
+    val first = rows.filter(_.getInt(3) == 1).map(_.getLong(1)).toSet
+    val top1 = graft.ops.Similarity
+      .bruteForceTopK(e, col("vec_id") % 100 === 0, 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(first == top1)
+  }
+}
