@@ -24,6 +24,19 @@ object SparkEntry {
   private val TopK = 100
   private val NdcgK = 10
 
+  /** Fixture query strings for the query-language parser (q_parse) —
+    * covers every grammar production; the oracle hand-encodes the
+    * expected parse of each as an atoms VALUES table. */
+  private val ParseFixture: Seq[(String, String)] = Seq(
+    ("p01", "merge sort"),
+    ("p02", "+merge sort -window"),
+    ("p03", "\"merge sort\""),
+    ("p04", "mer* index"),
+    ("p05", "merje~1 sort"),
+    ("p06", "+\"sort merge\" filter"),
+    ("p07", "-\"merge sort\" merge"),
+    ("p08", "MERGE the a sort"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -864,6 +877,17 @@ object SparkEntry {
         should = Seq("merge", "sort", "index"), msm = 2,
         mustNot = Seq("window"), cfg = cfg, k = TopK)
         .select(col("doc_id"), col("matched"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
+    // ---- query-language parser: one string syntax composing term /
+    //      phrase / wildcard / fuzzy atoms with +must / -not occurs;
+    //      the oracle hand-encodes the expected parse as an atoms table
+    //      and mirrors the uniform atom-match semantics ----
+    "q_parse" -> ((s, dir) =>
+      graft.query.QueryParser.search(plans.index(s, dir), ParseFixture,
+        cfg, k = TopK)
+        .select(col("query_id"), col("doc_id"),
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
 
@@ -2420,6 +2444,117 @@ object SparkEntry {
           |FROM (SELECT doc_id, matched, score, row_number() OVER (
           |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
           |  FROM mfilt)
+          |WHERE rank <= 100""".stripMargin),
+
+      // query-language parser: the atoms table IS the hand-encoded
+      // expected parse of each ParseFixture string; execution mirrors
+      // the uniform atom-match semantics (per-atom BM25 contribution,
+      // phrase atoms gated on an aligned-base positional match,
+      // wildcard via permuterm-equivalent LIKE, fuzzy via levenshtein,
+      // must-count gate, NOT anti-join, score > 0)
+      "q_parse" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
+        termstats,
+        """patoms(query_id, atom_id, kind, occur, term, ppos, w, dist)
+          |  AS (VALUES
+          |  ('p01', 0, 'term', 'should', 'merge', 0, 1.0, 0),
+          |  ('p01', 1, 'term', 'should', 'sort', 0, 1.0, 0),
+          |  ('p02', 0, 'term', 'must', 'merge', 0, 1.0, 0),
+          |  ('p02', 1, 'term', 'should', 'sort', 0, 1.0, 0),
+          |  ('p02', 2, 'term', 'not', 'window', 0, 1.0, 0),
+          |  ('p03', 0, 'phrase', 'should', 'merge', 0, 1.0, 0),
+          |  ('p03', 0, 'phrase', 'should', 'sort', 1, 1.0, 0),
+          |  ('p04', 0, 'wild', 'should', 'mer*', 0, 1.0, 0),
+          |  ('p04', 1, 'term', 'should', 'index', 0, 1.0, 0),
+          |  ('p05', 0, 'fuzzy', 'should', 'merje', 0, 1.0, 1),
+          |  ('p05', 1, 'term', 'should', 'sort', 0, 1.0, 0),
+          |  ('p06', 0, 'phrase', 'must', 'sort', 0, 1.0, 0),
+          |  ('p06', 0, 'phrase', 'must', 'merge', 1, 1.0, 0),
+          |  ('p06', 1, 'term', 'should', 'filter', 0, 1.0, 0),
+          |  ('p07', 0, 'phrase', 'not', 'merge', 0, 1.0, 0),
+          |  ('p07', 0, 'phrase', 'not', 'sort', 1, 1.0, 0),
+          |  ('p07', 1, 'term', 'should', 'merge', 0, 1.0, 0),
+          |  ('p08', 0, 'term', 'should', 'merge', 0, 1.0, 0),
+          |  ('p08', 1, 'term', 'should', 'the', 0, 1.0, 0),
+          |  ('p08', 2, 'term', 'should', 'sort', 0, 1.0, 0))""".stripMargin,
+        """pat_terms AS (
+          |  SELECT query_id, atom_id, kind, occur, term, w FROM patoms
+          |  WHERE kind = 'term'
+          |  UNION ALL
+          |  SELECT query_id, atom_id, kind, occur, term,
+          |    CAST(count(*) AS DOUBLE) AS w
+          |  FROM patoms WHERE kind = 'phrase'
+          |  GROUP BY query_id, atom_id, kind, occur, term
+          |  UNION ALL
+          |  SELECT query_id, atom_id, kind, occur, term, 1.0 AS w FROM (
+          |    SELECT a.query_id, a.atom_id, a.kind, a.occur, t.term,
+          |      row_number() OVER (PARTITION BY a.query_id, a.atom_id
+          |        ORDER BY t.df DESC, t.term ASC) AS xr
+          |    FROM patoms a JOIN termstats t
+          |      ON a.kind = 'wild' AND t.term LIKE
+          |        replace(replace(a.term, '_', '\_'), '*', '%') ESCAPE '\')
+          |  WHERE xr <= 1000
+          |  UNION ALL
+          |  SELECT a.query_id, a.atom_id, a.kind, a.occur, t.term, 1.0 AS w
+          |  FROM patoms a JOIN termstats t
+          |    ON a.kind = 'fuzzy' AND levenshtein(t.term, a.term) <= a.dist)
+          |""".stripMargin,
+        """pascore AS (
+          |  SELECT e.query_id, e.atom_id, e.occur, e.kind, p.doc_id,
+          |    sum(e.w * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS sc
+          |  FROM pat_terms e JOIN postings p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id CROSS JOIN stats s
+          |  GROUP BY 1, 2, 3, 4, 5)""".stripMargin,
+        """pphlen AS (
+          |  SELECT query_id, atom_id, count(*) AS n_terms FROM patoms
+          |  WHERE kind = 'phrase' GROUP BY 1, 2)""".stripMargin,
+        """pphm AS (
+          |  SELECT DISTINCT b.query_id, b.atom_id, b.occur, b.doc_id
+          |  FROM (
+          |    SELECT a.query_id, a.atom_id, a.occur, t.doc_id,
+          |      t.pos - a.ppos AS base, count(DISTINCT a.ppos) AS n_hit
+          |    FROM patoms a JOIN toks t
+          |      ON a.kind = 'phrase' AND t.term = a.term
+          |    GROUP BY a.query_id, a.atom_id, a.occur, t.doc_id,
+          |      t.pos - a.ppos) b
+          |  JOIN pphlen l ON l.query_id = b.query_id
+          |    AND l.atom_id = b.atom_id
+          |  WHERE b.n_hit = l.n_terms)""".stripMargin,
+        """pposatom AS (
+          |  SELECT s.query_id, s.atom_id, s.doc_id, s.sc,
+          |    CASE WHEN s.occur = 'must' THEN 1 ELSE 0 END AS is_must
+          |  FROM pascore s
+          |  LEFT JOIN pphm m ON m.query_id = s.query_id
+          |    AND m.atom_id = s.atom_id AND m.doc_id = s.doc_id
+          |  WHERE s.occur <> 'not'
+          |    AND (s.kind <> 'phrase' OR m.doc_id IS NOT NULL))""".stripMargin,
+        """pmust AS (
+          |  SELECT query_id, count(DISTINCT atom_id) AS n_must FROM patoms
+          |  WHERE occur = 'must' GROUP BY 1)""".stripMargin,
+        """pnotm AS (
+          |  SELECT DISTINCT query_id, doc_id FROM (
+          |    SELECT query_id, doc_id FROM pascore
+          |    WHERE occur = 'not' AND kind <> 'phrase'
+          |    UNION ALL
+          |    SELECT query_id, doc_id FROM pphm WHERE occur = 'not'))""".stripMargin,
+        """pqual AS (
+          |  SELECT p.query_id, p.doc_id, p.score FROM (
+          |    SELECT query_id, doc_id, sum(sc) AS score,
+          |      sum(is_must) AS m_hit
+          |    FROM pposatom GROUP BY 1, 2) p
+          |  LEFT JOIN pmust mc ON mc.query_id = p.query_id
+          |  LEFT JOIN pnotm nm ON nm.query_id = p.query_id
+          |    AND nm.doc_id = p.doc_id
+          |  WHERE p.m_hit = coalesce(mc.n_must, 0) AND nm.doc_id IS NULL
+          |    AND p.score > 0)""".stripMargin),
+        """SELECT query_id, doc_id,
+          |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank
+          |FROM (SELECT query_id, doc_id, score, row_number() OVER (
+          |    PARTITION BY query_id
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM pqual)
           |WHERE rank <= 100""".stripMargin),
 
       // faceted counts over the ranked top-k, by lang and source

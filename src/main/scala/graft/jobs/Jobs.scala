@@ -163,6 +163,7 @@ object BuildIndexJob {
   * `fuzzy` / `mlt`) take their query from flags and emit the ranked
   * parquet only:
   *
+  *   --mode parse     --query '+merge "sort order" mer* fix~1 -old'
   *   --mode bool      --must merge,sort [--must-not window]
   *   --mode phrase    --phrase "merge order"
   *   --mode proximity --terms merge,order [--window 5]
@@ -238,6 +239,11 @@ object SearchJob {
       case "bool" => graft.query.BooleanSearch.search(idx,
         a("must").split(",").toSeq,
         a.get("must-not").map(_.split(",").toSeq).getOrElse(Nil), cfg, k)
+      case "parse" =>
+        // full query-language syntax: +must -not "phrase" wild* word~1
+        graft.query.QueryParser.search(idx,
+          Seq(("q0", a("query"))), cfg, k,
+          maxExpansions = a.getOrElse("max-expansions", "1000").toInt)
       case "phrase" =>
         // serve from the positional block index when BuildIndexJob wrote
         // one (--positional true); fall back to the relational joins

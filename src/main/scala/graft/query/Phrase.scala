@@ -28,7 +28,7 @@ object Phrase {
     * carries varbyte-packed `pos_bytes` (+ `tf`), decoded here through
     * the native codegen Expression — so positional queries run against a
     * checkpointed on-disk index without an unpack pass. */
-  private def positionsCol(postings: DataFrame) =
+  private[query] def positionsCol(postings: DataFrame) =
     if (postings.columns.contains("positions")) col("positions")
     else graft.functions.GraftFunctions.decode_positions(
       col("pos_bytes"), col("tf"))

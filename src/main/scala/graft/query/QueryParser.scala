@@ -1,0 +1,273 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Tokenizer, TokenizerConfig}
+import graft.index.InvertedIndex
+
+/** Query-language front end — the Lucene `QueryParser` analogue: one
+  * string syntax that composes every serving operator the engine has into
+  * a single ranked retrieval:
+  *
+  *   `+merge "sort order" mer* fix~1 -deprecated`
+  *
+  *   - bare word          → SHOULD term clause (OR semantics, the
+  *                          reference's candidate rule)
+  *   - `+atom`            → MUST (document must match the atom)
+  *   - `-atom`            → MUST NOT (document must not match)
+  *   - `"quoted words"`   → positional phrase atom (exact adjacency, the
+  *                          [[Phrase]] machinery)
+  *   - `wild*card`        → single-`*` glob, expanded via the permuterm
+  *                          dictionary ([[Expansion.wildcardTerms]]
+  *                          semantics, df-bounded)
+  *   - `word~d`           → fuzzy atom: vocabulary terms within `d`
+  *                          Levenshtein edits (default 1, trigram-pruned
+  *                          like [[Expansion.didYouMean]])
+  *
+  * Semantics (uniform across atom kinds): a document QUALIFIES when every
+  * MUST atom matches it, no MUST-NOT atom matches it, and at least one
+  * positive atom matches (score > 0, the reference's rule). Its score is
+  * the sum over matched positive atoms of the atom's BM25 contribution —
+  * a term atom contributes its term's BM25; wildcard/fuzzy atoms
+  * contribute each matched expansion term at weight 1 (the
+  * [[Expansion]] rewrite rule); a phrase atom contributes its terms'
+  * BM25 (with within-phrase multiplicity) ONLY in documents containing
+  * the exact phrase — a graded version of Lucene's phrase scoring that
+  * stays inside the engine's one scoring chain. Analysis runs through the
+  * SAME tokenizer as indexing (case folding, min length, stopwords);
+  * words the analyzer drops vanish from the query like Lucene's analyzed
+  * clauses, and wildcard/fuzzy literals are case-folded but not analyzed
+  * (Lucene's rule for multi-term queries).
+  *
+  * Scale shape: parsing is a driver-side pure function of the query
+  * strings (bounded batch); execution is fully data-driven — atom tables
+  * broadcast into single term-filtered postings scans (the [[Bm25]]
+  * join shape), phrase adjacency is one positional-postings pass grouped
+  * on (atom, doc, aligned base position), wildcard expansion probes the
+  * permuterm dictionary, fuzzy expansion the trigram dictionary. Nothing
+  * scales with corpus size except the named terms' posting rows, and no
+  * per-query plan branches exist — a 10⁴-query batch compiles to the
+  * same plan as one query.
+  */
+object QueryParser {
+
+  sealed trait Occur
+  case object Must extends Occur
+  case object MustNot extends Occur
+  case object Should extends Occur
+
+  sealed trait Atom
+  final case class TermAtom(term: String) extends Atom
+  final case class PhraseAtom(terms: Seq[String]) extends Atom
+  final case class WildcardAtom(pattern: String) extends Atom
+  final case class FuzzyAtom(term: String, maxDist: Int) extends Atom
+
+  final case class Clause(occur: Occur, atom: Atom)
+  final case class Parsed(clauses: Seq[Clause])
+
+  private val clauseRe = """([+\-])?("([^"]*)"|[^\s"]+)""".r
+  private val fuzzyRe = """(.+?)~(\d)?$""".r
+
+  /** Parse one query string. Lenient: atoms the analyzer empties and
+    * malformed wildcards drop silently (Lucene's analyzed-clause rule)
+    * rather than erroring — a serving endpoint cannot throw on user
+    * syntax. A bare word that analyzes to several tokens (e.g.
+    * "well-known") becomes several atoms with the same occur. */
+  def parse(q: String, cfg: TokenizerConfig): Parsed = {
+    val tok = Tokenizer(cfg)
+    val clauses = clauseRe.findAllMatchIn(q).toSeq.flatMap { m =>
+      val occur: Occur = m.group(1) match {
+        case "+" => Must
+        case "-" => MustNot
+        case _ => Should
+      }
+      val quoted = m.group(3)
+      if (quoted != null) {
+        tok.tokenize(quoted).toSeq match {
+          case Seq() => Nil
+          case Seq(t) => Seq(Clause(occur, TermAtom(t)))
+          case many => Seq(Clause(occur, PhraseAtom(many)))
+        }
+      } else {
+        val w = m.group(2)
+        if (w.contains("*")) {
+          val pat = w.toLowerCase
+          if (pat.count(_ == '*') == 1 && pat.length > 1)
+            Seq(Clause(occur, WildcardAtom(pat)))
+          else Nil
+        } else w match {
+          case fuzzyRe(base, d) =>
+            tok.tokenize(base).toSeq match {
+              case Seq(t) =>
+                Seq(Clause(occur, FuzzyAtom(t, if (d == null) 1 else d.toInt)))
+              case _ => Nil
+            }
+          case _ =>
+            tok.tokenize(w).toSeq.map(t => Clause(occur, TermAtom(t)))
+        }
+      }
+    }
+    Parsed(clauses)
+  }
+
+  private def occurStr(o: Occur): String = o match {
+    case Must => "must"; case MustNot => "not"; case Should => "should"
+  }
+
+  /** Parse and execute a batch of (query_id, query_string).
+    * @return (query_id, doc_id, score, rank) top-k per query. */
+  def search(index: InvertedIndex, queries: Seq[(String, String)],
+      cfg: TokenizerConfig, k: Int = 100, maxExpansions: Int = 1000,
+      p: Bm25.Params = Bm25.Params(),
+      permutermDict: Option[DataFrame] = None,
+      trigramDict: Option[DataFrame] = None): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+
+    // ---- flatten the parse into driver-side atom rows (post-drop ids) --
+    val parsed = queries.map { case (id, s) => (id, parse(s, cfg).clauses) }
+    val termRows = Seq.newBuilder[(String, Int, String, String, String, Double)]
+    val phraseRows = Seq.newBuilder[(String, Int, String, Int, String)]
+    val wildRows = Seq.newBuilder[(String, Int, String, String)]
+    val fuzzyRows = Seq.newBuilder[(String, Int, String, String, Int)]
+    val phraseLen = Seq.newBuilder[(String, Int, Int)]
+    val mustCnt = Seq.newBuilder[(String, Int)]
+    for ((qid, clauses) <- parsed) {
+      mustCnt += ((qid, clauses.count(_.occur == Must)))
+      for ((Clause(occur, atom), aid) <- clauses.zipWithIndex) {
+        val o = occurStr(occur)
+        atom match {
+          case TermAtom(t) =>
+            termRows += ((qid, aid, o, "term", t, 1.0))
+          case PhraseAtom(ts) =>
+            for ((t, i) <- ts.zipWithIndex) phraseRows += ((qid, aid, o, i, t))
+            // scoring terms with within-phrase multiplicity
+            for ((t, n) <- ts.groupBy(identity).view.mapValues(_.size))
+              termRows += ((qid, aid, o, "phrase", t, n.toDouble))
+            // full match = every OFFSET satisfied at one aligned base
+            // (ts.length, not distinct terms — "merge sort merge" needs
+            // all three positions)
+            phraseLen += ((qid, aid, ts.length))
+          case WildcardAtom(pat) =>
+            // permuterm rule: a*b matches term iff rotation b$a prefixes
+            val i = pat.indexOf('*')
+            val (a, b) = (pat.substring(0, i), pat.substring(i + 1))
+            wildRows += ((qid, aid, o, s"$b$$$a"))
+          case FuzzyAtom(t, d) =>
+            fuzzyRows += ((qid, aid, o, t, d))
+        }
+      }
+    }
+
+    val litTerms = termRows.result()
+      .toDF("query_id", "atom_id", "occur", "kind", "term", "w")
+
+    // ---- wildcard expansion: one permuterm-dictionary probe ----
+    val wild = wildRows.result()
+    val wildTerms =
+      if (wild.isEmpty) litTerms.limit(0)
+      else {
+        val pats = wild.toDF("query_id", "atom_id", "occur", "prefix")
+        val dict = permutermDict.getOrElse(Expansion.permuterm(index.termStats))
+        val cand = dict
+          .join(broadcast(pats), col("rotation").startsWith(col("prefix")))
+          .select(col("query_id"), col("atom_id"), col("occur"), col("term"))
+          .distinct()
+        val wnd = Window.partitionBy(col("query_id"), col("atom_id"))
+          .orderBy(col("df").desc, col("term").asc)
+        cand.join(index.termStats.select(col("term"), col("df")), Seq("term"))
+          .withColumn("xr", row_number().over(wnd))
+          .filter(col("xr") <= maxExpansions)
+          .select(col("query_id"), col("atom_id"), col("occur"),
+            lit("wild").as("kind"), col("term"), lit(1.0).as("w"))
+      }
+
+    // ---- fuzzy expansion: one trigram-dictionary probe (batch) ----
+    val fuzzy = fuzzyRows.result()
+    val fuzzyTerms =
+      if (fuzzy.isEmpty) litTerms.limit(0)
+      else {
+        val maxD = fuzzy.map(_._5).max
+        val bases = fuzzy.map(_._4).distinct.map(Tuple1(_))
+          .toDF("query_term")
+        val cand = Expansion.didYouMean(index, bases, maxDist = maxD,
+            m = Int.MaxValue, trigramDict = trigramDict)
+          .select(col("query_term"), col("term"), col("dist"))
+        fuzzy.toDF("query_id", "atom_id", "occur", "base", "max_dist")
+          .join(cand, col("base") === col("query_term") &&
+            col("dist") <= col("max_dist"))
+          .select(col("query_id"), col("atom_id"), col("occur"),
+            lit("fuzzy").as("kind"), col("term"), lit(1.0).as("w"))
+      }
+
+    val atomTerms = litTerms.unionByName(wildTerms).unionByName(fuzzyTerms)
+
+    // ---- per-(atom, doc) BM25 contribution: the Bm25.score join shape --
+    val at = atomTerms.join(index.termStats.select(col("term"), col("idf")),
+      Seq("term"))
+    val norm = lit(1.0) - lit(p.b) +
+      lit(p.b) * col("doc_len") / lit(index.avgdl)
+    val ascore = index.postings
+      .join(broadcast(at), Seq("term"))
+      .withColumn("term_score",
+        col("w") * col("idf") *
+          (col("tf") * lit(p.k1 + 1.0)) / (col("tf") + lit(p.k1) * norm))
+      .groupBy(col("query_id"), col("atom_id"), col("occur"), col("kind"),
+        col("doc_id"))
+      .agg(sum(col("term_score")).as("s"))
+
+    // ---- phrase adjacency: group on the aligned base position ----
+    val phr = phraseRows.result()
+    val phraseMatch =
+      if (phr.isEmpty)
+        Seq.empty[(String, Int, String, Long)]
+          .toDF("query_id", "atom_id", "occur", "doc_id")
+      else {
+        val ph = phr.toDF("query_id", "atom_id", "occur", "ppos", "term")
+        val plen = broadcast(
+          phraseLen.result().toDF("query_id", "atom_id", "n_terms"))
+        index.postings
+          .join(broadcast(ph), Seq("term"))
+          .select(col("query_id"), col("atom_id"), col("occur"),
+            col("doc_id"),
+            explode(Phrase.positionsCol(index.postings)).as("pos"),
+            col("ppos"))
+          .groupBy(col("query_id"), col("atom_id"), col("occur"),
+            col("doc_id"), (col("pos") - col("ppos")).as("base"))
+          .agg(countDistinct(col("ppos")).as("n_hit"))
+          .join(plen, Seq("query_id", "atom_id"))
+          .filter(col("n_hit") === col("n_terms"))
+          .select(col("query_id"), col("atom_id"), col("occur"),
+            col("doc_id"))
+          .distinct()
+      }
+
+    // ---- combine: must-count gate, NOT anti-join, phrase gate ----
+    val posNonPhrase = ascore
+      .filter(col("occur") =!= "not" && col("kind") =!= "phrase")
+    val posPhrase = ascore
+      .filter(col("occur") =!= "not" && col("kind") === "phrase")
+      .join(phraseMatch.select(col("query_id"), col("atom_id"),
+        col("doc_id")), Seq("query_id", "atom_id", "doc_id"), "left_semi")
+    val perDoc = posNonPhrase.unionByName(posPhrase)
+      .withColumn("is_must", (col("occur") === "must").cast("int"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"), sum(col("is_must")).as("m_hit"))
+    val notMatch = ascore
+      .filter(col("occur") === "not" && col("kind") =!= "phrase")
+      .select(col("query_id"), col("doc_id"))
+      .unionByName(phraseMatch.filter(col("occur") === "not")
+        .select(col("query_id"), col("doc_id")))
+      .distinct()
+    val mc = broadcast(mustCnt.result().toDF("query_id", "n_must"))
+    val qualified = perDoc
+      .join(mc, Seq("query_id"))
+      .filter(col("m_hit") === col("n_must"))
+      .join(notMatch, Seq("query_id", "doc_id"), "left_anti")
+      .filter(col("score") > 0.0)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    Bm25.topK(qualified, k)
+  }
+}

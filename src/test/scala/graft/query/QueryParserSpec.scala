@@ -1,0 +1,127 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+/** Grammar coverage for [[QueryParser.parse]] plus execution equivalence
+  * against the dedicated operators each atom kind routes to. */
+class QueryParserSpec extends SparkSpec {
+  import QueryParser._
+
+  private val cfg = TokenizerConfig.default
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort things then merge them"),
+      (3L, "merge words here and there plus order"),
+      (4L, "order first merge"),
+      (5L, "nothing relevant here"),
+      (6L, "order order order distant words words words words merge"))
+      .toDF("doc_id", "text")
+  }
+  private lazy val idx = IndexBuilder.build(docs, cfg)
+
+  // ---------------- parse ----------------
+
+  test("grammar: occurs, phrases, wildcards, fuzzies, analyzer drops") {
+    val p = parse("+merge \"sort order\" mer* fix~2 word~ -old the a", cfg)
+    assert(p.clauses == Seq(
+      Clause(Must, TermAtom("merge")),
+      Clause(Should, PhraseAtom(Seq("sort", "order"))),
+      Clause(Should, WildcardAtom("mer*")),
+      Clause(Should, FuzzyAtom("fix", 2)),
+      Clause(Should, FuzzyAtom("word", 1)),
+      Clause(MustNot, TermAtom("old")),
+      Clause(Should, TermAtom("the")))) // 'a' dropped by min length
+  }
+
+  test("grammar edges: case folding, multi-token words, quoted single " +
+      "term, empty/invalid atoms drop") {
+    assert(parse("MERGE", cfg).clauses == Seq(Clause(Should, TermAtom("merge"))))
+    // hyphenated bare word analyzes to two atoms with the same occur
+    assert(parse("-well-known", cfg).clauses == Seq(
+      Clause(MustNot, TermAtom("well")), Clause(MustNot, TermAtom("known"))))
+    // quoted single surviving token degrades to a term atom
+    assert(parse("\"the merge\"", cfg).clauses == Seq(
+      Clause(Should, PhraseAtom(Seq("the", "merge")))))
+    assert(parse("\"a merge\"", cfg).clauses == Seq(
+      Clause(Should, TermAtom("merge"))))
+    // invalid wildcards and empty atoms vanish
+    assert(parse("* a \"\" **bad", cfg).clauses.isEmpty)
+    // wildcard with uppercase folds
+    assert(parse("Mer*GE", cfg).clauses ==
+      Seq(Clause(Should, WildcardAtom("mer*ge"))))
+  }
+
+  // ---------------- execution equivalences ----------------
+
+  private def res(q: String): Map[Long, Double] =
+    QueryParser.search(idx, Seq(("q", q)), cfg)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+
+  test("pure-OR query equals Bm25.search") {
+    import spark.implicits._
+    val base = Bm25.search(idx,
+      Seq(("q", "merge sort")).toDF("query_id", "question"), cfg)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(res("merge sort") == base)
+  }
+
+  test("all-must query equals BooleanSearch conjunction") {
+    val conj = BooleanSearch.search(idx, Seq("merge", "sort"), Nil, cfg)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res("+merge +sort") == conj)
+  }
+
+  test("negation equals BooleanSearch NOT") {
+    val not = BooleanSearch.search(idx, Seq("merge"), Seq("order"), cfg)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res("merge -order") == not)
+  }
+
+  test("phrase atom gates on exact adjacency and scores phrase terms") {
+    import spark.implicits._
+    val phraseDocs = Phrase.search(idx, "merge sort", cfg)
+      .collect().map(_.getLong(0)).toSet
+    val got = res("\"merge sort\"")
+    assert(got.keySet == phraseDocs, s"${got.keySet} vs $phraseDocs")
+    // scores equal the OR scores of the phrase's terms on those docs
+    val or = Bm25.score(idx, Bm25.queryTerms(
+      Seq(("q", "merge sort")).toDF("query_id", "question"), cfg))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    for ((d, s) <- got) assert(math.abs(s - or(d)) < 1e-12)
+  }
+
+  test("repeated-word phrase requires every offset") {
+    // doc 6 tokenized: order order order distant words words words words
+    // merge — "order order" matches (twice), "order merge" does not
+    assert(res("\"order order\"").keySet == Set(6L))
+    assert(res("\"order merge\"").isEmpty)
+    // must-phrase composes with should terms
+    val got = res("+\"order order\" merge")
+    assert(got.keySet == Set(6L))
+  }
+
+  test("wildcard atom equals Expansion.wildcard") {
+    val w = Expansion.wildcard(idx, "mer*")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res("mer*") == w)
+  }
+
+  test("fuzzy atom equals Expansion.fuzzy") {
+    val f = Expansion.fuzzy(idx, "merje", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res("merje~1") == f)
+  }
+
+  test("must atoms with no should atoms still rank; unmatched must " +
+      "empties the result") {
+    assert(res("+merge").nonEmpty)
+    assert(res("+zebra merge").isEmpty)
+    assert(res("").isEmpty)
+    assert(res("-merge").isEmpty) // nothing positive to score
+  }
+}
