@@ -231,7 +231,7 @@ object Bench {
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
       Seq("query_bm25_join", "query_wand", "query_wand_segmented",
-        "query_bool",
+        "query_bool", "query_parse",
         "query_bm25f_wand", "query_phrase_serving", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "dedup_spans", "pack_sequences",
@@ -284,6 +284,12 @@ object Bench {
     // boolean AND/NOT over the same cached index (serving query surface)
     results("query_bool") = timeWarm(graft.query.BooleanSearch.search(
       idx, Seq("merge", "sort"), Seq("window"), cfg, 100).count())._1
+
+    // query-language parser: the 8-production grammar fixture batch
+    // (term/phrase/wildcard/fuzzy atoms, must/not occurs) end-to-end —
+    // parse + expansion probes + gated scoring in one composed plan
+    results("query_parse") = timeWarm(graft.query.QueryParser.search(
+      idx, graft.fixtures.QuerySet.parseQueries, cfg, 100).count())._1
 
     // pseudo-relevance feedback: the full two-pass loop (pass 1 top-10,
     // feedback mining, weighted pass 2) — expected ~2x the join-path line

@@ -24,18 +24,7 @@ object SparkEntry {
   private val TopK = 100
   private val NdcgK = 10
 
-  /** Fixture query strings for the query-language parser (q_parse) —
-    * covers every grammar production; the oracle hand-encodes the
-    * expected parse of each as an atoms VALUES table. */
-  private val ParseFixture: Seq[(String, String)] = Seq(
-    ("p01", "merge sort"),
-    ("p02", "+merge sort -window"),
-    ("p03", "\"merge sort\""),
-    ("p04", "mer* index"),
-    ("p05", "merje~1 sort"),
-    ("p06", "+\"sort merge\" filter"),
-    ("p07", "-\"merge sort\" merge"),
-    ("p08", "MERGE the a sort"))
+  private val ParseFixture = QuerySet.parseQueries
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

@@ -51,6 +51,19 @@ object QuerySet {
     queries.toDF("query_id", "question", "gold_term")
   }
 
+  /** Fixture query strings for the query-language parser (q_parse) —
+    * covers every grammar production; the q_parse oracle hand-encodes
+    * the expected parse of each as an atoms VALUES table. */
+  val parseQueries: Seq[(String, String)] = Seq(
+    ("p01", "merge sort"),
+    ("p02", "+merge sort -window"),
+    ("p03", "\"merge sort\""),
+    ("p04", "mer* index"),
+    ("p05", "merje~1 sort"),
+    ("p06", "+\"sort merge\" filter"),
+    ("p07", "-\"merge sort\" merge"),
+    ("p08", "MERGE the a sort"))
+
   /** SQL VALUES list for the DuckDB oracle — built from the SAME Seq so the
     * two sides can never drift. */
   def sqlValues: String =

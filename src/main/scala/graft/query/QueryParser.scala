@@ -209,14 +209,18 @@ object QueryParser {
       Seq("term"))
     val norm = lit(1.0) - lit(p.b) +
       lit(p.b) * col("doc_len") / lit(index.avgdl)
+    // grouped on exactly the downstream join key (query_id, atom_id,
+    // doc_id) so the phrase semi-join and the combine reuse this
+    // exchange's partitioning; occur/kind are functionally dependent on
+    // the atom id, so max() is deterministic
     val ascore = index.postings
       .join(broadcast(at), Seq("term"))
       .withColumn("term_score",
         col("w") * col("idf") *
           (col("tf") * lit(p.k1 + 1.0)) / (col("tf") + lit(p.k1) * norm))
-      .groupBy(col("query_id"), col("atom_id"), col("occur"), col("kind"),
-        col("doc_id"))
-      .agg(sum(col("term_score")).as("s"))
+      .groupBy(col("query_id"), col("atom_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("s"), max(col("occur")).as("occur"),
+        max(col("kind")).as("kind"))
 
     // ---- phrase adjacency: group on the aligned base position ----
     val phr = phraseRows.result()

@@ -306,6 +306,51 @@ class PlanSpec extends SparkSpec {
       s"rank assignment must not re-sort the post-limit rows:\n$p")
   }
 
+  test("msm disjunction keeps the one-scan boolean shape: broadcast idf, " +
+      "TakeOrderedAndProject, no re-sort") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(graft.query.BooleanSearch.searchDisjunctive(idx,
+      Seq("merge", "sort", "index"), msm = 2, mustNot = Seq("window"),
+      cfg = cfg))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"msm must not shuffle the postings:\n$p")
+  }
+
+  test("synonym expansion broadcasts the query side into the thesaurus " +
+      "scan and the expanded terms into the postings scan") {
+    import spark.implicits._
+    val idx = IndexBuilder.build(docs, cfg)
+    val thesaurus = Seq(("merge", "join", 0.5), ("sort", "order", 0.75))
+      .toDF("term", "synonym", "weight")
+    val p = plan(graft.query.Synonyms.search(idx, QuerySet.df(spark),
+      thesaurus, cfg))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"neither thesaurus nor postings may be join-shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Synonyms:\n$p")
+  }
+
+  test("query parser: atom tables broadcast into single postings scans; " +
+      "only the bounded permuterm prefix probe is a nested-loop join") {
+    val idx = IndexBuilder.build(docs, cfg)
+    val p = plan(graft.query.QueryParser.search(idx,
+      QuerySet.parseQueries, cfg))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in QueryParser:\n$p")
+    // the only shuffled joins allowed are the MUST-NOT anti-join and the
+    // phrase-gate semi-join, both over AGGREGATED per-doc candidate sets
+    // — a -term or a phrase of common words can match half the corpus,
+    // so broadcasting those sides would be the scale bug; raw postings
+    // must still never be inner-join-shuffled
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(l => l.contains("LeftAnti") || l.contains("LeftSemi")),
+      s"non-anti/semi SortMergeJoin in QueryParser:\n$p")
+  }
+
   test("more-like-this broadcasts the expansion terms into the scoring join") {
     val idx = IndexBuilder.build(docs, cfg)
     val p = plan(graft.query.MoreLikeThis.search(idx,
