@@ -850,6 +850,17 @@ object SparkEntry {
         .select(col("doc_id"), col("min_dist"))
     }),
 
+    // ---- span-near: 3-term proximity with slop (Lucene SpanNearQuery),
+    //      unordered and in-order variants ----
+    "q_span_near" -> ((s, dir) =>
+      graft.query.Phrase.spanNear(plans.index(s, dir),
+        Seq("merge", "sort", "join"), slop = 10, ordered = false,
+        cfg = cfg)),
+    "q_span_ordered" -> ((s, dir) =>
+      graft.query.Phrase.spanNear(plans.index(s, dir),
+        Seq("merge", "sort", "join"), slop = 20, ordered = true,
+        cfg = cfg)),
+
     // ---- boolean retrieval: conjunctive AND + NOT exclusion, BM25-ranked
     //      (the reference's candidate generation is pure-OR) ----
     "q_bool" -> ((s, dir) =>
@@ -2383,6 +2394,45 @@ object SparkEntry {
           |                     FOR x IN a.positions])) AS min_dist
           |  FROM pra a JOIN prb b USING (doc_id))""".stripMargin),
         "SELECT doc_id, min_dist FROM prd WHERE min_dist <= 5"),
+
+      // span-near: brute-force nested comprehensions over the three
+      // position lists — unordered = min over (greatest-least) windows,
+      // ordered = ascending choices only; excess width = window - (k-1)
+      "q_span_near" -> withCtes(Seq(tokArrays, toks,
+        """plist AS (
+          |  SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+          |  FROM toks GROUP BY 1, 2)""".stripMargin,
+        "sna AS (SELECT doc_id, positions FROM plist WHERE term = 'merge')",
+        "snb AS (SELECT doc_id, positions FROM plist WHERE term = 'sort')",
+        "snc AS (SELECT doc_id, positions FROM plist WHERE term = 'join')",
+        """snd AS (
+          |  SELECT a.doc_id,
+          |    list_min(flatten(flatten(
+          |      [[[greatest(x, y, z) - least(x, y, z)
+          |         FOR z IN c.positions]
+          |        FOR y IN b.positions]
+          |       FOR x IN a.positions]))) - 2 AS min_span
+          |  FROM sna a JOIN snb b USING (doc_id)
+          |  JOIN snc c USING (doc_id))""".stripMargin),
+        "SELECT doc_id, min_span FROM snd WHERE min_span <= 10"),
+
+      "q_span_ordered" -> withCtes(Seq(tokArrays, toks,
+        """plist AS (
+          |  SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+          |  FROM toks GROUP BY 1, 2)""".stripMargin,
+        "sna AS (SELECT doc_id, positions FROM plist WHERE term = 'merge')",
+        "snb AS (SELECT doc_id, positions FROM plist WHERE term = 'sort')",
+        "snc AS (SELECT doc_id, positions FROM plist WHERE term = 'join')",
+        """snd AS (
+          |  SELECT a.doc_id,
+          |    list_min(flatten(flatten(
+          |      [[[z - x FOR z IN c.positions IF z > y]
+          |        FOR y IN b.positions IF y > x]
+          |       FOR x IN a.positions]))) - 2 AS min_span
+          |  FROM sna a JOIN snb b USING (doc_id)
+          |  JOIN snc c USING (doc_id))""".stripMargin),
+        """SELECT doc_id, min_span FROM snd
+          |WHERE min_span IS NOT NULL AND min_span <= 20""".stripMargin),
 
       // boolean AND/NOT: one pass over the must-term postings computes the
       // conjunction count and the BM25 sum together (mirrors

@@ -167,6 +167,7 @@ object BuildIndexJob {
   *   --mode bool      --must merge,sort [--must-not window]
   *   --mode phrase    --phrase "merge order"
   *   --mode proximity --terms merge,order [--window 5]
+  *   --mode spannear  --terms merge,sort,join [--slop 5] [--ordered true]
   *   --mode prefix    --prefix mer
   *   --mode wildcard  --pattern "*er" [--max-expansions 1000]
   *                    [--permuterm /idx/permuterm]  (pre-built rotation
@@ -259,6 +260,12 @@ object SearchJob {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n_matches").desc, col("doc_id").asc)))
           .filter(col("rank") <= k)
+      case "spannear" =>
+        // k-term span with slop: --terms merge,sort,join [--slop 5]
+        // [--ordered true]
+        graft.query.Phrase.spanNear(idx, a("terms").split(",").toSeq,
+          a.getOrElse("slop", "5").toInt,
+          a.getOrElse("ordered", "false").toBoolean, cfg)
       case "proximity" =>
         val Array(ta, tb) = a("terms").split(",")
         val win = a.getOrElse("window", "5").toInt

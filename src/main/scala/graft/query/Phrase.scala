@@ -55,6 +55,64 @@ object Phrase {
       size(col("match_pos")).cast("long").as("n_matches"))
   }
 
+  /** Span-near search — the Lucene `SpanNearQuery` analogue generalizing
+    * [[proximity]] to k terms with a slop: a document matches when one
+    * occurrence of EACH term can be chosen so the covering window is
+    * tight enough. `min_span` is the minimal such window's excess width,
+    * min over choices of (max − min − (k−1)); a slop of 0 with
+    * `ordered = true` is exactly phrase adjacency. Ordered mode requires
+    * the chosen positions to ascend in term order (Lucene's in-order
+    * spans); unordered allows any arrangement.
+    *
+    * Plan shape: k term-filtered posting scans (pushdown-friendly)
+    * equi-joined on doc_id — [[search]]'s chain — then ONE narrow nested
+    * array fold per surviving row enumerates position combinations:
+    * level i extends each partial span by term i's positions (ordered
+    * mode prunes to positions beyond the span's last, so the fold tracks
+    * the frontier exactly like a merge). Cost is O(∏ tf_i) inside one
+    * row — bounded by doc_len^k, never corpus size; k is capped at 4
+    * (the practical span-query arity) to keep the product honest.
+    *
+    * @return (doc_id, min_span) for documents with min_span <= slop. */
+  def spanNear(index: InvertedIndex, terms: Seq[String], slop: Int,
+      ordered: Boolean, cfg: TokenizerConfig): DataFrame = {
+    val ts = terms.flatMap(Tokenizer(cfg).tokenize(_))
+    require(ts.length >= 2 && ts.length <= 4,
+      s"spanNear takes 2-4 surviving terms, got $ts")
+    require(ts.distinct.length == ts.length,
+      s"spanNear terms must be distinct (a repeated term could satisfy " +
+      s"two slots with ONE occurrence): $ts")
+    val pos = positionsCol(index.postings)
+    def scan(t: String, c: String) =
+      index.postings.filter(col("term") === t)
+        .select(col("doc_id"), pos.as(c))
+    var cur = scan(ts.head, "p0")
+    for (i <- 1 until ts.length)
+      cur = cur.join(scan(ts(i), s"p$i"), Seq("doc_id"))
+    // nested fold: array of partial-span structs (first, last, mn, mx)
+    var spans: org.apache.spark.sql.Column =
+      transform(col("p0"), x => struct(x.as("last"), x.as("mn"), x.as("mx")))
+    for (i <- 1 until ts.length) {
+      val next =
+        if (ordered)
+          transform(spans, st => transform(
+            filter(col(s"p$i"), x => x > st.getField("last")),
+            x => struct(x.as("last"), st.getField("mn").as("mn"),
+              x.as("mx"))))
+        else
+          transform(spans, st => transform(col(s"p$i"),
+            x => struct(x.as("last"),
+              least(st.getField("mn"), x).as("mn"),
+              greatest(st.getField("mx"), x).as("mx"))))
+      spans = flatten(next)
+    }
+    cur.select(col("doc_id"),
+        (array_min(transform(spans, st =>
+          st.getField("mx") - st.getField("mn"))) - lit(ts.length - 1))
+          .cast("long").as("min_span"))
+      .filter(col("min_span").isNotNull && col("min_span") <= slop)
+  }
+
   /** Unordered within-window proximity search — phrase search's relaxation
     * (Lucene's slop / `NEAR` operator): documents where SOME occurrence of
     * `termA` and SOME occurrence of `termB` lie within `window` positions

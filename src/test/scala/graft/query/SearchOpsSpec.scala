@@ -64,6 +64,45 @@ class SearchOpsSpec extends SparkSpec {
     assert(rev == d6, s"asymmetric proximity: $rev vs $d6")
   }
 
+  test("span-near: k-term windows, ordered vs unordered, slop gating") {
+    import spark.implicits._
+    // doc 1: merge@0 sort@1 ... sort@4; doc 2: sort@0 ... merge@3
+    val un = Phrase.spanNear(idx, Seq("merge", "sort"), slop = 5,
+      ordered = false, cfg = cfg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(un == Map(1L -> 0L, 2L -> 2L), s"unordered: $un")
+    // ordered merge->sort: doc 1 matches (sort@1 after merge@0); doc 2's
+    // only sort precedes its merge
+    val or = Phrase.spanNear(idx, Seq("merge", "sort"), slop = 5,
+      ordered = true, cfg = cfg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(or == Map(1L -> 0L), s"ordered: $or")
+    // slop 1 drops doc 2 in unordered mode too
+    val tight = Phrase.spanNear(idx, Seq("merge", "sort"), slop = 1,
+      ordered = false, cfg = cfg).collect().map(_.getLong(0)).toSet
+    assert(tight == Set(1L))
+    // three terms: minimal covering window picks the tight cluster
+    val tri = Seq((10L, "alpha merge gap sort join gap gap merge"))
+      .toDF("doc_id", "text")
+    val tidx = IndexBuilder.build(tri, cfg)
+    // merge@1 sort@3 join@4 (window 4-1-2=1); the trailing merge@7
+    // gives sort..join..merge = 7-3-2=2 — min stays 1
+    val t3 = Phrase.spanNear(tidx, Seq("merge", "sort", "join"), slop = 2,
+      ordered = false, cfg = cfg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t3 == Map(10L -> 1L), s"3-term: $t3")
+    // ordered sort->join->merge uses the trailing merge
+    val t3o = Phrase.spanNear(tidx, Seq("sort", "join", "merge"), slop = 2,
+      ordered = true, cfg = cfg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t3o == Map(10L -> 2L), s"3-term ordered: $t3o")
+    // repeated terms are rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Phrase.spanNear(idx, Seq("merge", "merge"), 1, ordered = false,
+        cfg = cfg)
+    }
+  }
+
   test("boolean AND requires every must term; NOT excludes; BM25 ranks") {
     val res = BooleanSearch.search(idx, Seq("merge", "sort"), Nil, cfg)
       .collect()
