@@ -536,6 +536,26 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 4).cast("double").as("jaccard"))),
 
+    // ---- dedup quality evidence: precision/recall of the MinHash-LSH
+    //      miner vs the EXACT Jaccard join at the same threshold (the
+    //      dedup analogue of q_ann_recall; exact int/int ratios) ----
+    "q_dedup_recall" -> ((s, dir) => {
+      val d = plans.dupCorpus(s, dir)
+      val lsh = Dedup.minhashPairs(d).select(col("doc_a"), col("doc_b"))
+      val exact = Dedup.jaccardJoin(d).select(col("doc_a"), col("doc_b"))
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(col("n_hit").cast("double") / col("n_exact"))
+            .as("recall"),
+          when(col("n_lsh") === 0, lit(1.0))
+            .otherwise(col("n_hit").cast("double") / col("n_lsh"))
+            .as("precision"))
+    }),
+
     // ---- dedup: 16-bit SimHash fingerprints ----
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
 
@@ -1533,6 +1553,75 @@ object SparkEntry {
           |  JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin),
         "SELECT doc_a, doc_b, CAST(round(jaccard, 4) AS DOUBLE) AS jaccard" +
           " FROM jac WHERE jaccard >= 0.5"),
+
+      // dedup quality: both miners' full chains composed — LSH-confirmed
+      // pairs vs the exact prefix-filtered join; counts + int/int ratios
+      "q_dedup_recall" -> withCtes(Seq(dupCorpus, shingleRows, minhashCtes,
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shingle_rows" +
+          " GROUP BY 1)",
+        """mcand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bandsp a JOIN bandsp b
+          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          |    AND a.doc_id < b.doc_id)""".stripMargin,
+        """minter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM mcand c
+          |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
+          |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
+          |    AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)""".stripMargin,
+        """mpairs AS (
+          |  SELECT c.doc_a, c.doc_b
+          |  FROM mcand c
+          |  LEFT JOIN minter i USING (doc_a, doc_b)
+          |  JOIN sizes za ON za.doc_id = c.doc_a
+          |  JOIN sizes zb ON zb.doc_id = c.doc_b
+          |  WHERE coalesce(i.n_inter, 0)::DOUBLE /
+          |    (za.n + zb.n - coalesce(i.n_inter, 0)) >= 0.5)""".stripMargin,
+        "edfreq AS (SELECT shingle, count(*) AS df FROM shingle_rows" +
+          " GROUP BY 1)",
+        """eprefix AS (
+          |  SELECT doc_id, shingle FROM (
+          |    SELECT s.doc_id, s.shingle, z.n,
+          |      row_number() OVER (PARTITION BY s.doc_id
+          |        ORDER BY d.df, s.shingle) AS rk
+          |    FROM shingle_rows s
+          |    JOIN edfreq d USING (shingle) JOIN sizes z USING (doc_id))
+          |  WHERE rk <= n - ceil(0.5 * n) + 1)""".stripMargin,
+        """ecand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM eprefix a JOIN eprefix b
+          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin,
+        """einter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM ecand c
+          |  JOIN shingle_rows sa ON sa.doc_id = c.doc_a
+          |  JOIN shingle_rows sb ON sb.doc_id = c.doc_b
+          |    AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)""".stripMargin,
+        """epairs AS (
+          |  SELECT c.doc_a, c.doc_b
+          |  FROM ecand c
+          |  JOIN einter i USING (doc_a, doc_b)
+          |  JOIN sizes za ON za.doc_id = c.doc_a
+          |  JOIN sizes zb ON zb.doc_id = c.doc_b
+          |  WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter)
+          |    >= 0.5)""".stripMargin,
+        """drc AS (
+          |  SELECT
+          |    (SELECT count(*) FROM epairs) AS n_exact,
+          |    (SELECT count(*) FROM mpairs) AS n_lsh,
+          |    (SELECT count(*) FROM epairs e
+          |     WHERE EXISTS (SELECT 1 FROM mpairs m
+          |       WHERE m.doc_a = e.doc_a AND m.doc_b = e.doc_b))
+          |      AS n_hit)""".stripMargin),
+        """SELECT n_exact, n_lsh, n_hit,
+          |  CASE WHEN n_exact = 0 THEN 1.0
+          |    ELSE n_hit::DOUBLE / n_exact END AS recall,
+          |  CASE WHEN n_lsh = 0 THEN 1.0
+          |    ELSE n_hit::DOUBLE / n_lsh END AS precision
+          |FROM drc""".stripMargin),
 
       "q_dedup_embed" -> withCtes(Seq(
         """dup_emb AS (
