@@ -1,0 +1,133 @@
+package graft.query
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+/** Property test for the query-language EXECUTION semantics: random
+  * queries over random corpora against a straight-line in-memory
+  * evaluator that implements the documented atom-match rules directly
+  * (grammar productions themselves are unit-tested in QueryParserSpec;
+  * here the parse is shared and the join/gate machinery is what's under
+  * test). Samples are few (each is a Spark job) but the generators mix
+  * every atom kind and occur, unknown terms, and redundant atoms. */
+class QueryParserPropSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private def checkP(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "echo",
+    "golf", "hotel", "india")
+
+  private val genDoc: Gen[Seq[String]] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+  private val genCorpus: Gen[Seq[Seq[String]]] =
+    Gen.chooseNum(5, 14).flatMap(n => Gen.listOfN(n, genDoc))
+
+  private val genAtom: Gen[String] = {
+    val occur = Gen.frequency(4 -> "", 1 -> "+", 1 -> "-")
+    val term = Gen.oneOf(vocab :+ "zebra")
+    val phrase = Gen.chooseNum(2, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(ws => "\"" + ws.mkString(" ") + "\"")
+    val wild = Gen.oneOf("al*", "*a", "g*f", "de*a", "ho*")
+    val fuzzy = Gen.oneOf("alpa~1", "gama~1", "echo~1", "hotl~1", "zzz~1")
+    for {
+      o <- occur
+      a <- Gen.frequency(5 -> term, 2 -> phrase, 2 -> wild, 2 -> fuzzy)
+    } yield o + a
+  }
+  private val genQuery: Gen[String] =
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, genAtom))
+      .map(_.mkString(" "))
+
+  /** In-memory reference evaluation of a parsed query over tokenized
+    * docs, straight from the documented semantics. */
+  private def refEval(docs: Seq[(Long, Seq[String])],
+      q: QueryParser.Parsed): Map[Long, Double] = {
+    import QueryParser._
+    val n = docs.size
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val df = docs.flatMap(_._2.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val allTerms = df.keySet
+    def idf(t: String) =
+      math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+    def bm25(t: String, ts: Seq[String]): Double = {
+      val tf = ts.count(_ == t)
+      if (tf == 0) 0.0
+      else idf(t) * tf * 2.2 /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * ts.size / avgdl))
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def expand(atom: Atom): Seq[(String, Double)] = atom match {
+      case TermAtom(t) => Seq((t, 1.0))
+      case PhraseAtom(ts) =>
+        ts.groupBy(identity).view.mapValues(_.size.toDouble).toSeq
+      case WildcardAtom(p) =>
+        val re = ("^" + p.split("\\*", -1).map(java.util.regex.Pattern
+          .quote).mkString(".*") + "$").r
+        allTerms.toSeq.filter(t => re.findFirstIn(t).isDefined)
+          .map((_, 1.0))
+      case FuzzyAtom(t, d) =>
+        allTerms.toSeq.filter(v => lev(v, t) <= d).map((_, 1.0))
+    }
+    def matches(atom: Atom, ts: Seq[String]): Boolean = atom match {
+      case PhraseAtom(ps) => ts.indices.exists(i =>
+        i + ps.size <= ts.size && ts.slice(i, i + ps.size) == ps)
+      case a => expand(a).exists { case (t, _) => ts.contains(t) }
+    }
+    docs.flatMap { case (id, ts) =>
+      val must = q.clauses.filter(_.occur == Must)
+      val not = q.clauses.filter(_.occur == MustNot)
+      val pos = q.clauses.filter(_.occur != MustNot)
+      if (must.exists(c => !matches(c.atom, ts)) ||
+        not.exists(c => matches(c.atom, ts))) None
+      else {
+        val score = pos.filter(c => matches(c.atom, ts)).map { c =>
+          expand(c.atom).map { case (t, w) => w * bm25(t, ts) }.sum
+        }.sum
+        if (score > 0.0) Some(id -> score) else None
+      }
+    }.toMap
+  }
+
+  test("random queries: execution matches the in-memory evaluator") {
+    import spark.implicits._
+    val p = Prop.forAll(genCorpus, genQuery) { (corpus, query) =>
+      val docs = corpus.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts)
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val idx = IndexBuilder.build(df, cfg)
+      val parsed = QueryParser.parse(query, cfg)
+      val want = refEval(docs, parsed)
+      val got = QueryParser.search(idx, Seq(("q", query)), cfg, k = 1000)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val sameDocs = got.keySet == want.keySet
+      val sameScores = sameDocs && got.forall { case (d, s) =>
+        math.abs(s - want(d)) < 1e-9
+      }
+      if (!sameScores)
+        println(s"MISMATCH query='$query' docs=$docs\n got=$got\n want=$want")
+      sameScores
+    }
+    checkP(p, 12)
+  }
+}
