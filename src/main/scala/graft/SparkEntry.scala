@@ -485,6 +485,21 @@ object SparkEntry {
           col("doc_len"),
           graft.Canon.r(col("bm25"), 4).as("bm25"))),
 
+    // ---- linear LTR model applied over the feature vector (the serving
+    //      half of the LTR loop; fixed fixture weights, name-ordered
+    //      IEEE fold mirrored by the oracle) ----
+    "q_ltr_score" -> ((s, dir) =>
+      graft.query.LtrFeatures.scoreLinear(
+        graft.query.LtrFeatures.features(plans.index(s, dir),
+          QuerySet.df(s), cfg),
+        weights = Map("bm25" -> 0.5, "doc_len" -> -0.015625,
+          "max_idf" -> 0.25, "max_tf" -> 0.125, "matched_qtf" -> 0.0625,
+          "n_matched" -> 1.0, "sum_idf" -> 0.5, "sum_tf" -> 0.03125),
+        bias = 0.25, k = TopK)
+        .select(col("query_id"), col("doc_id"),
+          graft.Canon.r(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))),
+
     // ---- the reference's headline claim, engine form: nDCG@10 of the
     //      reranked list vs the BM25 list (reference README.md:73-77,
     //      0.57 -> 0.65 lift) ----
@@ -1412,6 +1427,44 @@ object SparkEntry {
           |JOIN doclen d ON p.doc_id = d.doc_id
           |CROSS JOIN stats s
           |GROUP BY 1, 2""".stripMargin),
+
+      // linear LTR scoring: the RAW feature aggregates (unrounded),
+      // combined in the exact name-ordered IEEE sequence the engine
+      // folds in: bias + bm25·w + doc_len·w + max_idf·w + max_tf·w +
+      // matched_qtf·w + n_matched·w + sum_idf·w + sum_tf·w
+      "q_ltr_score" -> withCtes(coreCtes :+
+        """lfeat AS (
+          |  SELECT q.query_id, p.doc_id,
+          |    count(*) AS n_matched,
+          |    sum(q.qtf) AS matched_qtf,
+          |    sum(p.tf) AS sum_tf,
+          |    max(p.tf) AS max_tf,
+          |    sum(t.idf) AS sum_idf,
+          |    max(t.idf) AS max_idf,
+          |    min(d.doc_len) AS doc_len,
+          |    sum(q.qtf * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS bm25
+          |  FROM qterms q
+          |  JOIN postings p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id
+          |  CROSS JOIN stats s
+          |  GROUP BY 1, 2)""".stripMargin :+
+        """lsc AS (
+          |  SELECT query_id, doc_id,
+          |    0.25 + bm25 * 0.5 + doc_len::DOUBLE * -0.015625
+          |    + max_idf * 0.25 + max_tf::DOUBLE * 0.125
+          |    + matched_qtf::DOUBLE * 0.0625 + n_matched::DOUBLE * 1.0
+          |    + sum_idf * 0.5 + sum_tf::DOUBLE * 0.03125 AS score
+          |  FROM lfeat)""".stripMargin,
+        """SELECT query_id, doc_id,
+          |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank
+          |FROM (SELECT query_id, doc_id, score, row_number() OVER (
+          |    PARTITION BY query_id
+          |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |  FROM lsc)
+          |WHERE rank <= 100""".stripMargin),
 
       "q_rerank_ndcg" -> withCtes(coreCtes ++ Seq(scored, ranked(TopK),
         embeddingExploded) ++ rerankCtes ++ Seq(gold,

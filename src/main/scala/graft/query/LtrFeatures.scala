@@ -53,4 +53,28 @@ object LtrFeatures {
         min(col("doc_len")).cast("long").as("doc_len"),
         sum(col("term_score")).as("bm25"))
   }
+
+  /** Apply a TRAINED linear ranking model over the feature vector — the
+    * serving half of the LTR loop (train offline on [[features]] ⋈
+    * [[TrainingPairs]] labels, ship the weight vector back here):
+    * score = bias + Σ_f w_f · f, ranked per query under the canonical
+    * order. The summation folds over features in NAME order (and the
+    * oracle mirrors that exact IEEE sequence), so scores are
+    * reproducible cross-engine. A pure projection over [[features]]'
+    * single aggregation — no additional shuffle; the rank window is the
+    * same per-query top-k every ranking surface here pays.
+    *
+    * @param weights feature-name -> weight; names must be [[features]]
+    *        columns. @return (query_id, doc_id, score, rank) top-k. */
+  def scoreLinear(feats: DataFrame, weights: Map[String, Double],
+      bias: Double = 0.0, k: Int = 100): DataFrame = {
+    val bad = weights.keySet -- feats.columns.toSet
+    require(bad.isEmpty, s"unknown feature columns: $bad")
+    val score = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(bias)) { case (acc, (f, w)) =>
+        acc + col(f).cast("double") * lit(w)
+      }
+    Bm25.topK(
+      feats.select(col("query_id"), col("doc_id"), score.as("score")), k)
+  }
 }

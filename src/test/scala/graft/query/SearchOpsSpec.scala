@@ -211,6 +211,33 @@ class SearchOpsSpec extends SparkSpec {
     assert(none == base)
   }
 
+  test("linear LTR scoring: bm25-only weights reproduce the BM25 ranking; " +
+      "weights combine per the documented fold; unknown features reject") {
+    import spark.implicits._
+    val queries = Seq(("q1", "merge sort"), ("q2", "order")).toDF(
+      "query_id", "question")
+    val feats = LtrFeatures.features(idx, queries, cfg)
+    val viaLtr = LtrFeatures.scoreLinear(feats, Map("bm25" -> 1.0))
+      .select("query_id", "doc_id", "score", "rank").collect().toSet
+    val viaBm25 = Bm25.search(idx, queries, cfg)
+      .select("query_id", "doc_id", "score", "rank").collect().toSet
+    assert(viaLtr == viaBm25)
+    // hand-check one combined score
+    val f = feats.filter(col("query_id") === "q1")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(8), r.getDouble(9))).headOption
+    val got = LtrFeatures.scoreLinear(feats,
+      Map("n_matched" -> 2.0, "doc_len" -> -0.5, "bm25" -> 1.0), bias = 3.0)
+      .filter(col("query_id") === "q1")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    for ((d, (nm, dl, bm)) <- f)
+      assert(math.abs(got(d) - (3.0 + bm * 1.0 + dl * -0.5 + nm * 2.0))
+        < 1e-12)
+    intercept[IllegalArgumentException] {
+      LtrFeatures.scoreLinear(feats, Map("nope" -> 1.0))
+    }
+  }
+
   test("facet counts partition the result set by each metadata column") {
     import spark.implicits._
     val results = Seq(("q1", 1L), ("q1", 3L), ("q1", 5L), ("q2", 4L))
