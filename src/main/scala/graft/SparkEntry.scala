@@ -26,6 +26,15 @@ object SparkEntry {
 
   private val ParseFixture = QuerySet.parseQueries
 
+  /** Stored-query registry for the percolator (q_percolate) — term-atom
+    * grammar subset; the oracle hand-encodes the expected parse. */
+  private val PercolateFixture: Seq[(String, String)] = Seq(
+    ("s01", "merge sort"),
+    ("s02", "+merge -window"),
+    ("s03", "+merge +sort"),
+    ("s04", "zebra"),
+    ("s05", "-merge sort"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -925,6 +934,13 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"),
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
+
+    // ---- percolation: reverse search — which stored queries does each
+    //      document trigger (registry broadcast, documents streamed) ----
+    "q_percolate" -> ((s, dir) =>
+      graft.query.Percolator.matches(
+        graft.query.Percolator.registry(PercolateFixture, cfg, s),
+        docs(s, dir), cfg)),
 
     // ---- faceted result counts over the ranked top-k (lang + source) ----
     "q_facets" -> ((s, dir) =>
@@ -2626,6 +2642,33 @@ object SparkEntry {
           |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
           |  FROM mfilt)
           |WHERE rank <= 100""".stripMargin),
+
+      // percolation: the registry VALUES hand-encode the expected parse
+      // of each stored query (term-atom subset); a doc triggers a query
+      // when all must terms present, >=1 positive term, no not term
+      "q_percolate" -> withCtes(Seq(tokArrays, toks,
+        """preg(query_id, term, occur) AS (VALUES
+          |  ('s01', 'merge', 'should'), ('s01', 'sort', 'should'),
+          |  ('s02', 'merge', 'must'), ('s02', 'window', 'not'),
+          |  ('s03', 'merge', 'must'), ('s03', 'sort', 'must'),
+          |  ('s04', 'zebra', 'should'),
+          |  ('s05', 'merge', 'not'), ('s05', 'sort', 'should'))""".stripMargin,
+        """preq AS (
+          |  SELECT query_id,
+          |    sum(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS n_must
+          |  FROM preg GROUP BY 1)""".stripMargin,
+        "pdoc AS (SELECT DISTINCT doc_id, term FROM toks)",
+        """phit AS (
+          |  SELECT d.doc_id, r.query_id,
+          |    sum(CASE WHEN r.occur = 'must' THEN 1 ELSE 0 END) AS m_hit,
+          |    sum(CASE WHEN r.occur <> 'not' THEN 1 ELSE 0 END) AS p_hit,
+          |    sum(CASE WHEN r.occur = 'not' THEN 1 ELSE 0 END) AS x_hit
+          |  FROM pdoc d JOIN preg r USING (term)
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT p.doc_id, p.query_id
+          |FROM phit p JOIN preq q USING (query_id)
+          |WHERE p.m_hit = q.n_must AND p.p_hit >= 1
+          |  AND p.x_hit = 0""".stripMargin),
 
       // query-language parser: the atoms table IS the hand-encoded
       // expected parse of each ParseFixture string; execution mirrors

@@ -1,0 +1,81 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+/** Percolation — reverse search (the Elasticsearch percolator / Lucene
+  * `MemoryIndex` pattern): a REGISTRY of stored queries is matched
+  * against each incoming document, answering "which saved searches /
+  * alerts does this document trigger" instead of "which documents match
+  * this query". The forward engine indexes documents and streams
+  * queries; the percolator broadcasts queries and streams documents —
+  * which is why it drops out of the same machinery run backwards.
+  *
+  * Stored queries use the [[QueryParser]] grammar restricted to TERM
+  * atoms (`+must should -not` — the alerting subset; phrase/wildcard/
+  * fuzzy percolation would need per-doc position/dictionary probes and
+  * is out of scope). A stored query matches a document when every MUST
+  * term is present, at least one positive term is present, and no NOT
+  * term is present — exactly the boolean candidate rule docs-side.
+  *
+  * Scale shape: the registry is bounded (10⁴-10⁶ saved searches — a
+  * broadcast), documents are the unbounded side: one narrow tokenize
+  * pass, one broadcast join registry⋈(doc,term), ONE (doc, query)
+  * aggregation with map-side partials. No state, no index — which makes
+  * the operator STREAMING-SAFE as-is: the same plan runs under
+  * Structured Streaming per micro-batch (append mode, no watermark
+  * needed), asserted streamed ≡ batch in PercolatorSpec.
+  */
+object Percolator {
+
+  /** Parse stored query strings into the registry relation:
+    * (query_id, term, occur) — term atoms only; other atom kinds are
+    * rejected loudly (a registered alert must not silently weaken). */
+  def registry(stored: Seq[(String, String)], cfg: TokenizerConfig,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    import QueryParser._
+    val rows = stored.flatMap { case (qid, s) =>
+      parse(s, cfg).clauses.map {
+        case Clause(occur, TermAtom(t)) =>
+          (qid, t, occur match {
+            case Must => "must"; case MustNot => "not"; case _ => "should"
+          })
+        case Clause(_, other) => throw new IllegalArgumentException(
+          s"percolator query '$qid' uses a non-term atom: $other")
+      }
+    }
+    rows.toDF("query_id", "term", "occur")
+  }
+
+  /** Match documents against the registry. The per-query requirement
+    * counts are joined onto the registry rows STATIC-SIDE (before the
+    * stream ever sees them), so the stream plan is join → one
+    * aggregation → filter — legal under Structured Streaming's update
+    * mode with no watermark or post-aggregation join.
+    * @return (doc_id, query_id) — one row per triggered stored query. */
+  def matches(registry: DataFrame, docs: DataFrame, cfg: TokenizerConfig,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val req = registry.groupBy(col("query_id"))
+      .agg(sum(when(col("occur") === "must", 1).otherwise(0)).as("n_must"),
+        sum(when(col("occur") =!= "not", 1).otherwise(0)).as("n_pos"))
+    val reg = registry.join(req, Seq("query_id")) // static-side precompute
+    val docTerms = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          IndexBuilder.tokens(col(textCol), cfg))).as("term"))
+    docTerms
+      .join(broadcast(reg), Seq("term"))
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(
+        sum(when(col("occur") === "must", 1).otherwise(0)).as("m_hit"),
+        sum(when(col("occur") =!= "not", 1).otherwise(0)).as("p_hit"),
+        sum(when(col("occur") === "not", 1).otherwise(0)).as("x_hit"),
+        max(col("n_must")).as("n_must"), max(col("n_pos")).as("n_pos"))
+      .filter(col("m_hit") === col("n_must") && col("p_hit") >= 1 &&
+        col("x_hit") === 0)
+      .select(col("doc_id"), col("query_id"))
+  }
+}

@@ -245,7 +245,9 @@ object QueryParser {
           .filter(col("n_hit") === col("n_terms"))
           .select(col("query_id"), col("atom_id"), col("occur"),
             col("doc_id"))
-          .distinct()
+        // NOT deduplicated: multiple alignments per doc are fine — both
+        // consumers are semi/anti joins, and skipping the distinct saves
+        // an exchange
       }
 
     // ---- combine: must-count gate, NOT anti-join, phrase gate ----
@@ -259,12 +261,12 @@ object QueryParser {
       .withColumn("is_must", (col("occur") === "must").cast("int"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"), sum(col("is_must")).as("m_hit"))
+    // duplicates harmless under left_anti — no distinct exchange
     val notMatch = ascore
       .filter(col("occur") === "not" && col("kind") =!= "phrase")
       .select(col("query_id"), col("doc_id"))
       .unionByName(phraseMatch.filter(col("occur") === "not")
         .select(col("query_id"), col("doc_id")))
-      .distinct()
     val mc = broadcast(mustCnt.result().toDF("query_id", "n_must"))
     val qualified = perDoc
       .join(mc, Seq("query_id"))

@@ -1,0 +1,75 @@
+package graft.query
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+
+/** Reverse search: stored-query registry matched against documents,
+  * batch semantics and the streamed ≡ batch property (the operator is
+  * stateless, so the same plan percolates a document stream). */
+class PercolatorSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+
+  private val stored = Seq(
+    ("s01", "merge sort"),          // any-of
+    ("s02", "+merge -window"),      // must + exclusion
+    ("s03", "+merge +sort"),        // conjunction
+    ("s04", "zebra"),               // never fires on this corpus
+    ("s05", "-merge sort"))         // positive + exclusion
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort things then window them"),
+      (3L, "merge words here"),
+      (4L, "window merge"),
+      (5L, "nothing relevant")).toDF("doc_id", "text")
+  }
+
+  test("batch percolation: must/should/not semantics per stored query") {
+    val reg = Percolator.registry(stored, cfg, spark)
+    val got = Percolator.matches(reg, docs, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "s01"), (2L, "s01"), (3L, "s01"), (4L, "s01"), // merge OR sort
+      (1L, "s02"), (3L, "s02"),          // merge AND NOT window (not 4)
+      (1L, "s03"),                       // merge AND sort
+      (2L, "s05")),                      // sort AND NOT merge
+      s"got: $got")
+  }
+
+  test("non-term atoms in a stored query are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Percolator.registry(Seq(("bad", "\"merge sort\"")), cfg, spark)
+    }
+    intercept[IllegalArgumentException] {
+      Percolator.registry(Seq(("bad", "mer*")), cfg, spark)
+    }
+  }
+
+  test("streamed percolation equals batch (stateless plan)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reg = Percolator.registry(stored, cfg, spark)
+    val source = MemoryStream[(Long, String)]
+    val q = Percolator.matches(reg, source.toDF().toDF("doc_id", "text"),
+        cfg)
+      .writeStream.format("memory").queryName("perc_live")
+      .outputMode("update").start()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    try {
+      source.addData(rows.take(2).toIndexedSeq)
+      q.processAllAvailable()
+      source.addData(rows.drop(2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("perc_live")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Percolator.matches(reg, docs, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+}
