@@ -187,6 +187,7 @@ object BuildIndexJob {
   *   --mode prf       --queries q.jsonl [--fb-docs 10] [--fb-terms 5]
   *                    [--lambda 0.5]
   *   --mode related   --seeds merge,sort [--top-m 10] [--min-co 2]
+  *   --mode percolate --queries stored.jsonl --corpus corpus.parquet
   *   --mode grep      --corpus corpus.parquet --pattern "merge_sort("
   *   --mode regex     --corpus corpus.parquet --pattern "malloc|calloc"
   *   --mode ann       --vec-ids 100,200 [--n-probe 4]  (needs --ann build)
@@ -321,6 +322,15 @@ object SearchJob {
         graft.query.MoreLikeThis.search(idx,
           col("doc_id").isin(seeds: _*),
           m = a.getOrElse("expansion-terms", "5").toInt, k = k)
+      case "percolate" =>
+        // reverse search: --queries = the stored-query registry
+        // (query_id, question; term-atom grammar), --corpus = documents
+        val stored = JobArgs.readQueries(spark, a("queries"))
+          .select(col("query_id").cast("string"), col("question"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.query.Percolator.matches(
+          graft.query.Percolator.registry(stored, cfg, spark),
+          spark.read.parquet(a("corpus")), cfg)
       case "grep" =>
         import spark.implicits._
         val corpus = spark.read.parquet(a("corpus"))
