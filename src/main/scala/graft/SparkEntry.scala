@@ -935,6 +935,33 @@ object SparkEntry {
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
 
+    // ---- static index pruning quality: per-query top-10 overlap of the
+    //      pruned (top-200-postings-per-term) index vs the full index;
+    //      global stats kept, so surviving postings score identically ----
+    "q_prune_overlap" -> ((s, dir) => {
+      val idx = plans.index(s, dir)
+      val pruned = IndexBuilder.prune(idx, m = 200)
+      val qt = Bm25.queryTerms(QuerySet.df(s), cfg)
+      def top10(i: graft.index.InvertedIndex) =
+        Bm25.topK(Bm25.score(i, qt), 10)
+          .select(col("query_id"), col("doc_id"))
+      val full = top10(idx)
+      val pr = top10(pruned)
+      val nf = full.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_full"))
+      val np = pr.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_pruned"))
+      val nh = full.join(pr, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      nf.join(np, Seq("query_id"), "left")
+        .join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_full"),
+          coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_full"))
+            .as("overlap"))
+    }),
+
     // ---- percolation: reverse search — which stored queries does each
     //      document trigger (registry broadcast, documents streamed) ----
     "q_percolate" -> ((s, dir) =>
@@ -2642,6 +2669,58 @@ object SparkEntry {
           |    ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
           |  FROM mfilt)
           |WHERE rank <= 100""".stripMargin),
+
+      // static pruning quality: prune = per-term top-200 postings by the
+      // canonical BM25-potential key (global stats kept), then top-10
+      // overlap per query vs the full chain
+      "q_prune_overlap" -> withCtes(coreCtes ++ Seq(scored, ranked(10),
+        """ppost AS (
+          |  SELECT term, doc_id, tf FROM (
+          |    SELECT p.term, p.doc_id, p.tf,
+          |      row_number() OVER (PARTITION BY p.term ORDER BY
+          |        floor(p.tf * 2.2 /
+          |          (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl))
+          |          * 1e6 + 0.5) DESC, p.doc_id ASC) AS prk
+          |    FROM postings p JOIN doclen d USING (doc_id)
+          |    CROSS JOIN stats s)
+          |  WHERE prk <= 200)""".stripMargin,
+        """pscored2 AS (
+          |  SELECT q.query_id, p.doc_id,
+          |    sum(q.qtf * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |      AS score
+          |  FROM qterms q
+          |  JOIN ppost p USING (term)
+          |  JOIN termstats t USING (term)
+          |  JOIN doclen d ON p.doc_id = d.doc_id
+          |  CROSS JOIN stats s
+          |  GROUP BY q.query_id, p.doc_id
+          |  HAVING sum(q.qtf * t.idf * p.tf * 2.2 /
+          |        (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)))
+          |    > 0)""".stripMargin,
+        """pranked2 AS (
+          |  SELECT query_id, doc_id FROM (
+          |    SELECT query_id, doc_id, row_number() OVER (
+          |      PARTITION BY query_id
+          |      ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id ASC) AS rank
+          |    FROM pscored2)
+          |  WHERE rank <= 10)""".stripMargin,
+        "ofull AS (SELECT query_id, count(*) AS n_full FROM ranked" +
+          " GROUP BY 1)",
+        "opr AS (SELECT query_id, count(*) AS n_pruned FROM pranked2" +
+          " GROUP BY 1)",
+        """ohit AS (
+          |  SELECT r.query_id, count(*) AS n_hit
+          |  FROM ranked r JOIN pranked2 p
+          |    ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+          |  GROUP BY 1)""".stripMargin),
+        """SELECT f.query_id, f.n_full,
+          |  coalesce(p.n_pruned, 0) AS n_pruned,
+          |  coalesce(h.n_hit, 0) AS n_hit,
+          |  coalesce(h.n_hit, 0)::DOUBLE / f.n_full AS overlap
+          |FROM ofull f
+          |LEFT JOIN opr p USING (query_id)
+          |LEFT JOIN ohit h USING (query_id)""".stripMargin),
 
       // percolation: the registry VALUES hand-encode the expected parse
       // of each stored query (term-atom subset); a doc triggers a query

@@ -243,6 +243,41 @@ object IndexBuilder {
     * build(A) row-for-row, bit-exactly (IndexInvariantsSpec;
     * q_index_delete oracle-checks against a fresh build over the
     * remaining corpus). */
+  /** Static index pruning (Carmel et al., SIGIR'01) — keep only each
+    * term's top-`m` postings by their BM25 score potential, producing a
+    * smaller (lossy, disclosed) serving index: the long tail of a
+    * frequent term's posting list rarely reaches any top-k, so dropping
+    * it buys index size and scan cost at a measured quality price
+    * (q_prune_overlap reports exact top-10 overlap vs the full index).
+    * Global stats (df/idf/avgdl/N) are KEPT from the full corpus — the
+    * standard pruning contract, so surviving postings score identically.
+    *
+    * The per-term ranking key is the full BM25 term score at the
+    * pruning params (idf is constant within a term, so the order is
+    * tf·(k1+1)/(tf+k1·norm) — canonical floor key, doc_id tiebreak).
+    * Skew-safe two-phase selection ([[graft.query.Bm25.topKSkewSafe]]'s
+    * shape): phase 1 takes the top-m inside `fanout` doc-hash
+    * sub-groups per term — a stopword-like term's 10⁹ postings never
+    * pin one reducer — phase 2 ranks the surviving ≤ fanout·m rows. */
+  def prune(idx: InvertedIndex, m: Int, fanout: Int = 32,
+      k1: Double = K1Default, b: Double = BDefault): InvertedIndex = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lit(1.0) - lit(b) + lit(b) * col("doc_len") / lit(idx.avgdl)
+    val key = graft.Canon.rankKey(
+      col("tf") * lit(k1 + 1.0) / (col("tf") + lit(k1) * norm))
+    val sub = Window.partitionBy(col("term"),
+        pmod(col("doc_id"), lit(fanout)))
+      .orderBy(key.desc, col("doc_id").asc)
+    val fin = Window.partitionBy(col("term"))
+      .orderBy(key.desc, col("doc_id").asc)
+    val pruned = idx.postings
+      .withColumn("srank", row_number().over(sub))
+      .filter(col("srank") <= m).drop("srank")
+      .withColumn("prank", row_number().over(fin))
+      .filter(col("prank") <= m).drop("prank")
+    idx.copy(postings = pruned)
+  }
+
   def delete(idx: InvertedIndex, docIds: DataFrame): InvertedIndex = {
     val del = broadcast(docIds.select(col("doc_id")).distinct())
     val post = idx.postings.join(del, Seq("doc_id"), "left_anti")

@@ -1,0 +1,56 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analysis.TokenizerConfig
+import graft.query.Bm25
+
+/** Static index pruning: selection law, losslessness bounds, fanout
+  * invariance (the two-phase skew-safe selection must equal the global
+  * ranking). */
+class PruneSpec extends SparkSpec {
+
+  private val cfg = TokenizerConfig.default
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+  private lazy val idx = IndexBuilder.build(docs, cfg)
+
+  test("m >= max df keeps every posting; pruned is always a subset") {
+    val maxDf = idx.termStats.agg(max(col("df"))).collect()(0).getLong(0)
+    val all = IndexBuilder.prune(idx, m = maxDf.toInt)
+    assert(all.postings.count() == idx.postings.count())
+    val pruned = IndexBuilder.prune(idx, m = 5)
+    assert(pruned.postings.join(idx.postings.select("term", "doc_id"),
+      Seq("term", "doc_id"), "left_anti").isEmpty)
+    // exactly min(df, m) postings survive per term
+    val perTerm = pruned.postings.groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .join(idx.termStats, Seq("term"))
+      .filter(col("n") =!= least(col("df"), lit(5)))
+    assert(perTerm.isEmpty)
+  }
+
+  test("fanout does not change the selection (skew-safe ≡ global)") {
+    val a = IndexBuilder.prune(idx, m = 7, fanout = 1).postings
+      .select("term", "doc_id").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet
+    val b = IndexBuilder.prune(idx, m = 7, fanout = 32).postings
+      .select("term", "doc_id").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("single-term queries are lossless at any m >= k (the kept " +
+      "postings ARE the term's best scores); stats stay the full corpus's") {
+    import spark.implicits._
+    val pruned = IndexBuilder.prune(idx, m = 10)
+    assert(pruned.avgdl == idx.avgdl && pruned.numDocs == idx.numDocs)
+    val q = Seq(("q", "merge")).toDF("query_id", "question")
+    val full = Bm25.search(idx, q, cfg, k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    val pr = Bm25.search(pruned, q, cfg, k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    assert(full == pr)
+  }
+}
