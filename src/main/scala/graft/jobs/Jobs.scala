@@ -81,6 +81,16 @@ object BuildIndexJob {
     ServingIndex.write(
       ServingIndex.fromPostings(idx.postings, partitions),
       s"${a("output")}/serving")
+    a.get("prune-top").foreach { m =>
+      // static-pruned serving variant (Carmel et al.): per-term top-m
+      // postings under the canonical BM25-potential key, full-corpus
+      // stats kept — a smaller, disclosed-lossy index for latency-first
+      // tiers (measure the quality price with q_prune_overlap's form)
+      ServingIndex.write(
+        ServingIndex.fromPostings(
+          IndexBuilder.prune(idx, m.toInt).postings, partitions),
+        s"${a("output")}/serving_pruned")
+    }
     if (a.getOrElse("positional", "false").toBoolean)
       // positional serving blocks: phrase / proximity queries serve from
       // these (SearchJob auto-discovers /serving_pos) instead of paying
