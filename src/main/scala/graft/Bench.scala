@@ -231,7 +231,7 @@ object Bench {
     if (skipHeadline) {
       results("index_build_spimi") = 1.0 // placeholders keep the JSON shape
       Seq("query_bm25_join", "query_wand", "query_wand_segmented",
-        "query_bool", "query_parse",
+        "query_bool", "query_parse", "percolate",
         "query_bm25f_wand", "query_phrase_serving", "query_prf", "rerank",
         "dedup_exact", "dedup_minhash", "dedup_jaccard_join",
         "dedup_simhash_pairs", "dedup_spans", "pack_sequences",
@@ -290,6 +290,14 @@ object Bench {
     // parse + expansion probes + gated scoring in one composed plan
     results("query_parse") = timeWarm(graft.query.QueryParser.search(
       idx, graft.fixtures.QuerySet.parseQueries, cfg, 100).count())._1
+
+    // percolation: a 25-stored-query registry matched against the full
+    // corpus — registry broadcast, one (doc, query) aggregation
+    results("percolate") = timeWarm(graft.query.Percolator.matches(
+      graft.query.Percolator.registry(
+        graft.fixtures.QuerySet.queries.map { case (id, q, _) =>
+          (id, q) }, cfg, s),
+      c, cfg).count())._1
 
     // pseudo-relevance feedback: the full two-pass loop (pass 1 top-10,
     // feedback mining, weighted pass 2) — expected ~2x the join-path line
