@@ -2778,18 +2778,22 @@ object SparkEntry {
           |  ('p07', 1, 'term', 'should', 'merge', 0, 1.0, 0),
           |  ('p08', 0, 'term', 'should', 'merge', 0, 1.0, 0),
           |  ('p08', 1, 'term', 'should', 'the', 0, 1.0, 0),
-          |  ('p08', 2, 'term', 'should', 'sort', 0, 1.0, 0))""".stripMargin,
+          |  ('p08', 2, 'term', 'should', 'sort', 0, 1.0, 0),
+          |  ('p09', 0, 'term', 'should', 'merge', 0, 2.0, 0),
+          |  ('p09', 1, 'term', 'should', 'sort', 0, 1.0, 0),
+          |  ('p09', 2, 'phrase', 'should', 'merge', 0, 0.5, 0),
+          |  ('p09', 2, 'phrase', 'should', 'sort', 1, 0.5, 0))""".stripMargin,
         """pat_terms AS (
           |  SELECT query_id, atom_id, kind, occur, term, w FROM patoms
           |  WHERE kind = 'term'
           |  UNION ALL
           |  SELECT query_id, atom_id, kind, occur, term,
-          |    CAST(count(*) AS DOUBLE) AS w
+          |    sum(w) AS w
           |  FROM patoms WHERE kind = 'phrase'
           |  GROUP BY query_id, atom_id, kind, occur, term
           |  UNION ALL
-          |  SELECT query_id, atom_id, kind, occur, term, 1.0 AS w FROM (
-          |    SELECT a.query_id, a.atom_id, a.kind, a.occur, t.term,
+          |  SELECT query_id, atom_id, kind, occur, term, w FROM (
+          |    SELECT a.query_id, a.atom_id, a.kind, a.occur, t.term, a.w,
           |      row_number() OVER (PARTITION BY a.query_id, a.atom_id
           |        ORDER BY t.df DESC, t.term ASC) AS xr
           |    FROM patoms a JOIN termstats t
@@ -2797,7 +2801,7 @@ object SparkEntry {
           |        replace(replace(a.term, '_', '\_'), '*', '%') ESCAPE '\')
           |  WHERE xr <= 1000
           |  UNION ALL
-          |  SELECT a.query_id, a.atom_id, a.kind, a.occur, t.term, 1.0 AS w
+          |  SELECT a.query_id, a.atom_id, a.kind, a.occur, t.term, a.w
           |  FROM patoms a JOIN termstats t
           |    ON a.kind = 'fuzzy' AND levenshtein(t.term, a.term) <= a.dist)
           |""".stripMargin,

@@ -62,7 +62,8 @@ object QuerySet {
     ("p05", "merje~1 sort"),
     ("p06", "+\"sort merge\" filter"),
     ("p07", "-\"merge sort\" merge"),
-    ("p08", "MERGE the a sort"))
+    ("p08", "MERGE the a sort"),
+    ("p09", "merge^2 sort \"merge sort\"^0.5"))
 
   /** SQL VALUES list for the DuckDB oracle — built from the SAME Seq so the
     * two sides can never drift. */

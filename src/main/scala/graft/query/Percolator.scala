@@ -40,11 +40,11 @@ object Percolator {
     import QueryParser._
     val rows = stored.flatMap { case (qid, s) =>
       parse(s, cfg).clauses.map {
-        case Clause(occur, TermAtom(t)) =>
+        case Clause(occur, TermAtom(t), _) => // boosts are moot: boolean
           (qid, t, occur match {
             case Must => "must"; case MustNot => "not"; case _ => "should"
           })
-        case Clause(_, other) => throw new IllegalArgumentException(
+        case Clause(_, other, _) => throw new IllegalArgumentException(
           s"percolator query '$qid' uses a non-term atom: $other")
       }
     }

@@ -64,11 +64,14 @@ object QueryParser {
   final case class WildcardAtom(pattern: String) extends Atom
   final case class FuzzyAtom(term: String, maxDist: Int) extends Atom
 
-  final case class Clause(occur: Occur, atom: Atom)
+  /** `boost` multiplies the atom's score contribution (Lucene `^b`). */
+  final case class Clause(occur: Occur, atom: Atom, boost: Double = 1.0)
   final case class Parsed(clauses: Seq[Clause])
 
-  private val clauseRe = """([+\-])?("([^"]*)"|[^\s"]+)""".r
+  private val clauseRe =
+    """([+\-])?("([^"]*)"(\^[0-9.]+)?|[^\s"]+)""".r
   private val fuzzyRe = """(.+?)~(\d)?$""".r
+  private val boostRe = """(.*?)\^([0-9.]+)$""".r
 
   /** Parse one query string. Lenient: atoms the analyzer empties and
     * malformed wildcards drop silently (Lucene's analyzed-clause rule)
@@ -85,27 +88,33 @@ object QueryParser {
       }
       val quoted = m.group(3)
       if (quoted != null) {
+        val boost = Option(m.group(4)).map(_.drop(1).toDouble).getOrElse(1.0)
         tok.tokenize(quoted).toSeq match {
           case Seq() => Nil
-          case Seq(t) => Seq(Clause(occur, TermAtom(t)))
-          case many => Seq(Clause(occur, PhraseAtom(many)))
+          case Seq(t) => Seq(Clause(occur, TermAtom(t), boost))
+          case many => Seq(Clause(occur, PhraseAtom(many), boost))
         }
       } else {
-        val w = m.group(2)
+        // bare tokens carry an optional trailing ^boost
+        val (w, boost) = m.group(2) match {
+          case boostRe(base, b) if base.nonEmpty => (base, b.toDouble)
+          case other => (other, 1.0)
+        }
         if (w.contains("*")) {
           val pat = w.toLowerCase
           if (pat.count(_ == '*') == 1 && pat.length > 1)
-            Seq(Clause(occur, WildcardAtom(pat)))
+            Seq(Clause(occur, WildcardAtom(pat), boost))
           else Nil
         } else w match {
           case fuzzyRe(base, d) =>
             tok.tokenize(base).toSeq match {
               case Seq(t) =>
-                Seq(Clause(occur, FuzzyAtom(t, if (d == null) 1 else d.toInt)))
+                Seq(Clause(occur,
+                  FuzzyAtom(t, if (d == null) 1 else d.toInt), boost))
               case _ => Nil
             }
           case _ =>
-            tok.tokenize(w).toSeq.map(t => Clause(occur, TermAtom(t)))
+            tok.tokenize(w).toSeq.map(t => Clause(occur, TermAtom(t), boost))
         }
       }
     }
@@ -130,22 +139,22 @@ object QueryParser {
     val parsed = queries.map { case (id, s) => (id, parse(s, cfg).clauses) }
     val termRows = Seq.newBuilder[(String, Int, String, String, String, Double)]
     val phraseRows = Seq.newBuilder[(String, Int, String, Int, String)]
-    val wildRows = Seq.newBuilder[(String, Int, String, String)]
-    val fuzzyRows = Seq.newBuilder[(String, Int, String, String, Int)]
+    val wildRows = Seq.newBuilder[(String, Int, String, String, Double)]
+    val fuzzyRows = Seq.newBuilder[(String, Int, String, String, Int, Double)]
     val phraseLen = Seq.newBuilder[(String, Int, Int)]
     val mustCnt = Seq.newBuilder[(String, Int)]
     for ((qid, clauses) <- parsed) {
       mustCnt += ((qid, clauses.count(_.occur == Must)))
-      for ((Clause(occur, atom), aid) <- clauses.zipWithIndex) {
+      for ((Clause(occur, atom, boost), aid) <- clauses.zipWithIndex) {
         val o = occurStr(occur)
         atom match {
           case TermAtom(t) =>
-            termRows += ((qid, aid, o, "term", t, 1.0))
+            termRows += ((qid, aid, o, "term", t, boost))
           case PhraseAtom(ts) =>
             for ((t, i) <- ts.zipWithIndex) phraseRows += ((qid, aid, o, i, t))
-            // scoring terms with within-phrase multiplicity
+            // scoring terms: within-phrase multiplicity × atom boost
             for ((t, n) <- ts.groupBy(identity).view.mapValues(_.size))
-              termRows += ((qid, aid, o, "phrase", t, n.toDouble))
+              termRows += ((qid, aid, o, "phrase", t, n * boost))
             // full match = every OFFSET satisfied at one aligned base
             // (ts.length, not distinct terms — "merge sort merge" needs
             // all three positions)
@@ -154,9 +163,9 @@ object QueryParser {
             // permuterm rule: a*b matches term iff rotation b$a prefixes
             val i = pat.indexOf('*')
             val (a, b) = (pat.substring(0, i), pat.substring(i + 1))
-            wildRows += ((qid, aid, o, s"$b$$$a"))
+            wildRows += ((qid, aid, o, s"$b$$$a", boost))
           case FuzzyAtom(t, d) =>
-            fuzzyRows += ((qid, aid, o, t, d))
+            fuzzyRows += ((qid, aid, o, t, d, boost))
         }
       }
     }
@@ -169,11 +178,13 @@ object QueryParser {
     val wildTerms =
       if (wild.isEmpty) litTerms.limit(0)
       else {
-        val pats = wild.toDF("query_id", "atom_id", "occur", "prefix")
+        val pats = wild.toDF("query_id", "atom_id", "occur", "prefix",
+          "boost")
         val dict = permutermDict.getOrElse(Expansion.permuterm(index.termStats))
         val cand = dict
           .join(broadcast(pats), col("rotation").startsWith(col("prefix")))
-          .select(col("query_id"), col("atom_id"), col("occur"), col("term"))
+          .select(col("query_id"), col("atom_id"), col("occur"),
+            col("term"), col("boost"))
           .distinct()
         val wnd = Window.partitionBy(col("query_id"), col("atom_id"))
           .orderBy(col("df").desc, col("term").asc)
@@ -181,7 +192,7 @@ object QueryParser {
           .withColumn("xr", row_number().over(wnd))
           .filter(col("xr") <= maxExpansions)
           .select(col("query_id"), col("atom_id"), col("occur"),
-            lit("wild").as("kind"), col("term"), lit(1.0).as("w"))
+            lit("wild").as("kind"), col("term"), col("boost").as("w"))
       }
 
     // ---- fuzzy expansion: one trigram-dictionary probe (batch) ----
@@ -195,11 +206,12 @@ object QueryParser {
         val cand = Expansion.didYouMean(index, bases, maxDist = maxD,
             m = Int.MaxValue, trigramDict = trigramDict)
           .select(col("query_term"), col("term"), col("dist"))
-        fuzzy.toDF("query_id", "atom_id", "occur", "base", "max_dist")
+        fuzzy.toDF("query_id", "atom_id", "occur", "base", "max_dist",
+            "boost")
           .join(cand, col("base") === col("query_term") &&
             col("dist") <= col("max_dist"))
           .select(col("query_id"), col("atom_id"), col("occur"),
-            lit("fuzzy").as("kind"), col("term"), lit(1.0).as("w"))
+            lit("fuzzy").as("kind"), col("term"), col("boost").as("w"))
       }
 
     val atomTerms = litTerms.unionByName(wildTerms).unionByName(fuzzyTerms)

@@ -62,6 +62,25 @@ class QueryParserSpec extends SparkSpec {
     QueryParser.search(idx, Seq(("q", q)), cfg)
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
 
+  test("boost syntax parses on every atom kind and scales contributions") {
+    assert(parse("merge^2", cfg).clauses ==
+      Seq(Clause(Should, TermAtom("merge"), 2.0)))
+    assert(parse("\"merge sort\"^0.5", cfg).clauses ==
+      Seq(Clause(Should, PhraseAtom(Seq("merge", "sort")), 0.5)))
+    assert(parse("mer*^3", cfg).clauses ==
+      Seq(Clause(Should, WildcardAtom("mer*"), 3.0)))
+    assert(parse("merje~1^2", cfg).clauses ==
+      Seq(Clause(Should, FuzzyAtom("merje", 1), 2.0)))
+    assert(parse("+sort^1.5", cfg).clauses ==
+      Seq(Clause(Must, TermAtom("sort"), 1.5)))
+    // execution: boosted term scores exactly 2x the unboosted
+    val base = res("merge")
+    val boosted = res("merge^2")
+    assert(boosted.keySet == base.keySet)
+    for ((d, s) <- boosted)
+      assert(math.abs(s - 2.0 * base(d)) < 1e-12, s"doc $d")
+  }
+
   test("pure-OR query equals Bm25.search") {
     import spark.implicits._
     val base = Bm25.search(idx,
