@@ -103,7 +103,11 @@ object Mmr {
   }
 
   /** Full pipeline: exact first-pass cosine top-`n` per query vector,
-    * then MMR-diversify to `k`. */
+    * then MMR-diversify to `k`. The brute-force first pass is the
+    * labeled Q×N baseline; at scale feed [[diversify]] from
+    * [[graft.ops.Similarity.lshTopK]] / `ivfTopK` / `servedTopK`
+    * instead — MMR only ever sees the bounded candidate list, so the
+    * retriever choice is orthogonal. */
   def searchDiversified(embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column, n: Int = 20,
       lambda: Double = 0.5, k: Int = 10): DataFrame =
