@@ -930,7 +930,8 @@ object SparkEntry {
     //      and mirrors the uniform atom-match semantics ----
     "q_parse" -> ((s, dir) =>
       graft.query.QueryParser.search(plans.index(s, dir), ParseFixture,
-        cfg, k = TopK)
+        cfg, k = TopK, metaFields = Set("lang", "source"),
+        docsMeta = Some(docs(s, dir)))
         .select(col("query_id"), col("doc_id"),
           graft.Canon.r(col("score"), 4).as("score"),
           col("rank").cast("long").as("rank"))),
@@ -2757,32 +2758,38 @@ object SparkEntry {
       // must-count gate, NOT anti-join, score > 0)
       "q_parse" -> withCtes(Seq(tokArrays, toks, doclen, postings, stats,
         termstats,
-        """patoms(query_id, atom_id, kind, occur, term, ppos, w, dist)
+        """patoms(query_id, atom_id, kind, occur, term, ppos, w, dist,
+          |       field)
           |  AS (VALUES
-          |  ('p01', 0, 'term', 'should', 'merge', 0, 1.0, 0),
-          |  ('p01', 1, 'term', 'should', 'sort', 0, 1.0, 0),
-          |  ('p02', 0, 'term', 'must', 'merge', 0, 1.0, 0),
-          |  ('p02', 1, 'term', 'should', 'sort', 0, 1.0, 0),
-          |  ('p02', 2, 'term', 'not', 'window', 0, 1.0, 0),
-          |  ('p03', 0, 'phrase', 'should', 'merge', 0, 1.0, 0),
-          |  ('p03', 0, 'phrase', 'should', 'sort', 1, 1.0, 0),
-          |  ('p04', 0, 'wild', 'should', 'mer*', 0, 1.0, 0),
-          |  ('p04', 1, 'term', 'should', 'index', 0, 1.0, 0),
-          |  ('p05', 0, 'fuzzy', 'should', 'merje', 0, 1.0, 1),
-          |  ('p05', 1, 'term', 'should', 'sort', 0, 1.0, 0),
-          |  ('p06', 0, 'phrase', 'must', 'sort', 0, 1.0, 0),
-          |  ('p06', 0, 'phrase', 'must', 'merge', 1, 1.0, 0),
-          |  ('p06', 1, 'term', 'should', 'filter', 0, 1.0, 0),
-          |  ('p07', 0, 'phrase', 'not', 'merge', 0, 1.0, 0),
-          |  ('p07', 0, 'phrase', 'not', 'sort', 1, 1.0, 0),
-          |  ('p07', 1, 'term', 'should', 'merge', 0, 1.0, 0),
-          |  ('p08', 0, 'term', 'should', 'merge', 0, 1.0, 0),
-          |  ('p08', 1, 'term', 'should', 'the', 0, 1.0, 0),
-          |  ('p08', 2, 'term', 'should', 'sort', 0, 1.0, 0),
-          |  ('p09', 0, 'term', 'should', 'merge', 0, 2.0, 0),
-          |  ('p09', 1, 'term', 'should', 'sort', 0, 1.0, 0),
-          |  ('p09', 2, 'phrase', 'should', 'merge', 0, 0.5, 0),
-          |  ('p09', 2, 'phrase', 'should', 'sort', 1, 0.5, 0))""".stripMargin,
+          |  ('p01', 0, 'term', 'should', 'merge', 0, 1.0, 0, ''),
+          |  ('p01', 1, 'term', 'should', 'sort', 0, 1.0, 0, ''),
+          |  ('p02', 0, 'term', 'must', 'merge', 0, 1.0, 0, ''),
+          |  ('p02', 1, 'term', 'should', 'sort', 0, 1.0, 0, ''),
+          |  ('p02', 2, 'term', 'not', 'window', 0, 1.0, 0, ''),
+          |  ('p03', 0, 'phrase', 'should', 'merge', 0, 1.0, 0, ''),
+          |  ('p03', 0, 'phrase', 'should', 'sort', 1, 1.0, 0, ''),
+          |  ('p04', 0, 'wild', 'should', 'mer*', 0, 1.0, 0, ''),
+          |  ('p04', 1, 'term', 'should', 'index', 0, 1.0, 0, ''),
+          |  ('p05', 0, 'fuzzy', 'should', 'merje', 0, 1.0, 1, ''),
+          |  ('p05', 1, 'term', 'should', 'sort', 0, 1.0, 0, ''),
+          |  ('p06', 0, 'phrase', 'must', 'sort', 0, 1.0, 0, ''),
+          |  ('p06', 0, 'phrase', 'must', 'merge', 1, 1.0, 0, ''),
+          |  ('p06', 1, 'term', 'should', 'filter', 0, 1.0, 0, ''),
+          |  ('p07', 0, 'phrase', 'not', 'merge', 0, 1.0, 0, ''),
+          |  ('p07', 0, 'phrase', 'not', 'sort', 1, 1.0, 0, ''),
+          |  ('p07', 1, 'term', 'should', 'merge', 0, 1.0, 0, ''),
+          |  ('p08', 0, 'term', 'should', 'merge', 0, 1.0, 0, ''),
+          |  ('p08', 1, 'term', 'should', 'the', 0, 1.0, 0, ''),
+          |  ('p08', 2, 'term', 'should', 'sort', 0, 1.0, 0, ''),
+          |  ('p09', 0, 'term', 'should', 'merge', 0, 2.0, 0, ''),
+          |  ('p09', 1, 'term', 'should', 'sort', 0, 1.0, 0, ''),
+          |  ('p09', 2, 'phrase', 'should', 'merge', 0, 0.5, 0, ''),
+          |  ('p09', 2, 'phrase', 'should', 'sort', 1, 0.5, 0, ''),
+          |  ('p10', 0, 'term', 'should', 'merge', 0, 1.0, 0, ''),
+          |  ('p10', 1, 'filter', 'required', 'en', 0, 1.0, 0, 'lang'),
+          |  ('p11', 0, 'term', 'must', 'sort', 0, 1.0, 0, ''),
+          |  ('p11', 1, 'filter', 'not', 'de', 0, 1.0, 0, 'lang'),
+          |  ('p11', 2, 'filter', 'not', 'src7', 0, 1.0, 0, 'source'))""".stripMargin,
         """pat_terms AS (
           |  SELECT query_id, atom_id, kind, occur, term, w FROM patoms
           |  WHERE kind = 'term'
@@ -2829,6 +2836,19 @@ object SparkEntry {
           |  JOIN pphlen l ON l.query_id = b.query_id
           |    AND l.atom_id = b.atom_id
           |  WHERE b.n_hit = l.n_terms)""".stripMargin,
+        """pfm AS (
+          |  SELECT a.query_id, a.atom_id, a.occur, d.doc_id
+          |  FROM patoms a JOIN documents d
+          |    ON a.kind = 'filter' AND
+          |      (CASE a.field WHEN 'lang' THEN d.lang
+          |        WHEN 'source' THEN d.source END) = a.term)""".stripMargin,
+        """pfreq AS (
+          |  SELECT query_id, count(DISTINCT atom_id) AS n_freq
+          |  FROM patoms WHERE kind = 'filter' AND occur = 'required'
+          |  GROUP BY 1)""".stripMargin,
+        """pfhit AS (
+          |  SELECT query_id, doc_id, count(DISTINCT atom_id) AS f_hit
+          |  FROM pfm WHERE occur = 'required' GROUP BY 1, 2)""".stripMargin,
         """pposatom AS (
           |  SELECT s.query_id, s.atom_id, s.doc_id, s.sc,
           |    CASE WHEN s.occur = 'must' THEN 1 ELSE 0 END AS is_must
@@ -2845,16 +2865,23 @@ object SparkEntry {
           |    SELECT query_id, doc_id FROM pascore
           |    WHERE occur = 'not' AND kind <> 'phrase'
           |    UNION ALL
-          |    SELECT query_id, doc_id FROM pphm WHERE occur = 'not'))""".stripMargin,
+          |    SELECT query_id, doc_id FROM pphm WHERE occur = 'not'
+          |    UNION ALL
+          |    SELECT query_id, doc_id FROM pfm WHERE occur = 'not'))""".stripMargin,
         """pqual AS (
           |  SELECT p.query_id, p.doc_id, p.score FROM (
           |    SELECT query_id, doc_id, sum(sc) AS score,
           |      sum(is_must) AS m_hit
           |    FROM pposatom GROUP BY 1, 2) p
           |  LEFT JOIN pmust mc ON mc.query_id = p.query_id
+          |  LEFT JOIN pfreq fr ON fr.query_id = p.query_id
+          |  LEFT JOIN pfhit fh ON fh.query_id = p.query_id
+          |    AND fh.doc_id = p.doc_id
           |  LEFT JOIN pnotm nm ON nm.query_id = p.query_id
           |    AND nm.doc_id = p.doc_id
-          |  WHERE p.m_hit = coalesce(mc.n_must, 0) AND nm.doc_id IS NULL
+          |  WHERE p.m_hit = coalesce(mc.n_must, 0)
+          |    AND coalesce(fh.f_hit, 0) = coalesce(fr.n_freq, 0)
+          |    AND nm.doc_id IS NULL
           |    AND p.score > 0)""".stripMargin),
         """SELECT query_id, doc_id,
           |  CAST(floor(score * 1e4 + 0.5) / 1e4 AS DOUBLE) AS score, rank

@@ -63,7 +63,9 @@ object QuerySet {
     ("p06", "+\"sort merge\" filter"),
     ("p07", "-\"merge sort\" merge"),
     ("p08", "MERGE the a sort"),
-    ("p09", "merge^2 sort \"merge sort\"^0.5"))
+    ("p09", "merge^2 sort \"merge sort\"^0.5"),
+    ("p10", "merge lang:en"),
+    ("p11", "+sort -lang:de -source:src7"))
 
   /** SQL VALUES list for the DuckDB oracle — built from the SAME Seq so the
     * two sides can never drift. */

@@ -63,6 +63,9 @@ object QueryParser {
   final case class PhraseAtom(terms: Seq[String]) extends Atom
   final case class WildcardAtom(pattern: String) extends Atom
   final case class FuzzyAtom(term: String, maxDist: Int) extends Atom
+  /** Metadata filter (`lang:en`) — FILTER context: gates candidates,
+    * never scores, never satisfies the ≥1-positive-atom rule. */
+  final case class FilterAtom(field: String, value: String) extends Atom
 
   /** `boost` multiplies the atom's score contribution (Lucene `^b`). */
   final case class Clause(occur: Occur, atom: Atom, boost: Double = 1.0)
@@ -72,13 +75,19 @@ object QueryParser {
     """([+\-])?("([^"]*)"(\^[0-9.]+)?|[^\s"]+)""".r
   private val fuzzyRe = """(.+?)~(\d)?$""".r
   private val boostRe = """(.*?)\^([0-9.]+)$""".r
+  private val fieldRe = """(\w+):([\w.]+)""".r
 
   /** Parse one query string. Lenient: atoms the analyzer empties and
     * malformed wildcards drop silently (Lucene's analyzed-clause rule)
     * rather than erroring — a serving endpoint cannot throw on user
     * syntax. A bare word that analyzes to several tokens (e.g.
-    * "well-known") becomes several atoms with the same occur. */
-  def parse(q: String, cfg: TokenizerConfig): Parsed = {
+    * "well-known") becomes several atoms with the same occur.
+    * `metaFields` declares which `field:value` prefixes parse as
+    * metadata FILTER atoms (undeclared prefixes fall through to the
+    * analyzer like any word — fields must be opted in, exactly like a
+    * search API's filterable-attribute allowlist). */
+  def parse(q: String, cfg: TokenizerConfig,
+      metaFields: Set[String] = Set.empty): Parsed = {
     val tok = Tokenizer(cfg)
     val clauses = clauseRe.findAllMatchIn(q).toSeq.flatMap { m =>
       val occur: Occur = m.group(1) match {
@@ -100,21 +109,29 @@ object QueryParser {
           case boostRe(base, b) if base.nonEmpty => (base, b.toDouble)
           case other => (other, 1.0)
         }
-        if (w.contains("*")) {
-          val pat = w.toLowerCase
-          if (pat.count(_ == '*') == 1 && pat.length > 1)
-            Seq(Clause(occur, WildcardAtom(pat), boost))
-          else Nil
-        } else w match {
-          case fuzzyRe(base, d) =>
-            tok.tokenize(base).toSeq match {
-              case Seq(t) =>
-                Seq(Clause(occur,
-                  FuzzyAtom(t, if (d == null) 1 else d.toInt), boost))
-              case _ => Nil
-            }
-          case _ =>
-            tok.tokenize(w).toSeq.map(t => Clause(occur, TermAtom(t), boost))
+        val filt = w match {
+          case fieldRe(f, v) if metaFields.contains(f.toLowerCase) =>
+            Some(Seq(Clause(occur, FilterAtom(f.toLowerCase, v), boost)))
+          case _ => None
+        }
+        filt.getOrElse {
+          if (w.contains("*")) {
+            val pat = w.toLowerCase
+            if (pat.count(_ == '*') == 1 && pat.length > 1)
+              Seq(Clause(occur, WildcardAtom(pat), boost))
+            else Nil
+          } else w match {
+            case fuzzyRe(base, d) =>
+              tok.tokenize(base).toSeq match {
+                case Seq(t) =>
+                  Seq(Clause(occur,
+                    FuzzyAtom(t, if (d == null) 1 else d.toInt), boost))
+                case _ => Nil
+              }
+            case _ =>
+              tok.tokenize(w).toSeq
+                .map(t => Clause(occur, TermAtom(t), boost))
+          }
         }
       }
     }
@@ -126,25 +143,39 @@ object QueryParser {
   }
 
   /** Parse and execute a batch of (query_id, query_string).
+    * `metaFields` + `docsMeta` enable `field:value` FILTER atoms —
+    * `docsMeta` is the metadata table (doc_id + the declared fields),
+    * required whenever the batch uses a filter atom.
     * @return (query_id, doc_id, score, rank) top-k per query. */
   def search(index: InvertedIndex, queries: Seq[(String, String)],
       cfg: TokenizerConfig, k: Int = 100, maxExpansions: Int = 1000,
       p: Bm25.Params = Bm25.Params(),
       permutermDict: Option[DataFrame] = None,
-      trigramDict: Option[DataFrame] = None): DataFrame = {
+      trigramDict: Option[DataFrame] = None,
+      metaFields: Set[String] = Set.empty,
+      docsMeta: Option[DataFrame] = None): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
 
     // ---- flatten the parse into driver-side atom rows (post-drop ids) --
-    val parsed = queries.map { case (id, s) => (id, parse(s, cfg).clauses) }
+    val parsed = queries.map { case (id, s) =>
+      (id, parse(s, cfg, metaFields).clauses)
+    }
     val termRows = Seq.newBuilder[(String, Int, String, String, String, Double)]
     val phraseRows = Seq.newBuilder[(String, Int, String, Int, String)]
     val wildRows = Seq.newBuilder[(String, Int, String, String, Double)]
     val fuzzyRows = Seq.newBuilder[(String, Int, String, String, Int, Double)]
     val phraseLen = Seq.newBuilder[(String, Int, Int)]
-    val mustCnt = Seq.newBuilder[(String, Int)]
+    val filterRows = Seq.newBuilder[(String, Int, String, String, String)]
+    val mustCnt = Seq.newBuilder[(String, Int, Int)]
     for ((qid, clauses) <- parsed) {
-      mustCnt += ((qid, clauses.count(_.occur == Must)))
+      // filter atoms gate separately (they never score, so the m_hit
+      // accumulator can't see them); n_filters = required filter atoms
+      mustCnt += ((qid,
+        clauses.count(c => c.occur == Must &&
+          !c.atom.isInstanceOf[FilterAtom]),
+        clauses.count(c => c.occur != MustNot &&
+          c.atom.isInstanceOf[FilterAtom])))
       for ((Clause(occur, atom, boost), aid) <- clauses.zipWithIndex) {
         val o = occurStr(occur)
         atom match {
@@ -166,6 +197,9 @@ object QueryParser {
             wildRows += ((qid, aid, o, s"$b$$$a", boost))
           case FuzzyAtom(t, d) =>
             fuzzyRows += ((qid, aid, o, t, d, boost))
+          case FilterAtom(f, v) =>
+            filterRows += ((qid, aid,
+              if (occur == MustNot) "not" else "required", f, v))
         }
       }
     }
@@ -273,16 +307,55 @@ object QueryParser {
       .withColumn("is_must", (col("occur") === "must").cast("int"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"), sum(col("is_must")).as("m_hit"))
+    // ---- metadata filter atoms: melt the declared fields to
+    // (doc_id, field, value) rows — one narrow pass — and join the
+    // bounded filter table broadcast; required filters gate like musts,
+    // negated ones feed the NOT anti-join ----
+    val filters = filterRows.result()
+    val (fReqHit, fExcl) =
+      if (filters.isEmpty)
+        (None: Option[DataFrame], None: Option[DataFrame])
+      else {
+        val meta = docsMeta.getOrElse(throw new IllegalArgumentException(
+          "query batch uses field:value filters but no docsMeta given"))
+        val fields = filters.map(_._4).distinct
+        val missing = fields.filterNot(meta.columns.contains(_))
+        require(missing.isEmpty, s"docsMeta lacks filter fields: $missing")
+        val fdf = filters
+          .toDF("query_id", "atom_id", "occur", "field", "value")
+        val melt = meta.select(col("doc_id"),
+          explode(map(fields.flatMap(f =>
+            Seq(lit(f), col(f).cast("string"))): _*))
+            .as(Seq("field", "value")))
+        val fm = melt.join(broadcast(fdf), Seq("field", "value"))
+        val hit = fm.filter(col("occur") === "required")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(countDistinct(col("atom_id")).as("f_hit"))
+        val excl = fm.filter(col("occur") === "not")
+          .select(col("query_id"), col("doc_id"))
+        (Some(hit), Some(excl))
+      }
+
     // duplicates harmless under left_anti — no distinct exchange
     val notMatch = ascore
       .filter(col("occur") === "not" && col("kind") =!= "phrase")
       .select(col("query_id"), col("doc_id"))
       .unionByName(phraseMatch.filter(col("occur") === "not")
         .select(col("query_id"), col("doc_id")))
-    val mc = broadcast(mustCnt.result().toDF("query_id", "n_must"))
-    val qualified = perDoc
+      .unionByName(fExcl.getOrElse(
+        Seq.empty[(String, Long)].toDF("query_id", "doc_id")))
+    val mc = broadcast(
+      mustCnt.result().toDF("query_id", "n_must", "n_filters"))
+    val gated = perDoc
       .join(mc, Seq("query_id"))
       .filter(col("m_hit") === col("n_must"))
+    val filterGated = fReqHit match {
+      case None => gated
+      case Some(hit) => gated
+        .join(hit, Seq("query_id", "doc_id"), "left")
+        .filter(coalesce(col("f_hit"), lit(0L)) === col("n_filters"))
+    }
+    val qualified = filterGated
       .join(notMatch, Seq("query_id", "doc_id"), "left_anti")
       .filter(col("score") > 0.0)
       .select(col("query_id"), col("doc_id"), col("score"))

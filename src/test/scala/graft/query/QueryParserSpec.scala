@@ -81,6 +81,40 @@ class QueryParserSpec extends SparkSpec {
       assert(math.abs(s - 2.0 * base(d)) < 1e-12, s"doc $d")
   }
 
+  test("field filters: declared fields gate candidates, undeclared fall " +
+      "through to the analyzer, negation excludes, filter-only is empty") {
+    import spark.implicits._
+    assert(parse("lang:en", cfg, Set("lang")).clauses ==
+      Seq(Clause(Should, FilterAtom("lang", "en"))))
+    // undeclared prefix falls through: 'lang' survives, 'en' too short
+    assert(parse("lang:en", cfg).clauses ==
+      Seq(Clause(Should, TermAtom("lang"))))
+    val meta = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"),
+      (5L, "en"), (6L, "de")).toDF("doc_id", "lang")
+    def fres(q: String): Set[Long] =
+      QueryParser.search(idx, Seq(("q", q)), cfg,
+        metaFields = Set("lang"), docsMeta = Some(meta))
+        .collect().map(_.getLong(1)).toSet
+    // merge docs: 1,2,3,4,6; lang=en cuts to 1,2
+    assert(fres("merge lang:en") == Set(1L, 2L))
+    assert(fres("merge -lang:en") == Set(3L, 4L, 6L))
+    // scores are untouched by the filter (non-scoring context)
+    val all = res("merge")
+    val filtered = QueryParser.search(idx, Seq(("q", "merge lang:en")),
+        cfg, metaFields = Set("lang"), docsMeta = Some(meta))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    for ((d, s) <- filtered) assert(s == all(d))
+    // a filter atom is not a positive atom: filter-only query is empty
+    assert(fres("lang:en").isEmpty)
+    // filters compose with must atoms
+    assert(fres("+merge +sort lang:en") == Set(1L, 2L))
+    // missing docsMeta rejects loudly
+    intercept[IllegalArgumentException] {
+      QueryParser.search(idx, Seq(("q", "merge lang:en")), cfg,
+        metaFields = Set("lang")).collect()
+    }
+  }
+
   test("pure-OR query equals Bm25.search") {
     import spark.implicits._
     val base = Bm25.search(idx,
