@@ -173,7 +173,9 @@ object BuildIndexJob {
   * `fuzzy` / `mlt`) take their query from flags and emit the ranked
   * parquet only:
   *
-  *   --mode parse     --query '+merge "sort order" mer* fix~1 -old'
+  *   --mode parse     --query '+merge "sort order" mer* fix~1 -old
+  *                      term^2 lang:en' [--meta-fields lang,source
+  *                      --corpus corpus.parquet]
   *   --mode bool      --must merge,sort [--must-not window]
   *   --mode phrase    --phrase "merge order"
   *   --mode proximity --terms merge,order [--window 5]
@@ -253,9 +255,14 @@ object SearchJob {
         a.get("must-not").map(_.split(",").toSeq).getOrElse(Nil), cfg, k)
       case "parse" =>
         // full query-language syntax: +must -not "phrase" wild* word~1
+        // term^2 field:value (filters need --meta-fields + --corpus)
         graft.query.QueryParser.search(idx,
           Seq(("q0", a("query"))), cfg, k,
-          maxExpansions = a.getOrElse("max-expansions", "1000").toInt)
+          maxExpansions = a.getOrElse("max-expansions", "1000").toInt,
+          metaFields = a.get("meta-fields")
+            .map(_.split(",").map(_.trim.toLowerCase).toSet)
+            .getOrElse(Set.empty),
+          docsMeta = a.get("corpus").map(spark.read.parquet(_)))
       case "phrase" =>
         // serve from the positional block index when BuildIndexJob wrote
         // one (--positional true); fall back to the relational joins
