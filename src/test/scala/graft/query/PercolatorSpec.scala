@@ -50,6 +50,59 @@ class PercolatorSpec extends SparkSpec {
     }
   }
 
+  test("random registries/corpora match the in-memory evaluation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "echo", "golf")
+    val genDoc = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val genCorpus = Gen.chooseNum(4, 10).flatMap(n =>
+      Gen.listOfN(n, genDoc))
+    val genQuery = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, for {
+        o <- Gen.frequency(3 -> "", 1 -> "+", 1 -> "-")
+        t <- Gen.oneOf(vocab :+ "zebra")
+      } yield o + t)).map(_.mkString(" "))
+    val genRegistry = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, genQuery))
+    val p = Prop.forAll(genCorpus, genRegistry) { (corpus, regStrs) =>
+      val stored = regStrs.zipWithIndex.map { case (q, i) => (s"s$i", q) }
+      val docs = corpus.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      // in-memory reference of the documented rule
+      val want = (for {
+        (qid, qs) <- stored
+        clauses = QueryParser.parse(qs, cfg).clauses
+        if clauses.nonEmpty
+        (did, ts) <- docs
+        must = clauses.filter(_.occur == QueryParser.Must).map {
+          case QueryParser.Clause(_, QueryParser.TermAtom(t), _) => t
+          case c => fail(s"non-term $c")
+        }
+        not = clauses.filter(_.occur == QueryParser.MustNot).map {
+          case QueryParser.Clause(_, QueryParser.TermAtom(t), _) => t
+          case c => fail(s"non-term $c")
+        }
+        pos = clauses.filter(_.occur != QueryParser.MustNot).map {
+          case QueryParser.Clause(_, QueryParser.TermAtom(t), _) => t
+          case c => fail(s"non-term $c")
+        }
+        if must.forall(ts.contains) && pos.exists(ts.contains) &&
+          !not.exists(ts.contains)
+      } yield (did, qid)).toSet
+      val reg = Percolator.registry(stored, cfg, spark)
+      val got = Percolator.matches(reg,
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+          .toDF("doc_id", "text"), cfg)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      if (got != want)
+        println(s"MISMATCH reg=$stored docs=$docs\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streamed percolation equals batch (stateless plan)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
