@@ -790,14 +790,23 @@ object Bench {
       s""""q":${l.q},"q_runs":${l.qRuns},"probe_post":${l.probePost},""" +
       s""""bw_post_gbs":${l.bwPost}}"""
 
-    /** Gate fields + headline — everything EXCEPT the attempt detail, so
-      * the line stays short enough that any stdout tail window holds it
-      * whole (BENCH_r03's full line got head-truncated in the driver's
-      * tail and parsed as null). */
+    /** Gate fields + headline. `withAttempts=true` carries the full
+      * per-leg attempt detail; `false` (the driver-parsed stdout tail,
+      * which must stay short — BENCH_r03's full line got head-truncated
+      * and parsed as null) still carries a COMPACT per-attempt list
+      * `(n, index_eff, query_eff, bw_ceiling, retried)` so the
+      * disclosure survives into the artifact the driver actually reads
+      * (VERDICT r4 #2: r04's tail dropped `attempts` entirely). ~90
+      * bytes/attempt × ≤ ~8 attempts keeps the line tail-window safe. */
     def scalingJson(a: Attempt, withAttempts: Boolean): String = {
       val atN = attempts.filter(_.n == a.n)
       val attemptsJson =
-        if (!withAttempts) ""
+        if (!withAttempts)
+          attempts.map(x =>
+              f"""{"n":${x.n},"index_eff":${x.ie}%.4f,""" +
+              f""""query_eff":${x.qe}%.4f,""" +
+              f""""bw_ceiling":${x.bwScale}%.4f,"retried":${x.retried}}""")
+            .mkString(""""attempts":[""", ",", "],")
         else attempts.map(x =>
             s"""{"n":${x.n},"index_eff":${x.ie},"query_eff":${x.qe},""" +
             s""""retried":${x.retried},""" +

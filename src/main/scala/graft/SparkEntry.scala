@@ -1474,8 +1474,9 @@ object SparkEntry {
 
       // linear LTR scoring: the RAW feature aggregates (unrounded),
       // combined in the exact name-ordered IEEE sequence the engine
-      // folds in: bias + bm25·w + doc_len·w + max_idf·w + max_tf·w +
-      // matched_qtf·w + n_matched·w + sum_idf·w + sum_tf·w
+      // folds in ("matched_qtf" < "max_idf" — 't' sorts before 'x'):
+      // bias + bm25·w + doc_len·w + matched_qtf·w + max_idf·w +
+      // max_tf·w + n_matched·w + sum_idf·w + sum_tf·w
       "q_ltr_score" -> withCtes(coreCtes :+
         """lfeat AS (
           |  SELECT q.query_id, p.doc_id,
@@ -1498,8 +1499,9 @@ object SparkEntry {
         """lsc AS (
           |  SELECT query_id, doc_id,
           |    0.25 + bm25 * 0.5 + doc_len::DOUBLE * -0.015625
+          |    + matched_qtf::DOUBLE * 0.0625
           |    + max_idf * 0.25 + max_tf::DOUBLE * 0.125
-          |    + matched_qtf::DOUBLE * 0.0625 + n_matched::DOUBLE * 1.0
+          |    + n_matched::DOUBLE * 1.0
           |    + sum_idf * 0.5 + sum_tf::DOUBLE * 0.03125 AS score
           |  FROM lfeat)""".stripMargin,
         """SELECT query_id, doc_id,

@@ -232,17 +232,6 @@ object IndexBuilder {
     ts.crossJoin(ps).crossJoin(ds)
   }
 
-  /** Hard-delete a set of documents from a standing index — the
-    * right-to-be-forgotten path, dual of [[merge]]: the corpus is never
-    * re-tokenized. Postings and doc stats anti-join the delete set
-    * (broadcast — delete batches are bounded request lists, so both
-    * joins are shuffle-free map-side passes); term stats are CORRECTED
-    * from the removed postings alone (df −= per-term removed-doc count,
-    * a vocabulary-sized result; idf re-derived against the shrunk N;
-    * terms whose df reaches 0 drop out) — so delete(build(A ∪ B), B) ≡
-    * build(A) row-for-row, bit-exactly (IndexInvariantsSpec;
-    * q_index_delete oracle-checks against a fresh build over the
-    * remaining corpus). */
   /** Static index pruning (Carmel et al., SIGIR'01) — keep only each
     * term's top-`m` postings by their BM25 score potential, producing a
     * smaller (lossy, disclosed) serving index: the long tail of a
@@ -278,6 +267,17 @@ object IndexBuilder {
     idx.copy(postings = pruned)
   }
 
+  /** Hard-delete a set of documents from a standing index — the
+    * right-to-be-forgotten path, dual of [[merge]]: the corpus is never
+    * re-tokenized. Postings and doc stats anti-join the delete set
+    * (broadcast — delete batches are bounded request lists, so both
+    * joins are shuffle-free map-side passes); term stats are CORRECTED
+    * from the removed postings alone (df −= per-term removed-doc count,
+    * a vocabulary-sized result; idf re-derived against the shrunk N;
+    * terms whose df reaches 0 drop out) — so delete(build(A ∪ B), B) ≡
+    * build(A) row-for-row, bit-exactly (IndexInvariantsSpec;
+    * q_index_delete oracle-checks against a fresh build over the
+    * remaining corpus). */
   def delete(idx: InvertedIndex, docIds: DataFrame): InvertedIndex = {
     val del = broadcast(docIds.select(col("doc_id")).distinct())
     val post = idx.postings.join(del, Seq("doc_id"), "left_anti")

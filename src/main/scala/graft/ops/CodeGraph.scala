@@ -62,18 +62,27 @@ object CodeGraph {
     *
     * Every round is one join+agg over the edge table partitioned by src
     * then dst — no collect, no cartesian, node cardinality never grows.
-    * Each round's ranks are `localCheckpoint`ed so the LOGICAL plan stays
-    * one round deep — `cache()` alone short-circuits execution but not
-    * the plan object, and the nested lineage made analysis/AQE plan
+    * Lineage is truncated by `localCheckpoint` every `ckptEvery` rounds
+    * (and on the final round) so the LOGICAL plan stays ≤ ckptEvery
+    * rounds deep — `cache()` alone short-circuits execution but not the
+    * plan object, and fully nested lineage made analysis/AQE plan
     * rendering geometric in the round count (a 20-iteration run hung in
-    * `explainString` before doing any work). The eager checkpoint also
-    * pins each round's ranks, so the power iteration is exactly as
-    * resumable as [[Dedup.clusters]]. `tol` (optional) early-exits when
-    * the max per-node |Δpr| of a round drops below it; the default None
-    * keeps the round count EXACT, which the DuckDB oracle's unrolled
-    * CTEs require. */
+    * `explainString` before doing any work). Checkpointing every round
+    * taxed small runs ~2× (r3→r4 bench regression), so the cadence is
+    * the dial: deep runs stay bounded, shallow runs pay ≤ one extra
+    * materialization. When `tol` is set each round executes an action
+    * anyway (the Δ check), so every round checkpoints — otherwise the
+    * un-truncated tail would recompute from the last checkpoint,
+    * O(ckptEvery²) work per window. The eager checkpoint also pins the
+    * ranks it covers, keeping the power iteration exactly as resumable
+    * as [[Dedup.clusters]]. `tol` (optional) early-exits when the max
+    * per-node |Δpr| of a round drops below it; the default None keeps
+    * the round count EXACT, which the DuckDB oracle's unrolled CTEs
+    * require. */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
-      damping: Double = 0.85, tol: Option[Double] = None): DataFrame = {
+      damping: Double = 0.85, tol: Option[Double] = None,
+      ckptEvery: Int = 5): DataFrame = {
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     val e = edges.select(col("src"), col("dst")).distinct()
     val n = nodes.select(col("node")).distinct()
     val nn = n.agg(count(lit(1)).cast("double").as("n"))
@@ -89,12 +98,15 @@ object CodeGraph {
       val contrib = ew.join(pr, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("odeg")).as("c"))
-      val next = n.crossJoin(nn)
+      val round = n.crossJoin(nn)
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
-        .localCheckpoint() // eager: computes the round, truncates lineage
+      val next =
+        if (tol.isDefined || (i + 1) % ckptEvery == 0 || i + 1 == iters)
+          round.localCheckpoint() // eager: computes + truncates lineage
+        else round
       converged = tol.exists { t =>
         next.select(col("node"), col("pr").as("pr_next"))
           .join(pr.select(col("node"), col("pr").as("pr_prev")), Seq("node"))

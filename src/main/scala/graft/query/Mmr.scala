@@ -70,7 +70,10 @@ object Mmr {
         if (na > 0.0 && nb > 0.0) dot(a, b) / (na * nb) else 0.0
       }
       def key(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
-      val maxSim = Array.fill(n)(0.0) // max sim to the selected set; ∅ -> 0
+      // True max sim to the selected set — possibly negative, matching the
+      // oracle's max(p.sim); only the empty set (round 1) is defined as 0,
+      // so round 1 scores λ·rel and later rounds subtract the real max.
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
       val taken = Array.fill(n)(false)
       val out = Seq.newBuilder[(Long, Long, Double, Int)]
       var r = 1
@@ -79,7 +82,9 @@ object Mmr {
         var i = 0
         while (i < n) {
           if (!taken(i)) {
-            val m = lambda * cand(i)._2 - (1.0 - lambda) * maxSim(i)
+            val m =
+              if (r == 1) lambda * cand(i)._2
+              else lambda * cand(i)._2 - (1.0 - lambda) * maxSim(i)
             val mk = key(m)
             // key desc, vec_id asc (cand is vec_id-sorted, so first wins)
             if (mk > bestKey) { best = i; bestKey = mk; bestMmr = m }

@@ -71,10 +71,16 @@ object QueryParser {
   final case class Clause(occur: Occur, atom: Atom, boost: Double = 1.0)
   final case class Parsed(clauses: Seq[Clause])
 
+  // Boost digits are strictly \d+(\.\d+)? — a malformed boost like
+  // `merge^1.2.3` or `merge^.` must NOT match, so it falls through to
+  // the analyzer as part of the word (the documented lenient-drop rule)
+  // instead of crashing a serving endpoint on toDouble.
+  // (the quoted boost also requires a clean end — `"a b"^1.2.3` must
+  // not half-match `^1.2`; the junk becomes a bare token that empties)
   private val clauseRe =
-    """([+\-])?("([^"]*)"(\^[0-9.]+)?|[^\s"]+)""".r
+    """([+\-])?("([^"]*)"(\^\d+(?:\.\d+)?(?=\s|$))?|[^\s"]+)""".r
   private val fuzzyRe = """(.+?)~(\d)?$""".r
-  private val boostRe = """(.*?)\^([0-9.]+)$""".r
+  private val boostRe = """(.*?)\^(\d+(?:\.\d+)?)$""".r
   private val fieldRe = """(\w+):([\w.]+)""".r
 
   /** Parse one query string. Lenient: atoms the analyzer empties and

@@ -68,6 +68,25 @@ class MmrSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("negative similarity to the selected set raises MMR (true max, no clamp)") {
+    import spark.implicits._
+    // v1 = (1,0), v5 = (-1, 0.1): cos(v5, v1) < 0. After picking v1,
+    // v5's mmr must be λ·rel − (1−λ)·(negative) > λ·rel — a 0-clamped
+    // max would report exactly λ·rel and can flip the pick order.
+    val v = Seq((1L, Seq(1.0, 0.0)), (5L, Seq(-1.0, 0.1)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val got = Mmr.diversify(
+      cand(1L -> 0.9, 5L -> 0.5, 3L -> 0.5), v, lambda = 0.5, k = 3)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got(0)._1 == 1L)
+    val c51 = -1.0 / math.sqrt(1.01) // cos(v5, v1), negative
+    // round 2: v5 mmr = .25 − .5·c51 ≈ .7475 beats v3's .25 − 0 = .25;
+    // under the old clamp both read .25 and v3 (lower vec_id) won.
+    assert(got(1)._1 == 5L, got.mkString(","))
+    assert(math.abs(got(1)._2 - (0.25 - 0.5 * c51)) < 1e-9)
+  }
+
   test("full pipeline runs over the testdata embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Mmr.searchDiversified(e, col("vec_id") % 100 === 0,

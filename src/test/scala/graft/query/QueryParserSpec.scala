@@ -81,6 +81,23 @@ class QueryParserSpec extends SparkSpec {
       assert(math.abs(s - 2.0 * base(d)) < 1e-12, s"doc $d")
   }
 
+  test("malformed boosts never throw: the caret junk falls to the analyzer") {
+    // `^1.2.3` / `^.` are not \d+(\.\d+)? so boostRe must not fire;
+    // the analyzer then keeps the word and drops the short digit runs.
+    assert(parse("merge^1.2.3", cfg).clauses ==
+      Seq(Clause(Should, TermAtom("merge"), 1.0)))
+    assert(parse("merge^.", cfg).clauses ==
+      Seq(Clause(Should, TermAtom("merge"), 1.0)))
+    assert(parse("merge^", cfg).clauses ==
+      Seq(Clause(Should, TermAtom("merge"), 1.0)))
+    // quoted: the phrase survives unboosted, the junk becomes a bare
+    // token the analyzer empties
+    assert(parse("\"merge sort\"^1.2.3", cfg).clauses ==
+      Seq(Clause(Should, PhraseAtom(Seq("merge", "sort")), 1.0)))
+    // and the serving path stays up on the same input
+    assert(res("merge^1.2.3").keySet == res("merge").keySet)
+  }
+
   test("field filters: declared fields gate candidates, undeclared fall " +
       "through to the analyzer, negation excludes, filter-only is empty") {
     import spark.implicits._
