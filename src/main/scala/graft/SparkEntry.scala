@@ -1215,14 +1215,21 @@ object SparkEntry {
         graft.ops.Winnowing.fingerprints(plans.dupCorpus(s, dir), cfg),
         minShared = 2, maxBucket = 100)),
 
-    // ---- multimodal binary plumbing (decode step stubbed) ----
+    // ---- multimodal decode: deterministic PNG/WAV payloads are
+    //      synthesized on executors and GENUINELY parsed back through
+    //      javax.imageio / javax.sound.sampled; the oracle mirrors the
+    //      fixture arithmetic (closed-form container sizes), so a hash
+    //      match certifies the real decode round-trip. payload_sha stays
+    //      in the operator schema (engine-verified in OpsSpec) but is
+    //      not SQL-expressible over encoder-produced bytes ----
     "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir)))
+      Multimodal.extractMeta(Multimodal.synthMedia(docs(s, dir)))
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("payload_sha"),
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames")))
+          col("n_frames").cast("long").as("n_frames"),
+          col("sample_rate").cast("long").as("sample_rate")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -3487,12 +3494,22 @@ object SparkEntry {
           |JOIN csizes sa ON sa.doc_id = p.doc_a
           |JOIN csizes sb ON sb.doc_id = p.doc_b""".stripMargin),
 
+      // mirrors Multimodal.synthMedia's fixture arithmetic: PNG bytes =
+      // 68 + h·(1+3w) (stored-deflate single block), WAV = 44 + 2·samples
       "q_multimodal_meta" ->
-        """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-          |  sha256(text) AS payload_sha,
-          |  octet_length(encode(text)) % 640 AS width,
-          |  (octet_length(encode(text)) * 7) % 480 AS height,
-          |  octet_length(encode(text)) % 32 AS n_frames
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          |  CASE WHEN doc_id % 2 = 0
+          |    THEN 68 + (16 + doc_id % 13) * (1 + 3 * (16 + doc_id % 17))
+          |    ELSE 44 + 2 * (100 + doc_id % 400) END AS n_bytes,
+          |  CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17 ELSE 0 END
+          |    AS width,
+          |  CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 13 ELSE 0 END
+          |    AS height,
+          |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 100 + doc_id % 400 END
+          |    AS n_frames,
+          |  CASE WHEN doc_id % 2 = 0 THEN 0
+          |    ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate
           |FROM documents""".stripMargin
     )
     // Serving-path phrase/proximity observable results are defined to be

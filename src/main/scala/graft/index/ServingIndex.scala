@@ -327,27 +327,31 @@ object ServingIndex {
       }
   }
 
+  // Segment data IO goes through the TableIO format seam — the same
+  // seam an Iceberg catalog activates — so [[Snapshots]]' commit
+  // discipline and the table format compose without caller changes
+  // (SnapshotsSpec exercises the lifecycle through this seam).
   def write(blocks: Dataset[BlockRow], dir: String): Unit =
-    blocks.toDF().write.mode("overwrite").parquet(dir)
+    graft.sources.TableIO.write(blocks.toDF(), dir)
 
   def read(spark: SparkSession, dir: String): Dataset[BlockRow] = {
     import spark.implicits._
-    spark.read.parquet(dir).as[BlockRow]
+    graft.sources.TableIO.read(spark, dir).as[BlockRow]
   }
 
   def writeP(blocks: Dataset[BlockRowP], dir: String): Unit =
-    blocks.toDF().write.mode("overwrite").parquet(dir)
+    graft.sources.TableIO.write(blocks.toDF(), dir)
 
   def readP(spark: SparkSession, dir: String): Dataset[BlockRowP] = {
     import spark.implicits._
-    spark.read.parquet(dir).as[BlockRowP]
+    graft.sources.TableIO.read(spark, dir).as[BlockRowP]
   }
 
   def writeF(blocks: Dataset[BlockRowF], dir: String): Unit =
-    blocks.toDF().write.mode("overwrite").parquet(dir)
+    graft.sources.TableIO.write(blocks.toDF(), dir)
 
   def readF(spark: SparkSession, dir: String): Dataset[BlockRowF] = {
     import spark.implicits._
-    spark.read.parquet(dir).as[BlockRowF]
+    graft.sources.TableIO.read(spark, dir).as[BlockRowF]
   }
 }

@@ -1,56 +1,197 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Adler32, CRC32}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Typed metadata extracted from one opaque binary payload. */
-final case class MediaMeta(doc_id: Long, n_bytes: Long, payload_sha: String,
-    width: Int, height: Int, n_frames: Int)
+/** Typed metadata extracted from one opaque binary payload. `kind` is
+  * the sniffed container ("image" / "audio" / "binary"); image payloads
+  * carry width/height (n_frames = 1), audio payloads carry the decoded
+  * frame count and sample rate, and unrecognized binaries keep zeros —
+  * the schema is one flat row per payload either way, so downstream
+  * filters/joins never branch on modality. */
+final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+    payload_sha: String, width: Int, height: Int, n_frames: Int,
+    sample_rate: Int)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side plumbing is real — binary schema, partition-batched
-  * iteration (the Scala analogue of `mapInPandas` batch shape), typed
-  * output schema — while the actual media DECODE is a clearly-marked
-  * deterministic STUB (no image/audio libraries exist in this
-  * environment): it derives fake dimensions from the payload bytes, so
-  * tests and the oracle can still verify the full pipeline shape.
+  * The decode is REAL and JDK-only: PNG headers via `javax.imageio`
+  * and WAV containers via `javax.sound.sampled`, both shipped in every
+  * JRE — no external media libraries. Payload fixtures are hand-rolled
+  * valid containers ([[encodePng]]/[[encodeWav]]) whose byte layout is
+  * exact arithmetic in the media parameters, so the DuckDB oracle can
+  * verify sizes and the decoded dimensions without a decoder of its own
+  * while the engine side genuinely parses container bytes.
   */
 object Multimodal {
 
-  /** Attach an opaque binary payload column (here: the UTF-8 bytes of the
-    * text column stand in for real media bytes). */
+  /** Attach an opaque binary payload column from any existing column —
+    * the generic ingestion path (a real corpus's media bytes arrive in
+    * the table; here a text column's UTF-8 bytes can stand in, which
+    * [[extractMeta]] classifies as kind "binary"). */
   def withPayload(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("binary").as("payload"))
 
-  /** STUB media decode — deterministic fake: real code would hand
-    * `bytes` to an image/audio decoder here. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = bytes.length
-    (n % 640, (n * 7) % 480, n % 32) // fake width/height/frame-count
+  // ------------------------------------------------------------------
+  // Deterministic container encoders (fixture side)
+  // ------------------------------------------------------------------
+
+  /** One PNG chunk: length(4 BE) + type(4) + data + CRC32(type‖data). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(t).put(data)
+    val crc = new CRC32
+    crc.update(t); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array
+  }
+
+  /** A fully valid, byte-deterministic 8-bit RGB PNG: IHDR + one IDAT
+    * holding a single STORED-mode zlib block (BTYPE=00) + IEND. Stored
+    * deflate keeps the byte count closed-form — raw scanlines are
+    * h·(1+3w) bytes (one filter byte per row), so the whole file is
+    * exactly 68 + h·(1+3w) bytes (8 sig + 25 IHDR + 12 IDAT framing +
+    * 2 zlib hdr + 5 block hdr + raw + 4 adler + 12 IEND) — which is
+    * what lets a SQL oracle predict n_bytes while ImageIO genuinely
+    * parses the container. Single-block form bounds raw at 65535. */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    require(raw.length <= 0xffff,
+      s"single stored-block PNG caps raw bytes at 65535, got ${raw.length}")
+    var idx = 0
+    var y = 0
+    while (y < h) {
+      raw(idx) = 0 // filter: None
+      idx += 1
+      var x = 0
+      while (x < w) {
+        raw(idx) = ((x + y + seed) % 256).toByte
+        raw(idx + 1) = ((x * 3 + seed) % 256).toByte
+        raw(idx + 2) = ((y * 5 + seed) % 256).toByte
+        idx += 3; x += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array
+    val idat = ByteBuffer.allocate(11 + raw.length)
+    idat.put(0x78.toByte).put(0x01.toByte) // zlib CMF/FLG (checks %31)
+    idat.put(0x01.toByte)                  // BFINAL=1, BTYPE=00 (stored)
+    idat.order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(raw.length.toShort)
+      .putShort((~raw.length & 0xffff).toShort)
+    idat.order(ByteOrder.BIG_ENDIAN).put(raw)
+    val adler = new Adler32
+    adler.update(raw)
+    idat.putInt(adler.getValue.toInt)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat.array) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** A canonical 44-byte-header PCM WAV, 16-bit mono: deterministic
+    * samples, total size exactly 44 + 2·nSamples bytes. */
+  def encodeWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataLen = 2 * nSamples
+    val out = ByteBuffer.allocate(44 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                 // PCM
+      .putShort(1)                 // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)      // byte rate
+      .putShort(2)                 // block align
+      .putShort(16)                // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      out.putShort((((seed * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    out.array
+  }
+
+  /** Deterministic media corpus over a doc table: even doc_ids become
+    * PNGs (width 16 + id mod 17, height 16 + id mod 13), odd ones WAVs
+    * (sample rate 8000 + (id mod 8)·1000, 100 + id mod 400 samples) —
+    * the arithmetic the DuckDB oracle mirrors column-for-column against
+    * the engine's genuine decode. A narrow map-only pass: payload bytes
+    * are synthesized on executors, nothing shuffles. */
+  def synthMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload =
+          if (id % 2 == 0)
+            encodePng((16 + id % 17).toInt, (16 + id % 13).toInt, id)
+          else
+            encodeWav((8000 + (id % 8) * 1000).toInt,
+              (100 + id % 400).toInt, id)
+        (id, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Sniff + genuinely decode one payload's container header.
+    * @return (kind, width, height, n_frames, sample_rate) — zeros where
+    *         the modality has no such axis; unrecognized payloads are
+    *         kind "binary" with all zeros (graceful: the generic
+    *         [[withPayload]] text-bytes path flows through unharmed). */
+  def decode(bytes: Array[Byte]): (String, Int, Int, Int, Int) = {
+    def isPng = bytes.length >= 8 && bytes(0) == 0x89.toByte &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    def isWav = bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+    if (isPng) {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "PNG-signed payload failed to decode")
+      ("image", img.getWidth, img.getHeight, 1, 0)
+    } else if (isWav) {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try ("audio", 0, 0, in.getFrameLength.toInt,
+        in.getFormat.getSampleRate.toInt)
+      finally in.close()
+    } else ("binary", 0, 0, 0, 0)
   }
 
   /** Per-partition batched feature extraction over the binary column —
-    * the mapPartitions form keeps one decoder instance per task and
-    * amortizes any per-batch model setup, exactly like a Pandas-UDF batch.
-    */
+    * the mapPartitions form keeps one decoder/digest instance per task
+    * and amortizes per-batch setup, exactly like a Pandas-UDF batch.
+    * Decode is the real JDK path ([[decode]]); sha256 and byte count
+    * always come from the raw payload, whatever the modality. */
   def extractMeta(withPayload: DataFrame): Dataset[MediaMeta] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
-        // per-task decoder setup would go here (once per partition)
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, f) = decodeStub(bytes)
+          val (kind, w, h, frames, rate) = decode(bytes)
           digest.reset()
           val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-          MediaMeta(id, bytes.length.toLong, sha, w, h, f)
+          MediaMeta(id, kind, bytes.length.toLong, sha, w, h, frames, rate)
         }
       }
   }

@@ -137,48 +137,55 @@ object Expansion {
       .distinct
     val minShared = qTris.size - 3 * maxDist
     val confirm = levenshtein(col("term"), lit(query)) <= maxDist
+    // Levenshtein ≥ |len(a) − len(b)|, so every match lives in the
+    // LITERAL length band |q|±maxDist — a sarg-able predicate that turns
+    // the short-query leg from a full-vocabulary confirm scan into a
+    // length-sliver scan (store/derive the length and the filter reaches
+    // the dictionary scan before any join).
+    val band = length(col("term"))
+      .between(query.length - maxDist, query.length + maxDist)
     val expanded =
-      if (minShared < 1) index.termStats.filter(confirm)
+      if (minShared < 1) index.termStats.filter(band && confirm)
       else {
         val dict = trigramDict.getOrElse(termTrigrams(index.termStats))
         // IN-pruned dictionary probe: only rows of the query's own
         // trigrams are read (predicate pushdown on a persisted table),
         // then the shared-count bound prunes to a candidate term set.
+        // (No sub-trigram sliver leg: minShared ≥ 1 forces |q| ≥
+        // 3·maxDist+3, so a term short enough to miss the dictionary
+        // (< 3 chars) is ≥ 3·maxDist+1 > maxDist edits away — the length
+        // bound proves that leg empty.)
         val cands = dict.filter(col("trigram").isin(qTris: _*))
           .groupBy(col("term"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= minShared)
           .select(col("term"))
-        // terms shorter than one trigram never enter the dictionary but
-        // can still be within maxDist — a sarg-able length(term) < 3
-        // sliver of the vocabulary, not a full scan
-        val shorts = index.termStats.filter(length(col("term")) < 3)
-          .select(col("term"))
         index.termStats
-          .join(broadcast(cands.unionByName(shorts)), Seq("term"), "left_semi")
+          .join(broadcast(cands), Seq("term"), "left_semi")
           .filter(confirm)
       }
     searchExpanded(index, expanded, k, p)
   }
 
-  /** Did-you-mean: batch noisy-channel spelling correction. For every
-    * input term, vocabulary candidates within `maxDist` edits rank by
-    * (edit distance asc, df desc, term asc) — closest first, corpus
-    * frequency as the channel prior, term as the deterministic tiebreak.
-    * An exactly-spelled term ranks itself at distance 0 ("no correction
-    * needed" is a first-class answer).
+  /** Batch fuzzy candidate generation — the probe [[didYouMean]] and
+    * [[QueryParser]]'s fuzzy atoms SHARE (one implementation, one plan
+    * shape; callers add their own ranking/df semantics on top): every
+    * vocabulary term within `maxDist` edits of each input term.
     *
     * Plan shape: terms long enough for the shared-trigram bound to prune
-    * (|trigrams(q)| − 3·maxDist ≥ 1) probe the same trigram dictionary
-    * as [[fuzzy]]; shorter terms take the disclosed vocabulary-scan leg
-    * (few-terms × vocabulary — bounded, and the 3·maxDist bound genuinely
-    * cannot prune them). Levenshtein runs only as a confirm.
+    * (|trigrams(q)| − 3·maxDist ≥ 1) probe the trigram dictionary as in
+    * [[fuzzy]]; shorter terms take the scan leg — which the length
+    * bound (Levenshtein ≥ |Δlen|) cuts to the sarg-able sliver
+    * length(term) ≤ 4·maxDist+2 of the vocabulary (scan-leg queries are
+    * ≤ 3·maxDist+2 chars by construction), with the per-pair |Δlen| ≤
+    * maxDist band as the join predicate — never a full-vocabulary cross
+    * join. Levenshtein runs only as a confirm. No df join, no window —
+    * the raw candidate set stays one narrow probe.
     *
     * @param queryTerms one string column `query_term`
-    * @return (query_term, term, dist, df, rank) top-m per input term */
-  def didYouMean(index: InvertedIndex, queryTerms: DataFrame,
-      maxDist: Int = 1, m: Int = 3,
-      trigramDict: Option[DataFrame] = None): DataFrame = {
+    * @return (query_term, term, dist) — all matches, unranked */
+  def fuzzyCandidates(index: InvertedIndex, queryTerms: DataFrame,
+      maxDist: Int = 1, trigramDict: Option[DataFrame] = None): DataFrame = {
     val q = queryTerms
       .select(col("query_term"),
         array_distinct(Grep.trigrams(col("query_term"))).as("qtris"))
@@ -195,21 +202,43 @@ object Expansion {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= col("n_q") - lit(3 * maxDist))
       .select(col("query_term"), col("term"))
-    // sub-trigram vocabulary terms never enter the dictionary but can
-    // still be within maxDist — a sarg-able sliver, not a full scan
-    val shorts = index.termStats.filter(length(col("term")) < 3)
+    // (No sub-trigram sliver leg for idxQ: those queries are ≥
+    // 3·maxDist+3 chars, so a < 3-char term is ≥ 3·maxDist+1 > maxDist
+    // edits away — Levenshtein ≥ |Δlen| proves the leg empty.)
+    // Scan-leg queries are ≤ 3·maxDist+2 chars, so their matches live in
+    // the LITERAL sliver length(term) ≤ 4·maxDist+2 — that filter
+    // reaches the vocabulary scan, and the per-pair |Δlen| ≤ maxDist
+    // band is the join predicate (broadcast the tiny query side).
+    val scanVocab = index.termStats
+      .filter(length(col("term")) <= lit(4 * maxDist + 2))
       .select(col("term"))
-    val candShort = idxQ.select(col("query_term")).crossJoin(shorts)
-    val candScan = scanQ
-      .crossJoin(index.termStats.select(col("term")))
-    val cands = candIdx.unionByName(candShort).unionByName(candScan)
-
-    val w = Window.partitionBy(col("query_term"))
-      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
-    cands
-      .join(index.termStats.select(col("term"), col("df")), Seq("term"))
+    val candScan = scanVocab.join(broadcast(scanQ),
+        abs(length(col("term")) - length(col("query_term"))) <= lit(maxDist))
+      .select(col("query_term"), col("term"))
+    candIdx.unionByName(candScan)
       .withColumn("dist", levenshtein(col("query_term"), col("term")))
       .filter(col("dist") <= maxDist)
+      .select(col("query_term"), col("term"), col("dist"))
+  }
+
+  /** Did-you-mean: batch noisy-channel spelling correction. For every
+    * input term, vocabulary candidates within `maxDist` edits rank by
+    * (edit distance asc, df desc, term asc) — closest first, corpus
+    * frequency as the channel prior, term as the deterministic tiebreak.
+    * An exactly-spelled term ranks itself at distance 0 ("no correction
+    * needed" is a first-class answer). Candidate generation is
+    * [[fuzzyCandidates]]; this adds the df prior and the per-term rank
+    * window.
+    *
+    * @param queryTerms one string column `query_term`
+    * @return (query_term, term, dist, df, rank) top-m per input term */
+  def didYouMean(index: InvertedIndex, queryTerms: DataFrame,
+      maxDist: Int = 1, m: Int = 3,
+      trigramDict: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy(col("query_term"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    fuzzyCandidates(index, queryTerms, maxDist, trigramDict)
+      .join(index.termStats.select(col("term"), col("df")), Seq("term"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= m)
       .select(col("query_term"), col("term"),

@@ -235,7 +235,10 @@ object QueryParser {
             lit("wild").as("kind"), col("term"), col("boost").as("w"))
       }
 
-    // ---- fuzzy expansion: one trigram-dictionary probe (batch) ----
+    // ---- fuzzy expansion: one trigram-dictionary probe (batch),
+    //      shared with didYouMean via Expansion.fuzzyCandidates — the
+    //      raw candidate probe only: no df prior, no rank window (a
+    //      per-query sort the unbounded expansion never needed) ----
     val fuzzy = fuzzyRows.result()
     val fuzzyTerms =
       if (fuzzy.isEmpty) litTerms.limit(0)
@@ -243,9 +246,8 @@ object QueryParser {
         val maxD = fuzzy.map(_._5).max
         val bases = fuzzy.map(_._4).distinct.map(Tuple1(_))
           .toDF("query_term")
-        val cand = Expansion.didYouMean(index, bases, maxDist = maxD,
-            m = Int.MaxValue, trigramDict = trigramDict)
-          .select(col("query_term"), col("term"), col("dist"))
+        val cand = Expansion.fuzzyCandidates(index, bases, maxDist = maxD,
+          trigramDict = trigramDict)
         fuzzy.toDF("query_id", "atom_id", "occur", "base", "max_dist",
             "boost")
           .join(cand, col("base") === col("query_term") &&
@@ -274,7 +276,15 @@ object QueryParser {
       .agg(sum(col("term_score")).as("s"), max(col("occur")).as("occur"),
         max(col("kind")).as("kind"))
 
-    // ---- phrase adjacency: group on the aligned base position ----
+    // ---- phrase adjacency: intersect SHIFTED position arrays per doc.
+    // A doc matches iff ∩_i (positions(term@ppos_i) − ppos_i) ≠ ∅ — the
+    // aligned-base rule, computed with the packed arrays in place (one
+    // grouped row per (atom, doc)) instead of exploding every position
+    // occurrence into rows and countDistinct-ing bases: the explode form
+    // shuffled |positions|-grain rows and was the parse batch's heaviest
+    // adder (~2x the whole term-atom floor in MicroBench). Completeness
+    // (every ppos slot present in the doc) gates first via the entry
+    // count, so the fold never intersects a partial phrase. ----
     val phr = phraseRows.result()
     val phraseMatch =
       if (phr.isEmpty)
@@ -287,29 +297,40 @@ object QueryParser {
         index.postings
           .join(broadcast(ph), Seq("term"))
           .select(col("query_id"), col("atom_id"), col("occur"),
-            col("doc_id"),
-            explode(Phrase.positionsCol(index.postings)).as("pos"),
-            col("ppos"))
+            col("doc_id"), col("ppos"),
+            Phrase.positionsCol(index.postings).as("ppositions"))
           .groupBy(col("query_id"), col("atom_id"), col("occur"),
-            col("doc_id"), (col("pos") - col("ppos")).as("base"))
-          .agg(countDistinct(col("ppos")).as("n_hit"))
+            col("doc_id"))
+          .agg(collect_list(struct(col("ppos"), col("ppositions")))
+            .as("ent"))
           .join(plen, Seq("query_id", "atom_id"))
-          .filter(col("n_hit") === col("n_terms"))
+          .filter(size(col("ent")) === col("n_terms"))
+          .withColumn("es", array_sort(col("ent")))
+          .filter(size(expr(
+            "aggregate(slice(es, 2, size(es) - 1), " +
+              "transform(es[0].ppositions, p -> p - es[0].ppos), " +
+              "(acc, e) -> array_intersect(acc, " +
+              "transform(e.ppositions, p -> p - e.ppos)))")) > 0)
           .select(col("query_id"), col("atom_id"), col("occur"),
             col("doc_id"))
-        // NOT deduplicated: multiple alignments per doc are fine — both
-        // consumers are semi/anti joins, and skipping the distinct saves
-        // an exchange
       }
 
     // ---- combine: must-count gate, NOT anti-join, phrase gate ----
-    val posNonPhrase = ascore
-      .filter(col("occur") =!= "not" && col("kind") =!= "phrase")
-    val posPhrase = ascore
-      .filter(col("occur") =!= "not" && col("kind") === "phrase")
-      .join(phraseMatch.select(col("query_id"), col("atom_id"),
-        col("doc_id")), Seq("query_id", "atom_id", "doc_id"), "left_semi")
-    val perDoc = posNonPhrase.unionByName(posPhrase)
+    // A batch with no phrase atoms skips the split/semi-join/union
+    // entirely — one straight filter, no second ascore leg in the plan.
+    val positive =
+      if (phr.isEmpty) ascore.filter(col("occur") =!= "not")
+      else {
+        val posNonPhrase = ascore
+          .filter(col("occur") =!= "not" && col("kind") =!= "phrase")
+        val posPhrase = ascore
+          .filter(col("occur") =!= "not" && col("kind") === "phrase")
+          .join(phraseMatch.select(col("query_id"), col("atom_id"),
+            col("doc_id")), Seq("query_id", "atom_id", "doc_id"),
+            "left_semi")
+        posNonPhrase.unionByName(posPhrase)
+      }
+    val perDoc = positive
       .withColumn("is_must", (col("occur") === "must").cast("int"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"), sum(col("is_must")).as("m_hit"))

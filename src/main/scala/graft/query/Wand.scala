@@ -263,6 +263,24 @@ object Wand {
     *    shard-side memory is the shard's pruned blocks plus ONE query at
     *    a time (queries stream through the cogroup iterator).
     *
+    * SIZING CONTRACT (the one task-memory dial): each cogroup task holds
+    * one shard's QUERY-PRUNED blocks in memory (`blockIt.toArray` below)
+    * — i.e. the shard's postings for the union of the batch's terms,
+    * compressed. Choose `numShards` so
+    *
+    *   pruned-postings-per-shard ≈ Σ_{t ∈ batch terms} varbyte(postings(t))
+    *     / numShards  ≤  executor task memory,
+    *
+    * and note the numerator grows with query-batch BREADTH (distinct
+    * terms), not batch size: a batch touching the whole vocabulary
+    * retains the whole index, so a broad batch over few shards is the
+    * worst case (exercised by the deliberately under-sharded
+    * SpimiWandSpec case). Shard count is set at
+    * [[graft.index.ServingIndex.fromPostings]] build time; re-shard the
+    * serving copy rather than serving broad workloads on few shards.
+    * The exactness contract is shard-count-independent, so re-sharding
+    * is always safe.
+    *
     * @param blocks   serving index ([[graft.index.ServingIndex]])
     * @param termStats (term, df, idf) table
     * @param queries  (query_id, question) table

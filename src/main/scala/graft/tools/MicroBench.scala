@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.analysis.TokenizerConfig
+import graft.index.IndexBuilder
+
+/** Dev utility: repeat one named query-surface measurement in a single
+  * warmed JVM and print every rep — the controlled companion to
+  * [[graft.Bench]]'s one-shot lines on a host whose identical runs swing
+  * ±15%+. Usage: runMain graft.tools.MicroBench <name> [reps] [sfDir].
+  * Names: parse, wand, prf, pagerank. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("parse")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-microbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.log.level", "WARN")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    val cfg = TokenizerConfig.default
+    // the same corpus graft.Bench's query lines run on: the sf docs
+    // UNION the 50k-file synthesized input_hint corpus
+    val synthDocs = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DOCS", "50000").toInt
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(graft.fixtures.SynthCorpus.withDocId(
+          graft.fixtures.SynthCorpus.df(spark, synthDocs, partitions = 32))
+        .select(col("doc_id"), col("content").as("text")))
+    val idx = IndexBuilder.build(docs, cfg).cache()
+    idx.postings.count(); idx.termStats.count(); idx.docStats.count()
+
+    val pq = graft.fixtures.QuerySet.parseQueries
+    def run(): Long = name match {
+      case "parse" => graft.query.QueryParser.search(
+        idx, pq, cfg, 100).count()
+      case "parse_term" => graft.query.QueryParser.search(
+        idx, pq.filter(q => Set("p01", "p02", "p08")(q._1)), cfg,
+        100).count()
+      case "parse_phrase" => graft.query.QueryParser.search(
+        idx, pq.filter(q => Set("p03", "p06", "p07")(q._1)), cfg,
+        100).count()
+      case "parse_wild" => graft.query.QueryParser.search(
+        idx, pq.filter(_._1 == "p04"), cfg, 100).count()
+      case "parse_fuzzy" => graft.query.QueryParser.search(
+        idx, pq.filter(_._1 == "p05"), cfg, 100).count()
+      case "wand" =>
+        val blocks = graft.index.ServingIndex.fromPostings(
+          idx.postings, numShards = cpus)
+        graft.query.Wand.search(blocks, idx.termStats, idx.numDocs,
+          idx.avgdl, graft.fixtures.QuerySet.df(spark), cfg, 100,
+          numShards = cpus).count()
+      case "prf" => graft.query.Prf.search(idx,
+        graft.fixtures.QuerySet.df(spark), cfg, 10, 5, 100).count()
+      case "pagerank" =>
+        val syms = graft.ops.CodeGraph.symbols(docs)
+        val e = graft.ops.CodeGraph.importEdges(syms).cache()
+        val nodes = e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+        graft.ops.CodeGraph.pageRank(e, nodes, iters = 3).count()
+      case other => sys.error(s"unknown microbench '$other'")
+    }
+    run() // warmup
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      run()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[micro] $name rep $i: $t%.3f s")
+      t
+    }
+    println(f"[micro] $name min=${times.min}%.3f median=${
+      times.sorted.apply(times.size / 2)}%.3f over $reps reps")
+    spark.stop()
+  }
+}

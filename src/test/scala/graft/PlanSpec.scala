@@ -292,6 +292,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), s"confirm must still exist:\n$p")
   }
 
+  test("short fuzzy query scans only the |q|±maxDist length sliver of " +
+      "the vocabulary, not the full dictionary") {
+    val idx = IndexBuilder.build(docs, cfg)
+    // "cat" has one trigram, so the 3·maxDist bound cannot prune — the
+    // leg must fall back to a LENGTH-banded scan (levenshtein >= |Δlen|)
+    val p = plan(graft.query.Expansion.fuzzy(idx, "cat", maxDist = 1,
+      k = 10))
+    assert(p.contains("length(term"),
+      s"length band must reach the vocabulary scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross join expected:\n$p")
+  }
+
+  test("didYouMean scan leg is length-banded: literal sliver filter on " +
+      "the vocabulary, |Δlen| band as the join predicate, no cross join") {
+    import spark.implicits._
+    val idx = IndexBuilder.build(docs, cfg)
+    // "so" is sub-trigram -> scan leg; "customer" -> dictionary leg
+    val q = Seq("so", "customer").toDF("query_term")
+    val p = plan(graft.query.Expansion.didYouMean(idx, q, maxDist = 1))
+    assert(p.contains("length(term"),
+      s"length sliver filter must reach the vocabulary scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scan leg must not cross-join the vocabulary:\n$p")
+    assert(p.contains("abs(") && p.contains("length(query_term"),
+      s"|Δlen| band must be the scan-leg join predicate:\n$p")
+  }
+
   test("boolean top-k is TakeOrderedAndProject, never a global sort") {
     val idx = IndexBuilder.build(docs, cfg)
     val p = plan(graft.query.BooleanSearch.search(idx, Seq("merge", "sort"),

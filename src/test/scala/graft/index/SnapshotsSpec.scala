@@ -127,6 +127,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.load(spark, root, 2L) == Seq(SegmentRef("b", 1)))
   }
 
+  test("segment lifecycle runs through the TableIO format seam: manifest " +
+      "refs are TableIO-readable tables, uncommitted seam writes invisible") {
+    import graft.sources.TableIO
+    val root = Files.createTempDirectory("graft-snap-seam").toString
+    // no Iceberg catalog in this sandbox -> the seam resolves to Parquet
+    // (the disclosed fallback; an Iceberg catalog flips it with no
+    // caller changes)
+    assert(TableIO.detect(spark) == TableIO.Parquet)
+    val docs = corpus
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    // write the segment THROUGH the seam explicitly, then commit
+    TableIO.write(packed(half, 2).toDF(), s"$root/seg-000000000-s2")
+    val id = Snapshots.commit(spark, root,
+      Seq(SegmentRef("seg-000000000-s2", 2)))
+    // a second generation's table lands through the seam but never
+    // commits — manifest readers must stay blind to it
+    TableIO.write(packed(docs.filter(col("doc_id") % 2 === 1), 2).toDF(),
+      s"$root/seg-000000001-s2")
+    // every manifest ref resolves through TableIO.read with the segment
+    // schema — the manifest listing and the table format compose
+    val refs = Snapshots.load(spark, root, id)
+    assert(refs.map(_.dir) == Seq("seg-000000000-s2"))
+    for (r <- refs) {
+      val t = TableIO.read(spark, s"$root/${r.dir}")
+      assert(t.columns.toSet == Set("shard", "term", "first_doc",
+        "last_doc", "n", "max_tf", "min_dl", "docs", "tfs", "dls"))
+      assert(t.count() > 0)
+    }
+    // the composed serve path (Snapshots.read -> ServingIndex.read ->
+    // TableIO.read) serves exactly the committed segment
+    val (blocks, n) = Snapshots.read(spark, root)
+    assert(topk(blocks, n) == topk(packed(half, 2), 2))
+  }
+
   test("expire keeps the last K snapshots and deletes only unreferenced " +
       "segment dirs; the retained tip still serves") {
     val root = Files.createTempDirectory("graft-snap-gc").toString

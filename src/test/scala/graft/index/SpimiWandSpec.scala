@@ -101,6 +101,32 @@ class SpimiWandSpec extends SparkSpec {
     assert(viaWand == viaJoin)
   }
 
+  test("under-sharded worst case: one shard retains the batch's whole " +
+      "pruned index yet stays rank-identical (the sizing-contract dial)") {
+    import spark.implicits._
+    // numShards = 1 + a query containing EVERY vocabulary term = the
+    // documented worst case of Wand.search's sizing contract: the single
+    // cogroup task holds the entire query-pruned index (here: the whole
+    // index). At test scale that fits trivially — the point is that
+    // breadth only costs memory, never correctness, so re-sharding a
+    // serving copy for broad workloads is always a safe fix.
+    val idx = IndexBuilder.build(docs, cfg)
+    val blocks = ServingIndex.fromPostings(idx.postings, numShards = 1,
+      blockSize = 16)
+    val allTerms = idx.termStats.select("term").collect()
+      .map(_.getString(0)).mkString(" ")
+    val queries = Seq(("broad", allTerms), ("narrow", "merge sort"))
+      .toDF("query_id", "question")
+    val viaJoin = Bm25.search(idx, queries, cfg, k = 50)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val viaWand = Wand.search(blocks, idx.termStats, idx.numDocs, idx.avgdl,
+        queries, cfg, k = 50, numShards = 1)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaWand == viaJoin)
+  }
+
   test("WAND matches join BM25 on the synthesized input_hint corpus too") {
     val synth = SynthCorpus.withDocId(SynthCorpus.df(spark, 800, partitions = 4))
       .withColumnRenamed("content", "text")

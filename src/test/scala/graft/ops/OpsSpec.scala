@@ -740,16 +740,55 @@ class OpsSpec extends SparkSpec {
     assert(total == 14)
   }
 
-  test("multimodal: payload metadata matches source bytes") {
-    val meta = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
-    val src = docs.select(col("doc_id"), length(col("text")).cast("long"),
-        sha2(col("text"), 256)).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-    assert(meta.length == src.size)
-    for (m <- meta) {
-      val (len, sha) = src(m.doc_id)
-      assert(m.n_bytes == len && m.payload_sha == sha)
-      assert(m.width == len % 640 && m.height == (len * 7) % 480)
+  test("multimodal: JDK decoders read back the encoded container headers") {
+    // decode is genuinely ImageIO/AudioSystem: dimensions come from the
+    // container bytes, not from any arithmetic shortcut
+    for ((w, h) <- Seq((1, 1), (17, 3), (48, 28))) {
+      val d = Multimodal.decode(Multimodal.encodePng(w, h, seed = 42))
+      assert(d == ("image", w, h, 1, 0), s"png $w x $h -> $d")
+      // and the size law the oracle relies on
+      assert(Multimodal.encodePng(w, h, 7).length == 68 + h * (1 + 3 * w))
     }
+    for ((sr, n) <- Seq((8000, 100), (15000, 499))) {
+      val d = Multimodal.decode(Multimodal.encodeWav(sr, n, seed = 9))
+      assert(d == ("audio", 0, 0, n, sr), s"wav $sr/$n -> $d")
+      assert(Multimodal.encodeWav(sr, n, 9).length == 44 + 2 * n)
+    }
+    // unrecognized bytes classify as plain binary, no throw
+    assert(Multimodal.decode("not media".getBytes) == ("binary", 0, 0, 0, 0))
+  }
+
+  test("multimodal: extractMeta decodes the synthesized corpus and " +
+      "keeps raw-byte sha/n_bytes") {
+    val meta = Multimodal.extractMeta(Multimodal.synthMedia(docs))
+      .collect()
+    assert(meta.length == docs.count())
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    for (m <- meta) {
+      val id = m.doc_id
+      if (id % 2 == 0) {
+        assert(m.kind == "image" && m.sample_rate == 0 && m.n_frames == 1)
+        assert(m.width == 16 + id % 17 && m.height == 16 + id % 13)
+        // sha is over the exact payload bytes (re-encode deterministically)
+        val bytes = Multimodal.encodePng(m.width, m.height, id)
+        assert(m.n_bytes == bytes.length)
+        sha.reset()
+        assert(m.payload_sha ==
+          sha.digest(bytes).map("%02x".format(_)).mkString)
+      } else {
+        assert(m.kind == "audio" && m.width == 0 && m.height == 0)
+        assert(m.sample_rate == 8000 + (id % 8) * 1000)
+        assert(m.n_frames == 100 + id % 400)
+        val bytes = Multimodal.encodeWav(m.sample_rate, m.n_frames, id)
+        assert(m.n_bytes == bytes.length)
+        sha.reset()
+        assert(m.payload_sha ==
+          sha.digest(bytes).map("%02x".format(_)).mkString)
+      }
+    }
+    // the generic ingestion path still flows: text bytes -> kind binary
+    val bin = Multimodal.extractMeta(Multimodal.withPayload(docs)).collect()
+    assert(bin.forall(m => m.kind == "binary" && m.width == 0 &&
+      m.n_frames == 0))
   }
 }
