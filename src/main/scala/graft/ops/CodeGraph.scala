@@ -63,19 +63,20 @@ object CodeGraph {
     * Every round is one join+agg over the edge table partitioned by src
     * then dst — no collect, no cartesian, node cardinality never grows.
     * Lineage is truncated by `localCheckpoint` every `ckptEvery` rounds
-    * (and on the final round) so the LOGICAL plan stays ≤ ckptEvery
-    * rounds deep — `cache()` alone short-circuits execution but not the
-    * plan object, and fully nested lineage made analysis/AQE plan
-    * rendering geometric in the round count (a 20-iteration run hung in
-    * `explainString` before doing any work). Checkpointing every round
-    * taxed small runs ~2× (r3→r4 bench regression), so the cadence is
-    * the dial: deep runs stay bounded, shallow runs pay ≤ one extra
-    * materialization. When `tol` is set each round executes an action
-    * anyway (the Δ check), so every round checkpoints — otherwise the
-    * un-truncated tail would recompute from the last checkpoint,
-    * O(ckptEvery²) work per window. The eager checkpoint also pins the
-    * ranks it covers, keeping the power iteration exactly as resumable
-    * as [[Dedup.clusters]]. `tol` (optional) early-exits when the max
+    * so the LOGICAL plan stays ≤ ckptEvery rounds deep — `cache()`
+    * alone short-circuits execution but not the plan object, and fully
+    * nested lineage made analysis/AQE plan rendering geometric in the
+    * round count (a 20-iteration run hung in `explainString` before
+    * doing any work). Checkpointing every round taxed small runs ~2×
+    * (r3→r4 bench regression), so the cadence is the dial — and a
+    * shallow run (iters ≤ ckptEvery, no tol) skips caching and
+    * checkpointing ENTIRELY: it executes as one lazy composed job,
+    * paying zero extra materializations. When `tol` is set each round
+    * executes an action anyway (the Δ check), so every round
+    * checkpoints — otherwise the un-truncated tail would recompute from
+    * the last checkpoint, O(ckptEvery²) work per window. The eager
+    * checkpoints also pin the ranks they cover, keeping deep power
+    * iterations exactly as resumable as [[Dedup.clusters]]. `tol` (optional) early-exits when the max
     * per-node |Δpr| of a round drops below it; the default None keeps
     * the round count EXACT, which the DuckDB oracle's unrolled CTEs
     * require. */
@@ -86,12 +87,19 @@ object CodeGraph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val n = nodes.select(col("node")).distinct()
     val nn = n.agg(count(lit(1)).cast("double").as("n"))
+    // Eager materialization only pays when something executes MORE than
+    // one action over the rounds (a mid-run checkpoint or the per-round
+    // tol check); a shallow fixed-iters run stays one fully lazy
+    // composed job — the r3 shape the bench line prices — with no cache,
+    // no checkpoint, no second pass.
+    val multiPass = tol.isDefined || iters > ckptEvery
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val ew = e.join(outdeg, Seq("src")).cache() // (src, dst, odeg)
+    val ew0 = e.join(outdeg, Seq("src")) // (src, dst, odeg)
+    val ew = if (multiPass) ew0.cache() else ew0
 
-    var pr = n.crossJoin(nn)
+    val pr0 = n.crossJoin(nn)
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint()
+    var pr = if (multiPass) pr0.localCheckpoint() else pr0
     var converged = false
     var i = 0
     while (i < iters && !converged) {
@@ -104,7 +112,7 @@ object CodeGraph {
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
       val next =
-        if (tol.isDefined || (i + 1) % ckptEvery == 0 || i + 1 == iters)
+        if (tol.isDefined || (multiPass && (i + 1) % ckptEvery == 0))
           round.localCheckpoint() // eager: computes + truncates lineage
         else round
       converged = tol.exists { t =>
@@ -116,7 +124,7 @@ object CodeGraph {
       pr = next // superseded rounds are freed by the context cleaner
       i += 1
     }
-    ew.unpersist()
+    if (multiPass) ew.unpersist()
     pr
   }
 }

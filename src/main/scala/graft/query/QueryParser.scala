@@ -316,20 +316,19 @@ object QueryParser {
       }
 
     // ---- combine: must-count gate, NOT anti-join, phrase gate ----
-    // A batch with no phrase atoms skips the split/semi-join/union
-    // entirely — one straight filter, no second ascore leg in the plan.
+    // A batch with no phrase atoms skips the gate join entirely; with
+    // phrases, ONE left join against the gate (whose grouped form emits
+    // exactly one row per (atom, doc), so no fan-out) vetoes ungated
+    // phrase-atom scores — the ascore aggregate is traversed once, not
+    // split into two re-aggregated legs and unioned back.
     val positive =
       if (phr.isEmpty) ascore.filter(col("occur") =!= "not")
-      else {
-        val posNonPhrase = ascore
-          .filter(col("occur") =!= "not" && col("kind") =!= "phrase")
-        val posPhrase = ascore
-          .filter(col("occur") =!= "not" && col("kind") === "phrase")
-          .join(phraseMatch.select(col("query_id"), col("atom_id"),
-            col("doc_id")), Seq("query_id", "atom_id", "doc_id"),
-            "left_semi")
-        posNonPhrase.unionByName(posPhrase)
-      }
+      else ascore.filter(col("occur") =!= "not")
+        .join(phraseMatch.select(col("query_id"), col("atom_id"),
+          col("doc_id"), lit(1).as("ph_ok")),
+          Seq("query_id", "atom_id", "doc_id"), "left")
+        .filter(col("kind") =!= "phrase" || col("ph_ok").isNotNull)
+        .drop("ph_ok")
     val perDoc = positive
       .withColumn("is_must", (col("occur") === "must").cast("int"))
       .groupBy(col("query_id"), col("doc_id"))

@@ -37,19 +37,50 @@ object MicroBench {
     idx.postings.count(); idx.termStats.count(); idx.docStats.count()
 
     val pq = graft.fixtures.QuerySet.parseQueries
+    // prebuilt dictionaries, as the bench line and a serving stack use
+    lazy val dicts = {
+      val p = graft.query.Expansion.permuterm(idx.termStats).cache()
+      val t = graft.query.Expansion.termTrigrams(idx.termStats).cache()
+      p.count(); t.count(); (Some(p), Some(t))
+    }
+    def parseRun(qs: Seq[(String, String)]): Long =
+      graft.query.QueryParser.search(idx, qs, cfg, 100,
+        permutermDict = dicts._1, trigramDict = dicts._2).count()
     def run(): Long = name match {
-      case "parse" => graft.query.QueryParser.search(
-        idx, pq, cfg, 100).count()
-      case "parse_term" => graft.query.QueryParser.search(
-        idx, pq.filter(q => Set("p01", "p02", "p08")(q._1)), cfg,
-        100).count()
-      case "parse_phrase" => graft.query.QueryParser.search(
-        idx, pq.filter(q => Set("p03", "p06", "p07")(q._1)), cfg,
-        100).count()
-      case "parse_wild" => graft.query.QueryParser.search(
-        idx, pq.filter(_._1 == "p04"), cfg, 100).count()
-      case "parse_fuzzy" => graft.query.QueryParser.search(
-        idx, pq.filter(_._1 == "p05"), cfg, 100).count()
+      case "parse" => parseRun(pq)
+      case "parse_term" =>
+        parseRun(pq.filter(q => Set("p01", "p02", "p08")(q._1)))
+      case "parse_phrase" =>
+        parseRun(pq.filter(q => Set("p03", "p06", "p07")(q._1)))
+      case "parse_wild" => parseRun(pq.filter(_._1 == "p04"))
+      case "parse_fuzzy" => parseRun(pq.filter(_._1 == "p05"))
+      case "phrase_gate" =>
+        // the phrase-adjacency gate subplan in isolation (3 atoms)
+        import spark.implicits._
+        val ph = Seq(("p03", 0, "should", 0, "merge"),
+          ("p03", 0, "should", 1, "sort"),
+          ("p06", 0, "must", 0, "sort"), ("p06", 0, "must", 1, "merge"),
+          ("p07", 0, "not", 0, "merge"), ("p07", 0, "not", 1, "sort"))
+          .toDF("query_id", "atom_id", "occur", "ppos", "term")
+        val plen = broadcast(Seq(("p03", 0, 2), ("p06", 0, 2),
+          ("p07", 0, 2)).toDF("query_id", "atom_id", "n_terms"))
+        idx.postings
+          .join(broadcast(ph), Seq("term"))
+          .select(col("query_id"), col("atom_id"), col("occur"),
+            col("doc_id"), col("ppos"), col("positions").as("ppositions"))
+          .groupBy(col("query_id"), col("atom_id"), col("occur"),
+            col("doc_id"))
+          .agg(collect_list(struct(col("ppos"), col("ppositions")))
+            .as("ent"))
+          .join(plen, Seq("query_id", "atom_id"))
+          .filter(size(col("ent")) === col("n_terms"))
+          .withColumn("es", array_sort(col("ent")))
+          .filter(size(expr(
+            "aggregate(slice(es, 2, size(es) - 1), " +
+              "transform(es[0].ppositions, p -> p - es[0].ppos), " +
+              "(acc, e) -> array_intersect(acc, " +
+              "transform(e.ppositions, p -> p - e.ppos)))")) > 0)
+          .count()
       case "wand" =>
         val blocks = graft.index.ServingIndex.fromPostings(
           idx.postings, numShards = cpus)

@@ -369,13 +369,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"cartesian in QueryParser:\n$p")
     // the only shuffled joins allowed are the MUST-NOT anti-join and the
-    // phrase-gate semi-join, both over AGGREGATED per-doc candidate sets
-    // — a -term or a phrase of common words can match half the corpus,
-    // so broadcasting those sides would be the scale bug; raw postings
+    // phrase-gate join (a left join against the one-row-per-(atom, doc)
+    // gate aggregate), both over AGGREGATED per-doc candidate sets — a
+    // -term or a phrase of common words can match half the corpus, so
+    // broadcasting those sides would be the scale bug; raw postings
     // must still never be inner-join-shuffled
     val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
-    assert(smj.forall(l => l.contains("LeftAnti") || l.contains("LeftSemi")),
-      s"non-anti/semi SortMergeJoin in QueryParser:\n$p")
+    assert(smj.forall(l => l.contains("LeftAnti") || l.contains("LeftSemi")
+        || l.contains("LeftOuter")),
+      s"unexpected inner SortMergeJoin in QueryParser:\n$p")
   }
 
   test("more-like-this broadcasts the expansion terms into the scoring join") {
