@@ -54,6 +54,10 @@ object MicroBench {
         parseRun(pq.filter(q => Set("p03", "p06", "p07")(q._1)))
       case "parse_wild" => parseRun(pq.filter(_._1 == "p04"))
       case "parse_fuzzy" => parseRun(pq.filter(_._1 == "p05"))
+      case "simhash64" => graft.ops.Dedup.simhashPairs(
+        docs.limit(3000), bits = 64).count()
+      case "simhash16" => graft.ops.Dedup.simhashPairs(
+        docs.limit(3000), bits = 16, maxDist = 3).count()
       case "phrase_gate" =>
         // the phrase-adjacency gate subplan in isolation (3 atoms)
         import spark.implicits._
