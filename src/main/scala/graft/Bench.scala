@@ -239,7 +239,8 @@ object Bench {
         "ann_brute", "ann_lsh", "ann_quant",
         "decontaminate", "curate_code", "grep_substring", "regex_search",
         "clone_pairs", "code_graph_pagerank", "lm_score", "dsir_weights",
-        "ann_pq", "ann_ivfpq", "ann_rivfpq", "semdedup", "bpe_train")
+        "ann_pq", "ann_ivfpq", "ann_rivfpq", "ann_rivfpq_serve",
+        "semdedup", "bpe_train")
         .foreach(results(_) = 0.0)
       s.stop()
       runScalingAndEmit(sfDir, cpus, nDocs, results)
@@ -465,6 +466,23 @@ object Bench {
     results("ann_rivfpq") = timeWarm(
       graft.ops.ProductQuant.residualIvfAdcTopK(
         emb, col("vec_id") % 100 === 0, 10).count())._1
+    // serving-only counterpart (round 5): codes/codebook/centroids are
+    // persisted index-time artifacts (BuildIndexJob --ann-pq), so this
+    // line prices the RECURRING query path alone — the number that
+    // scales with query volume at 100 TB, vs the train+encode+serve
+    // conflation above (kept for line-for-line comparability)
+    locally {
+      val (coarseL, centL) = graft.ops.Similarity.ivfAssignments(emb, 16, 3)
+      val coarse = coarseL.localCheckpoint()
+      val cent = centL.localCheckpoint()
+      val (codesL, cb) = graft.ops.ProductQuant.residualCodes(
+        emb, coarse, cent)
+      val codes = codesL.cache(); codes.count()
+      results("ann_rivfpq_serve") = timeWarm(
+        graft.ops.ProductQuant.residualAdcServe(codes, cb, cent,
+          emb.filter(col("vec_id") % 100 === 0), 10).count())._1
+      codes.unpersist()
+    }
     results("semdedup") = timeWarm(graft.ops.SemDedup.flag(
       emb.select(col("vec_id"), col("embedding"))).count())._1
     // BPE: 8 merge rounds over the 3k-doc word table (train() runs its

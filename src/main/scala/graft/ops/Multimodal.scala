@@ -151,7 +151,11 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
-  /** Sniff + genuinely decode one payload's container header.
+  /** Sniff + genuinely decode one payload's container header. TOTAL:
+    * never throws — one malformed payload must not kill a 100 TB job's
+    * task (and with it the stage's retries); a signed-but-undecodable
+    * container classifies as kind "corrupt" with zeros, preserving the
+    * row for downstream triage by sha/doc_id.
     * @return (kind, width, height, n_frames, sample_rate) — zeros where
     *         the modality has no such axis; unrecognized payloads are
     *         kind "binary" with all zeros (graceful: the generic
@@ -163,14 +167,23 @@ object Multimodal {
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
     if (isPng) {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      require(img != null, "PNG-signed payload failed to decode")
-      ("image", img.getWidth, img.getHeight, 1, 0)
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) ("corrupt", 0, 0, 0, 0)
+        else ("image", img.getWidth, img.getHeight, 1, 0)
+      } catch { case scala.util.control.NonFatal(_) =>
+        ("corrupt", 0, 0, 0, 0)
+      }
     } else if (isWav) {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      try ("audio", 0, 0, in.getFrameLength.toInt,
-        in.getFormat.getSampleRate.toInt)
-      finally in.close()
+      try {
+        val in =
+          AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try ("audio", 0, 0, in.getFrameLength.toInt,
+          in.getFormat.getSampleRate.toInt)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        ("corrupt", 0, 0, 0, 0)
+      }
     } else ("binary", 0, 0, 0, 0)
   }
 

@@ -756,6 +756,15 @@ class OpsSpec extends SparkSpec {
     }
     // unrecognized bytes classify as plain binary, no throw
     assert(Multimodal.decode("not media".getBytes) == ("binary", 0, 0, 0, 0))
+    // TOTALITY: signed-but-corrupt containers classify, never throw — a
+    // bad payload must not kill a task at scale
+    val badPng = Multimodal.encodePng(8, 8, 1).take(40) // truncated
+    assert(Multimodal.decode(badPng) == ("corrupt", 0, 0, 0, 0))
+    val badWav = Multimodal.encodeWav(8000, 50, 1).take(16)
+    assert(Multimodal.decode(badWav)._1 != "audio") // corrupt or binary
+    val garbagePng = Multimodal.encodePng(8, 8, 1)
+      .zipWithIndex.map { case (b, i) => if (i > 40) (b ^ 0x5a).toByte else b }
+    assert(Multimodal.decode(garbagePng)._1 == "corrupt")
   }
 
   test("multimodal: extractMeta decodes the synthesized corpus and " +
