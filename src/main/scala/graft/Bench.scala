@@ -847,12 +847,18 @@ object Bench {
     def scalingJson(a: Attempt, withAttempts: Boolean): String = {
       val atN = attempts.filter(_.n == a.n)
       val attemptsJson =
-        if (!withAttempts)
+        if (!withAttempts) {
+          // Locale.ROOT rounding: f"%.4f" under a comma-decimal default
+          // locale would print 0,9200 and break the driver-parsed line
+          def r4(x: Double): String =
+            java.lang.String.format(java.util.Locale.ROOT, "%.4f",
+              Double.box(x))
           attempts.map(x =>
-              f"""{"n":${x.n},"index_eff":${x.ie}%.4f,""" +
-              f""""query_eff":${x.qe}%.4f,""" +
-              f""""bw_ceiling":${x.bwScale}%.4f,"retried":${x.retried}}""")
+              s"""{"n":${x.n},"index_eff":${r4(x.ie)},""" +
+              s""""query_eff":${r4(x.qe)},""" +
+              s""""bw_ceiling":${r4(x.bwScale)},"retried":${x.retried}}""")
             .mkString(""""attempts":[""", ",", "],")
+        }
         else attempts.map(x =>
             s"""{"n":${x.n},"index_eff":${x.ie},"query_eff":${x.qe},""" +
             s""""retried":${x.retried},""" +
@@ -905,6 +911,15 @@ object Bench {
       Files.writeString(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
         currentJson())
+    /** After-every-attempt checkpoint: the out-file AND one compact
+      * stdout line — so a harness-side kill at ANY point still leaves
+      * the stdout tail ending in a complete, parseable metrics line
+      * with the attempts recorded so far (the final print sequence
+      * below re-emits the finished form; last line wins). */
+    def checkpoint(): Unit = {
+      writeJson()
+      println(currentJson(withAttempts = false))
+    }
 
     def budgetLeft(frac: Double): Boolean =
       elapsed + pairCost * 1.15 < budgetSec * frac
@@ -918,23 +933,27 @@ object Bench {
     // leg of 2v8; per-thread caps starve the narrow leg of 1v4), so a
     // window that poisons one shape often leaves the other clean.
     if (!skipScaling) {
-      val alt = if (primary == 1) math.min(2, maxN) else 1
+      // a forced pair (SPARK_GRAFT_SCALE_N) pins EVERY attempt — the
+      // alternation only samples shapes when the choice was probe-made
+      val alt =
+        if (forced.isDefined) primary
+        else if (primary == 1) math.min(2, maxN) else 1
       var i = 0
       while (i < maxAttempts && !cleared && (i == 0 || budgetLeft(0.85))) {
-        runPair(if (i % 2 == 0) primary else alt); writeJson(); i += 1
+        runPair(if (i % 2 == 0) primary else alt); checkpoint(); i += 1
       }
       // Phase 2: strengthen the primary-pair evidence to >= `repeats`
       // attempts (spread + median, not a lucky single) — the verdict-r2
       // priority for leftover budget.
       while (attempts.count(_.n == primary) < repeats && budgetLeft(0.9)) {
-        runPair(primary); writeJson()
+        runPair(primary); checkpoint()
       }
       // Phase 3: bonus wider pairs — only once the target is already
       // cleared, and only if a fresh sustained probe says the big leg's
       // width physically exists right now.
       for (b <- bonus if cleared && budgetLeft(1.0) &&
           probeCores(4 * b) >= 0.85 * 4 * b) {
-        runPair(b); writeJson()
+        runPair(b); checkpoint()
       }
     }
     org.apache.commons.io.FileUtils.deleteQuietly(

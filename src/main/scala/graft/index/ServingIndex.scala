@@ -327,31 +327,34 @@ object ServingIndex {
       }
   }
 
-  // Segment data IO goes through the TableIO format seam — the same
-  // seam an Iceberg catalog activates — so [[Snapshots]]' commit
-  // discipline and the table format compose without caller changes
-  // (SnapshotsSpec exercises the lifecycle through this seam).
+  // Segment data IO goes through the TableIO format seam with the
+  // session-detected format — the same seam an Iceberg catalog
+  // activates — so [[Snapshots]]' commit discipline and the table
+  // format compose without caller changes (SnapshotsSpec exercises the
+  // lifecycle through this seam).
+  import graft.sources.TableIO
+
   def write(blocks: Dataset[BlockRow], dir: String): Unit =
-    graft.sources.TableIO.write(blocks.toDF(), dir)
+    TableIO.write(blocks.toDF(), dir, TableIO.detect(blocks.sparkSession))
 
   def read(spark: SparkSession, dir: String): Dataset[BlockRow] = {
     import spark.implicits._
-    graft.sources.TableIO.read(spark, dir).as[BlockRow]
+    TableIO.read(spark, dir, TableIO.detect(spark)).as[BlockRow]
   }
 
   def writeP(blocks: Dataset[BlockRowP], dir: String): Unit =
-    graft.sources.TableIO.write(blocks.toDF(), dir)
+    TableIO.write(blocks.toDF(), dir, TableIO.detect(blocks.sparkSession))
 
   def readP(spark: SparkSession, dir: String): Dataset[BlockRowP] = {
     import spark.implicits._
-    graft.sources.TableIO.read(spark, dir).as[BlockRowP]
+    TableIO.read(spark, dir, TableIO.detect(spark)).as[BlockRowP]
   }
 
   def writeF(blocks: Dataset[BlockRowF], dir: String): Unit =
-    graft.sources.TableIO.write(blocks.toDF(), dir)
+    TableIO.write(blocks.toDF(), dir, TableIO.detect(blocks.sparkSession))
 
   def readF(spark: SparkSession, dir: String): Dataset[BlockRowF] = {
     import spark.implicits._
-    graft.sources.TableIO.read(spark, dir).as[BlockRowF]
+    TableIO.read(spark, dir, TableIO.detect(spark)).as[BlockRowF]
   }
 }

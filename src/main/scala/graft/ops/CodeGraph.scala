@@ -111,8 +111,13 @@ object CodeGraph {
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+      // multiPass also checkpoints the FINAL round: the returned ranks
+      // are then fully materialized before ew.unpersist() below, so a
+      // lazy tail (iters not a multiple of ckptEvery) never recomputes
+      // the un-cached edge join once per caller action
       val next =
-        if (tol.isDefined || (multiPass && (i + 1) % ckptEvery == 0))
+        if (tol.isDefined || (multiPass &&
+            ((i + 1) % ckptEvery == 0 || i + 1 == iters)))
           round.localCheckpoint() // eager: computes + truncates lineage
         else round
       converged = tol.exists { t =>

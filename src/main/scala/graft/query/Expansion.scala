@@ -174,13 +174,15 @@ object Expansion {
     *
     * Plan shape: terms long enough for the shared-trigram bound to prune
     * (|trigrams(q)| − 3·maxDist ≥ 1) probe the trigram dictionary as in
-    * [[fuzzy]]; shorter terms take the scan leg — which the length
-    * bound (Levenshtein ≥ |Δlen|) cuts to the sarg-able sliver
-    * length(term) ≤ 4·maxDist+2 of the vocabulary (scan-leg queries are
-    * ≤ 3·maxDist+2 chars by construction), with the per-pair |Δlen| ≤
-    * maxDist band as the join predicate — never a full-vocabulary cross
-    * join. Levenshtein runs only as a confirm. No df join, no window —
-    * the raw candidate set stays one narrow probe.
+    * [[fuzzy]]; terms the bound cannot prune take the scan leg — which
+    * the length bound (Levenshtein ≥ |Δlen|) cuts to the sarg-able
+    * sliver length(term) ≤ max-scan-query-length + maxDist of the
+    * vocabulary (the bound measured from the scan queries themselves —
+    * NOT their trigram count, which undercounts repetitive strings),
+    * with the per-pair |Δlen| ≤ maxDist band as the join predicate —
+    * never a full-vocabulary cross join. Levenshtein runs only as a
+    * confirm. No df join, no window — the raw candidate set stays one
+    * narrow probe.
     *
     * @param queryTerms one string column `query_term`
     * @return (query_term, term, dist) — all matches, unranked */
@@ -202,19 +204,35 @@ object Expansion {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= col("n_q") - lit(3 * maxDist))
       .select(col("query_term"), col("term"))
-    // (No sub-trigram sliver leg for idxQ: those queries are ≥
-    // 3·maxDist+3 chars, so a < 3-char term is ≥ 3·maxDist+1 > maxDist
-    // edits away — Levenshtein ≥ |Δlen| proves the leg empty.)
-    // Scan-leg queries are ≤ 3·maxDist+2 chars, so their matches live in
-    // the LITERAL sliver length(term) ≤ 4·maxDist+2 — that filter
-    // reaches the vocabulary scan, and the per-pair |Δlen| ≤ maxDist
-    // band is the join predicate (broadcast the tiny query side).
-    val scanVocab = index.termStats
-      .filter(length(col("term")) <= lit(4 * maxDist + 2))
-      .select(col("term"))
-    val candScan = scanVocab.join(broadcast(scanQ),
-        abs(length(col("term")) - length(col("query_term"))) <= lit(maxDist))
-      .select(col("query_term"), col("term"))
+    // (No sub-trigram sliver leg for idxQ: those queries have ≥
+    // 3·maxDist+1 DISTINCT trigrams, so ≥ 3·maxDist+3 chars, and a
+    // < 3-char term is ≥ 3·maxDist+1 > maxDist edits away — Levenshtein
+    // ≥ |Δlen| proves the leg empty.)
+    // Scan-leg matches live in the length band |q|±maxDist, so the
+    // vocabulary scan is cut to the LITERAL sliver length(term) ≤
+    // max_scan_len + maxDist — the bound comes from the scan queries
+    // THEMSELVES (one tiny agg over the bounded request list), NOT from
+    // their trigram count: a repetitive query like "aaaaaaa" has one
+    // distinct trigram but 7 chars, so a 3·maxDist+2 length assumption
+    // would silently drop its own exact vocabulary match. The per-pair
+    // |Δlen| ≤ maxDist band is the join predicate (broadcast the tiny
+    // query side).
+    val scanMax = scanQ.agg(max(length(col("query_term")))).head() match {
+      case r if r.isNullAt(0) => -1
+      case r => r.getInt(0)
+    }
+    val candScan =
+      if (scanMax < 0)
+        candIdx.limit(0)
+      else {
+        val scanVocab = index.termStats
+          .filter(length(col("term")) <= lit(scanMax + maxDist))
+          .select(col("term"))
+        scanVocab.join(broadcast(scanQ),
+            abs(length(col("term")) - length(col("query_term")))
+              <= lit(maxDist))
+          .select(col("query_term"), col("term"))
+      }
     candIdx.unionByName(candScan)
       .withColumn("dist", levenshtein(col("query_term"), col("term")))
       .filter(col("dist") <= maxDist)

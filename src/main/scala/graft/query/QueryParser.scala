@@ -75,10 +75,12 @@ object QueryParser {
   // `merge^1.2.3` or `merge^.` must NOT match, so it falls through to
   // the analyzer as part of the word (the documented lenient-drop rule)
   // instead of crashing a serving endpoint on toDouble.
-  // (the quoted boost also requires a clean end — `"a b"^1.2.3` must
-  // not half-match `^1.2`; the junk becomes a bare token that empties)
+  // (the quoted boost's number must be MAXIMAL — `(?![.\d])` stops
+  // `"a b"^1.2.3` from half-matching `^1.2` (the junk becomes a bare
+  // token that empties) while still accepting a boost followed by
+  // punctuation, `"a b"^2,`, which the pre-round-5 grammar scored)
   private val clauseRe =
-    """([+\-])?("([^"]*)"(\^\d+(?:\.\d+)?(?=\s|$))?|[^\s"]+)""".r
+    """([+\-])?("([^"]*)"(\^\d+(?:\.\d+)?(?![.\d]))?|[^\s"]+)""".r
   private val fuzzyRe = """(.+?)~(\d)?$""".r
   private val boostRe = """(.*?)\^(\d+(?:\.\d+)?)$""".r
   private val fieldRe = """(\w+):([\w.]+)""".r

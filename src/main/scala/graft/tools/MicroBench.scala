@@ -58,33 +58,6 @@ object MicroBench {
         docs.limit(3000), bits = 64).count()
       case "simhash16" => graft.ops.Dedup.simhashPairs(
         docs.limit(3000), bits = 16, maxDist = 3).count()
-      case "phrase_gate" =>
-        // the phrase-adjacency gate subplan in isolation (3 atoms)
-        import spark.implicits._
-        val ph = Seq(("p03", 0, "should", 0, "merge"),
-          ("p03", 0, "should", 1, "sort"),
-          ("p06", 0, "must", 0, "sort"), ("p06", 0, "must", 1, "merge"),
-          ("p07", 0, "not", 0, "merge"), ("p07", 0, "not", 1, "sort"))
-          .toDF("query_id", "atom_id", "occur", "ppos", "term")
-        val plen = broadcast(Seq(("p03", 0, 2), ("p06", 0, 2),
-          ("p07", 0, 2)).toDF("query_id", "atom_id", "n_terms"))
-        idx.postings
-          .join(broadcast(ph), Seq("term"))
-          .select(col("query_id"), col("atom_id"), col("occur"),
-            col("doc_id"), col("ppos"), col("positions").as("ppositions"))
-          .groupBy(col("query_id"), col("atom_id"), col("occur"),
-            col("doc_id"))
-          .agg(collect_list(struct(col("ppos"), col("ppositions")))
-            .as("ent"))
-          .join(plen, Seq("query_id", "atom_id"))
-          .filter(size(col("ent")) === col("n_terms"))
-          .withColumn("es", array_sort(col("ent")))
-          .filter(size(expr(
-            "aggregate(slice(es, 2, size(es) - 1), " +
-              "transform(es[0].ppositions, p -> p - es[0].ppos), " +
-              "(acc, e) -> array_intersect(acc, " +
-              "transform(e.ppositions, p -> p - e.ppos)))")) > 0)
-          .count()
       case "wand" =>
         val blocks = graft.index.ServingIndex.fromPostings(
           idx.postings, numShards = cpus)

@@ -94,6 +94,12 @@ class QueryParserSpec extends SparkSpec {
     // token the analyzer empties
     assert(parse("\"merge sort\"^1.2.3", cfg).clauses ==
       Seq(Clause(Should, PhraseAtom(Seq("merge", "sort")), 1.0)))
+    // but a VALID boost followed by punctuation still applies (the
+    // maximal-number rule only rejects digit/dot continuations)
+    assert(parse("\"merge sort\"^2,", cfg).clauses ==
+      Seq(Clause(Should, PhraseAtom(Seq("merge", "sort")), 2.0)))
+    assert(parse("\"merge sort\"^0.5)", cfg).clauses ==
+      Seq(Clause(Should, PhraseAtom(Seq("merge", "sort")), 0.5)))
     // and the serving path stays up on the same input
     assert(res("merge^1.2.3").keySet == res("merge").keySet)
   }

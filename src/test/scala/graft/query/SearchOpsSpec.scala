@@ -401,6 +401,24 @@ class SearchOpsSpec extends SparkSpec {
     assert(got.contains(("windoq", "window", 1L, 1L)))
   }
 
+  test("did-you-mean: a long REPETITIVE query (few distinct trigrams) " +
+      "still finds its own exact match through the scan leg") {
+    import spark.implicits._
+    // "aaaaaaa" is 7 chars but has ONE distinct trigram, so the
+    // 3·maxDist bound cannot prune it -> scan leg. The scan sliver must
+    // bound by the query's LENGTH, not its trigram count: a length
+    // ≤ 4·maxDist+2 sliver would silently drop the exact match.
+    val d2 = Seq((1L, "aaaaaaa sort window"), (2L, "aaaaaaaa sort"))
+      .toDF("doc_id", "text")
+    val i2 = graft.index.IndexBuilder.build(d2, cfg)
+    val got = Expansion.didYouMean(i2,
+        Seq("aaaaaaa").toDF("query_term"), maxDist = 1, m = 3)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    assert(got == Set(("aaaaaaa", 0L, 1L), ("aaaaaaaa", 1L, 2L)),
+      s"got $got")
+  }
+
   test("RRF fuses ranked lists by reciprocal rank; single-list docs " +
       "contribute one term; ties break on doc_id") {
     import spark.implicits._
